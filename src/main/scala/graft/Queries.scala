@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational._
+
+/** The registered query catalog: one named query per SURVEY.md §2 operator
+  * (plus extensions), each with an equivalent DuckDB oracle SQL where
+  * SQL-expressible. `SparkEntry` exposes these to the driver.
+  *
+  * Determinism rules (so the driver's hash-compare is stable):
+  *  - money sums go through `decimal(18,2)` (exact) then cast to double —
+  *    double-sum order is nondeterministic under partial aggregation;
+  *  - products of 2-decimal doubles are summed in integer cents;
+  *  - event timestamps are compared in epoch MICROseconds (integer `div`),
+  *    matching DuckDB's TIMESTAMP_NS→µs truncation;
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      doc: String)
+
+  /** Exact decimal sum of a 2-decimal money column, emitted as double. */
+  private def moneySum(c: String, as: String) =
+    sum(col(c).cast("decimal(18,2)")).cast("double").as(as)
+
+  val all: Seq[Q] = Seq(
+
+    // ================= sources (SURVEY §2.1) =================
+
+    Q("s1_source_scan",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      Some("SELECT event_id, user_id, event_type, value FROM events"),
+      "S1/S2 stream source batch analog: parquet scan incl. nanos-timestamp handling (KSA:104, KSA:175)"),
+
+    Q("s3_table_compaction",
+      (s, dir) => compactLatest(
+          Seq(col("user_id")), Seq(expr("ts div 1000"), col("event_id")))(Tables.events(s, dir))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type")),
+      Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin),
+      "S3 compacted-topic KTable + A3 toStream fixpoint: latest value per key (KSA:156-157, KSA:150)"),
+
+    // ================= stateless ops (SURVEY §2.2) =================
+
+    Q("p1_filter_expensive",
+      (s, dir) => filterRecords(col("o_totalprice") >= 300000)(Tables.orders(s, dir))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_totalprice >= 300000"),
+      "P1 filter: expensiveOrdersTopology's amount >= threshold predicate (KSA:107-109)"),
+
+    Q("p2_project",
+      (s, dir) => mapValues(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))(
+        Tables.orders(s, dir)),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
+      "P2 mapValues: pure projection (KSA:114-116); column pruning reaches the scan"),
+
+    Q("p3_explode_tokens",
+      (s, dir) => flatMapValues(Seq(col("doc_id")), split(col("text"), " "), "token")(
+        Tables.documents(s, dir)),
+      Some("SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"),
+      "P3 flatMapValues: one row per array element (KSA:121-123)"),
+
+    Q("p4_selectkey",
+      (s, dir) => selectKey(col("l_orderkey"), "key")(Tables.lineitem(s, dir))
+        .select(col("key"), col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+      Some("SELECT l_orderkey AS key, l_partkey, l_suppkey, l_quantity FROM lineitem"),
+      "P4 selectKey re-key (KSA:173); shuffle deferred to next keyed op (EnsureRequirements)"),
+
+    // ================= grouping & aggregation (SURVEY §2.3) =================
+
+    Q("g1_groupby_keymapper",
+      (s, dir) => countByMappedKey(lower(substring(col("p_name"), 1, 1)), "first_letter")(
+        Tables.part(s, dir)),
+      Some("SELECT lower(substring(p_name, 1, 1)) AS first_letter, count(*) AS cnt FROM part GROUP BY 1"),
+      "G1 groupBy with key-mapper lambda = derived grouping expression (KSA:125-128)"),
+
+    Q("g2_a1_count_by_key",
+      (s, dir) => countByKey(col("o_custkey"), "o_custkey")(Tables.orders(s, dir)),
+      Some("SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey"),
+      "G2 groupByKey + A1 unwindowed count → KTable fixpoint (KSA:140, KSA:144)"),
+
+    Q("a2_windowed_count",
+      (s, dir) => windowedCountByKey(col("ts_ts"), "10 seconds", col("user_id"), "user_id")(
+        Tables.events(s, dir)),
+      Some("""SELECT user_id, epoch_us(ts) // 10000000 * 10 AS window_start, count(*) AS cnt
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "A2 tumbling 10s windowed aggregate, epoch-aligned (KSA:142, KSA:146-148)"),
+
+    // ================= joins (SURVEY §2.4) =================
+
+    Q("j1_stream_table_join",
+      (s, dir) => streamTableJoin(
+          Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("profile")),
+          Seq("o_custkey"))(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("profile")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment AS profile
+             |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin),
+      "J1 stream-table equi-join: enrich order with current profile (KSA:162-165)"),
+
+    Q("j2_globaltable_join",
+      (s, dir) => {
+        val enriched = streamTableJoin(
+          Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("profile")),
+          Seq("o_custkey"))(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        globalTableJoin(Tables.discounts(s), col("profile") === col("p_profile"))(
+            enriched.withColumnRenamed("profile", "p_profile"))
+          .select(col("o_orderkey"), col("p_profile").as("profile"),
+            (col("o_totalprice") * (lit(1.0) - col("factor"))).as("discounted"))
+      },
+      Some(s"""SELECT o_orderkey, c_mktsegment AS profile, o_totalprice * (1.0 - factor) AS discounted
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN ${Tables.discountsSql} ON c_mktsegment = d.profile""".stripMargin),
+      "J2 stream-globalTable join on extracted foreign key, broadcast dim (KSA:167-171)"),
+
+    Q("j3_interval_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id"), col("ts_us").as("p_us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("e_event_id"), col("user_id").as("e_user_id"),
+            col("ts_us").as("e_us"))
+        intervalJoin(errors, col("user_id") === col("e_user_id"),
+            col("p_us"), col("e_us"), 300000000L)(purchases)
+          .select(col("p_event_id"), col("e_event_id"), col("user_id"))
+      },
+      Some("""SELECT p.event_id AS p_event_id, e.event_id AS e_event_id, p.user_id
+             |FROM events p JOIN events e
+             |  ON p.user_id = e.user_id
+             | AND p.event_type = 'purchase' AND e.event_type = 'error'
+             | AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 300000000 AND epoch_us(p.ts) + 300000000""".stripMargin),
+      "J3 stream-stream windowed join: same key within ±5 min, inclusive (KSA:177-186)"),
+
+    Q("j4_filtered_join",
+      (s, dir) => filteredJoin(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment").as("profile")),
+          col("o_custkey") === col("c_custkey"),
+          col("o_orderstatus") === "F")(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
+        .select(col("o_orderkey"), col("o_custkey"), col("profile")),
+      Some("""SELECT o_orderkey, o_custkey, c_mktsegment AS profile
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderstatus = 'F'""".stripMargin),
+      "J4 Option-joiner = join + residual predicate (KSA:179-180, KSA:185)"),
+
+    // ================= flagship composite (SURVEY §3.1) =================
+
+    Q("flagship_paid_orders",
+      (s, dir) => Flagship.paidOrders(s, dir),
+      Some(Flagship.oracleSql),
+      "paidOrdersTopology: J1 ⋈ J2(broadcast) → selectKey → J3 interval ⋈ → J4 filter (KSA:155-189)"),
+
+    // ================= TPC-H-style headline aggregates =================
+
+    Q("q1_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp_ntz"))
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("disc100", round(col("l_discount") * 100).cast("long"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum("l_quantity", "sum_qty"),
+          moneySum("l_extendedprice", "sum_base_price"),
+          (sum(col("cents") * (lit(100L) - col("disc100"))).cast("double") / 10000.0)
+            .as("sum_disc_price"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "TPC-H Q1-style pricing summary; money sums exact via decimal/integer-cents")
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
+
+/** The flagship paid-orders pipeline (SURVEY §3.1) over the testdata mapping
+  * (FIXTURES.md §C): orders enriched with profile (J1), discounted via the
+  * broadcast global table (J2), re-keyed by order (P4), interval-joined to
+  * its lineitems shipped within 90 days ("payments", J3), kept only when
+  * `l_returnflag = 'N'` ("PAID", J4).
+  */
+object Flagship {
+  import graft.ops.Relational._
+
+  def paidOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val profiles = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("profile"))
+    // J1: co-partitioned stream-table join on the user key
+    val withProfile = orders.join(profiles, col("o_custkey") === col("c_custkey"))
+    // J2: broadcast global-table join on the extracted profile key
+    val discounted = globalTableJoin(
+        Tables.discounts(s).withColumnRenamed("profile", "d_profile"),
+        col("profile") === col("d_profile"))(withProfile)
+      .withColumn("discounted", col("o_totalprice") * (lit(1.0) - col("factor")))
+    // P4: re-key by orderId (shuffle planned at the next join)
+    val rekeyed = selectKey(col("o_orderkey"), "key")(discounted)
+    // J3: interval join to "payments" (lineitems shipped within 90 days)
+    val payments = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"), col("l_returnflag"))
+    rekeyed.join(payments,
+        col("key") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      // J4: Option joiner — keep only "PAID"
+      .filter(col("l_returnflag") === "N")
+      .select(col("o_orderkey"), col("l_linenumber"), col("profile"),
+        col("discounted"), col("l_quantity"))
+  }
+
+  val oracleSql: String =
+    s"""SELECT o_orderkey, l_linenumber, c_mktsegment AS profile,
+       |  o_totalprice * (1.0 - factor) AS discounted, l_quantity
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN ${Tables.discountsSql} ON c_mktsegment = d.profile
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+       |WHERE l_returnflag = 'N'""".stripMargin
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's operator surface (SURVEY.md §2), re-expressed as a library
+  * of declarative DataFrame combinators. Each function cites the reference
+  * expression it reproduces (KSA = reference
+  * `src/main/scala/KafkaStreamsApp.scala`).
+  *
+  * Design: every combinator is `DataFrame => DataFrame` over declarative
+  * Column expressions, so the whole pipeline stays inside Catalyst — filters
+  * push down to the scan, projections prune columns, joins pick
+  * broadcast/SMJ/SHJ by statistics, and whole-stage codegen fuses chains.
+  * This is deliberate (SURVEY.md §4.2): zero custom planner rules are needed
+  * for reference parity; the operators below ARE the logical plan.
+  *
+  * These run identically on batch DataFrames and streaming DataFrames
+  * (Structured Streaming shares the API) — see [[graft.streaming.Topologies]]
+  * for the streaming wiring with watermarks.
+  */
+object Relational {
+
+  // ---- stateless row operators (SURVEY §2.2) ----
+
+  /** P1 — `stream.filter((k, v) => Boolean)` (KSA:107-109). */
+  def filterRecords(pred: Column)(df: DataFrame): DataFrame = df.filter(pred)
+
+  /** P2 — `stream.mapValues(v => v2)` (KSA:114-116): a pure projection. */
+  def mapValues(cols: Column*)(df: DataFrame): DataFrame = df.select(cols: _*)
+
+  /** P3 — `stream.flatMapValues(v => Iterable)` (KSA:121-123, KSA:185):
+    * one output row per array element; empty arrays yield zero rows,
+    * matching the reference's Iterable semantics.
+    */
+  def flatMapValues(keep: Seq[Column], arr: Column, as: String)(df: DataFrame): DataFrame =
+    df.select(keep :+ explode(arr).as(as): _*)
+
+  /** P4 — `stream.selectKey((k, v) => k2)` (KSA:173). In Kafka Streams this
+    * marks a repartition-topic boundary; Spark's analog (shuffle exchange) is
+    * planned lazily by `EnsureRequirements` at the next key-based operator,
+    * which is strictly better (no shuffle if the new key is never grouped or
+    * joined on). We therefore only *declare* the key column; callers that
+    * need an eager co-location (e.g. to reuse one partitioning across several
+    * downstream ops) use [[rekeyEager]].
+    */
+  def selectKey(newKey: Column, as: String)(df: DataFrame): DataFrame =
+    df.withColumn(as, newKey)
+
+  /** P4 (eager variant) — materialize the shuffle now so several downstream
+    * keyed ops reuse one exchange instead of each planning their own.
+    */
+  def rekeyEager(newKey: Column, as: String)(df: DataFrame): DataFrame =
+    df.withColumn(as, newKey).repartition(col(as))
+
+  // ---- grouping & aggregation (SURVEY §2.3) ----
+
+  /** G1 — `stream.groupBy((k, v) => newKey)` (KSA:125-128): the key-mapper
+    * lambda becomes the derived grouping expression; the repartition topic
+    * becomes the hash-partitioned shuffle with map-side partial aggregation.
+    */
+  def countByMappedKey(keyExpr: Column, as: String)(df: DataFrame): DataFrame =
+    df.groupBy(keyExpr.as(as)).agg(count(lit(1)).as("cnt"))
+
+  /** G2 + A1 — `stream.groupByKey.count()` (KSA:140, KSA:144): running count
+    * per existing key. Batch result = the streaming KTable's final fixpoint
+    * (SURVEY §2.3 note on emission cadence).
+    */
+  def countByKey(key: Column, as: String)(df: DataFrame): DataFrame =
+    df.groupBy(key.as(as)).agg(count(lit(1)).as("cnt"))
+
+  /** A2 — `grouped.windowedBy(TimeWindows.of(10s)).aggregate(0L)(+1)`
+    * (KSA:142, KSA:146-148): tumbling event-time windows aligned to epoch.
+    * `Windowed[K]` ≈ the `window(start, end)` struct; we expose the start as
+    * epoch seconds (bigint) so results are engine-portable.
+    */
+  def windowedCountByKey(ts: Column, windowDuration: String, key: Column, as: String)(
+      df: DataFrame): DataFrame =
+    df.groupBy(window(ts, windowDuration), key.as(as))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(as), col("window.start").cast("long").as("window_start"), col("cnt"))
+
+  /** S3 batch semantics — compacted-topic KTable (`builder.table`,
+    * KSA:156-157; `cleanup.policy=compact` KSA:35): latest value per key.
+    * Also A3's final state (`ktable.toStream`, KSA:150 — in batch the
+    * changelog's fixpoint IS the table). Orders by `order` descending with
+    * deterministic tiebreaks supplied by the caller.
+    */
+  def compactLatest(partitionKeys: Seq[Column], order: Seq[Column])(df: DataFrame): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(partitionKeys: _*).orderBy(order.map(_.desc): _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  // ---- joins (SURVEY §2.4) ----
+
+  /** J1 — stream–table equi-join (`stream.join(ktable)`, KSA:162-165):
+    * co-partitioned lookup of the current table value. Batch: a plain
+    * equi-join; Catalyst picks broadcast vs sort-merge from statistics (with
+    * AQE re-planning at runtime).
+    */
+  def streamTableJoin(table: DataFrame, keys: Seq[String])(stream: DataFrame): DataFrame =
+    stream.join(table, keys)
+
+  /** J2 — stream–GlobalKTable join with foreign-key extractor
+    * (KSA:167-171): the key-extractor lambda (KSA:169) becomes `joinExpr`; the
+    * replicated global table becomes an explicit `broadcast()` so the planner
+    * is pinned to the reference's distribution semantics (replicate the dim
+    * to every node, never shuffle the stream).
+    */
+  def globalTableJoin(dim: DataFrame, joinExpr: Column)(stream: DataFrame): DataFrame =
+    stream.join(broadcast(dim), joinExpr)
+
+  /** J3 — stream–stream windowed join (`JoinWindows.of(5 min)`,
+    * KSA:177-186): equi-join on the key plus a symmetric event-time band,
+    * bounds inclusive (Kafka Streams `JoinWindows` is inclusive on both
+    * ends). `leftTs`/`rightTs` must be the same unit (we use epoch micros).
+    */
+  def intervalJoin(right: DataFrame, eq: Column, leftTs: Column, rightTs: Column,
+      toleranceUs: Long)(left: DataFrame): DataFrame =
+    left.join(right, eq && (rightTs >= leftTs - toleranceUs) && (rightTs <= leftTs + toleranceUs))
+
+  /** J4 — filtered join (joiner returning `Option`, KSA:179-180 +
+    * `flatMapValues(_.toIterable)` KSA:185): an inner join with a residual
+    * predicate; `None` results = rows failing the predicate, dropped.
+    */
+  def filteredJoin(right: DataFrame, eq: Column, residual: Column)(left: DataFrame): DataFrame =
+    left.join(right, eq).filter(residual)
+}

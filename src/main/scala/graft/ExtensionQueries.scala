@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Texts}
+
+/** Extension operators (SURVEY.md §2.6 X1-X4 + the large-scale training-data
+  * pipeline surface): deduplication, similarity search, text analysis,
+  * multimodal plumbing. Registered alongside the reference-parity queries.
+  */
+object ExtensionQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.documents(s, dir)
+
+  val all: Seq[Q] = Seq(
+
+    // ================= X1/X2 deduplication =================
+
+    Q("x1_dedup_exact",
+      (s, dir) => Dedup.exact(Seq(col("lang"), col("source")), col("doc_id"))(docs(s, dir))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1""".stripMargin),
+      "X1 exact dedup with deterministic survivor (hash-groupBy per key)"),
+
+    Q("x2_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3)(docs(s, dir)),
+      Some("""WITH sets AS (
+             |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                                for i in range(1, len(toks) - 1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+             |SELECT a.doc_id AS a, b.doc_id AS b,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+             |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.3""".stripMargin),
+      "X2 n-gram (3-token shingle) Jaccard near-dup pairs, all-integer until final division"),
+
+    Q("x2b_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(docs(s, dir)),
+      None, // xxhash64-based signatures are not reproducible in DuckDB SQL
+      "X2 MinHash(64)+LSH(16 bands x 4) candidates, verified with exact Jaccard"),
+
+    Q("x2c_simhash",
+      (s, dir) => docs(s, dir)
+        .withColumn("toks", Texts.tokens(col("text")))
+        .select(col("doc_id"), Dedup.simhash("toks").as("simhash")),
+      None, // xxhash64-based fingerprint
+      "X2 SimHash 64-bit LSH fingerprint per document (map-only HOF pass)"),
+
+    // ================= X2 similarity search =================
+
+    Q("x3_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(corpus, queries, 3)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5)
+             |SELECT qid, rank, id, round(sim, 4) AS sim FROM (
+             |  SELECT qid, id, list_cosine_similarity(qvec, vec) AS sim,
+             |         row_number() OVER (PARTITION BY qid
+             |                            ORDER BY list_cosine_similarity(qvec, vec) DESC, id) AS rank
+             |  FROM q JOIN v ON id <> qid)
+             |WHERE rank <= 3""".stripMargin),
+      "X2 exact brute-force cosine top-k (broadcast queries, map-only corpus scan)"),
+
+    Q("x3b_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.ivfTopK(corpus, queries, centroids, 3)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             |va AS (SELECT id, vec, cid AS bucket FROM (
+             |  SELECT v.id, v.vec, c.cid,
+             |         row_number() OVER (PARTITION BY v.id
+             |                            ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
+             |  FROM v CROSS JOIN c) WHERE rn = 1),
+             |q AS (SELECT id AS qid, vec AS qvec, bucket AS qbucket FROM va WHERE id < 5)
+             |SELECT qid, rank, id, round(sim, 4) AS sim FROM (
+             |  SELECT q.qid, va.id, list_cosine_similarity(q.qvec, va.vec) AS sim,
+             |         row_number() OVER (PARTITION BY q.qid
+             |                            ORDER BY list_cosine_similarity(q.qvec, va.vec) DESC, va.id) AS rank
+             |  FROM q JOIN va ON va.bucket = q.qbucket AND va.id <> q.qid)
+             |WHERE rank <= 3""".stripMargin),
+      "X2 IVF-style ANN: route query to nearest centroid, search only that bucket"),
+
+    // ================= X3 text analysis =================
+
+    Q("x4_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(col("doc_id"), col("text"))(docs(s, dir)),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             |  list_max(list_transform(string_split(text, ' '), t -> length(t))) AS max_token_len,
+             |  list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_token_len
+             |FROM documents""".stripMargin),
+      "X3 per-document token statistics (all-integer, map-only)"),
+
+    Q("x4b_lang_id",
+      (s, dir) => TextAnalysis.langIdEn(col("doc_id"), col("text"))(docs(s, dir)),
+      Some(s"""SELECT doc_id,
+              |  len(list_filter(string_split(text, ' '), t -> t IN ${Texts.enStopwordsSql})) AS en_hits,
+              |  len(string_split(text, ' ')) AS n_tokens,
+              |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE)
+              |            / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              |       THEN 'en' ELSE 'other' END AS lang_guess
+              |FROM documents""".stripMargin),
+      "X3 language-ID heuristic via stopword-profile hit ratio"),
+
+    Q("x4c_quality_score",
+      (s, dir) => TextAnalysis.qualityScore(col("doc_id"), col("text"))(docs(s, dir)),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS diversity,
+              |  CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+              |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |    + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |    + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin),
+      "X3 quality scoring: diversity + stopword ratio + mean token length"),
+
+    Q("x4d_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(col("doc_id"), col("text"), 10)(docs(s, dir)),
+      Some("""SELECT doc_id, md5(text) AS fp,
+             |  md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS prefix_fp
+             |FROM documents""".stripMargin),
+      "X3 document fingerprinting: full digest + token-prefix digest"),
+
+    // ================= X4 multimodal =================
+
+    Q("x5_multimodal_features",
+      (s, dir) => {
+        val payloads = Multimodal.attachPayload("doc_id", "text")(docs(s, dir))
+        Multimodal.extractFeatures(s, payloads).toDF()
+      },
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  ord(substring(text, 1, 1)) AS feature0,
+             |  1 + octet_length(encode(text)) % 64 AS width,
+             |  octet_length(encode(text)) // (1 + octet_length(encode(text)) % 64) AS height
+             |FROM documents""".stripMargin),
+      "X4 multimodal: binary payload + metadata struct + partition-wise (stub) decode")
+  )
+}

@@ -188,11 +188,14 @@ object Queries {
       "TPC-H Q1-style pricing summary; money sums exact via decimal/integer-cents")
   )
 
+  /** Full catalog: reference parity + extensions + superset ops. */
+  def catalog: Seq[Q] = all ++ ExtensionQueries.all ++ SupersetQueries.all
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
+    catalog.map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
 
 /** The flagship paid-orders pipeline (SURVEY §3.1) over the testdata mapping

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+
+/** Superset relational operators beyond the reference's surface
+  * (SURVEY.md §2.6: the reference has none of these; Spark gives them for
+  * free and a user of the engine expects them): sorts/limits, ranking
+  * windows, set operations, rollup, distinct + approximate aggregation,
+  * session windows.
+  */
+object SupersetQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("o1_topk",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+      "sort + limit → TakeOrderedAndProject (no global sort materialized)"),
+
+    Q("o2_rank_window",
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders
+             |QUALIFY rn <= 2""".stripMargin),
+      "ranking window: top-2 orders per customer, deterministic tiebreak"),
+
+    Q("o3_intersect",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin),
+      "set op: INTERSECT (customers with both statuses)"),
+
+    Q("o3b_except",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin),
+      "set op: EXCEPT"),
+
+    Q("o4_rollup",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid")),
+      Some("""SELECT n_name, c_mktsegment, count(*) AS cnt, GROUPING(n_name, c_mktsegment) AS gid
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin),
+      "ROLLUP hierarchy totals with grouping id"),
+
+    Q("o5_distinct_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nparts"), count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nparts, count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "distinct aggregation (expand + two-phase agg)"),
+
+    Q("o6_approx_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nparts")),
+      None, // HLL++ estimates are engine-specific; driver does rows-only check
+      "approx_count_distinct (HyperLogLog++): sketch-based cardinality at scale"),
+
+    Q("o7_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts_ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"), col("cnt")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             |m AS (SELECT user_id, us,
+             |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 300000000
+             |               OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |             THEN 1 ELSE 0 END AS new_s
+             |      FROM e),
+             |s AS (SELECT user_id, us,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, min(us) // 1000000 AS session_start, count(*) AS cnt
+             |FROM s GROUP BY user_id, sid""".stripMargin),
+      "session windows (5-min gap) — gaps-and-islands equivalent as oracle")
+  )
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X3 text-analysis operators for training-data curation: token statistics,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All row-local Column expressions — a single map-only pass at any scale.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics (whitespace tokenizer). All-integer
+    * outputs, so oracle comparison is exact.
+    */
+  def tokenStats(id: Column, text: Column)(df: DataFrame): DataFrame = {
+    val toks = Texts.tokens(text)
+    df.select(
+      id.as("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      array_max(transform(toks, t => length(t))).as("max_token_len"),
+      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).as("sum_token_len"))
+  }
+
+  /** Language-ID heuristic: fraction of tokens in an English stopword
+    * profile. Real n-gram language profiles plug in the same shape (one
+    * score column per language, argmax); this keeps the scoring observable
+    * and oracle-checkable.
+    */
+  def langIdEn(id: Column, text: Column)(df: DataFrame): DataFrame = {
+    val toks = Texts.tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(Texts.enStopwords)))
+    df.select(
+      id.as("doc_id"),
+      hits.as("en_hits"),
+      size(toks).as("n_tokens"),
+      when(hits.cast("double") / size(toks).cast("double") >= 0.05, lit("en"))
+        .otherwise(lit("other")).as("lang_guess"))
+  }
+
+  /** Quality score: deterministic linear combination of length, lexical
+    * diversity, stopword ratio and mean token length — the standard cheap
+    * filters applied before expensive model-based scoring in data pipelines.
+    */
+  def qualityScore(id: Column, text: Column)(df: DataFrame): DataFrame = {
+    val toks = Texts.tokens(text)
+    val n = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = size(filter(toks, t => t.isInCollection(Texts.enStopwords))).cast("double") / n
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+      .cast("double") / n
+    df.select(
+      id.as("doc_id"),
+      diversity.as("diversity"),
+      stopRatio.as("stop_ratio"),
+      meanLen.as("mean_token_len"),
+      (diversity * 0.5 + stopRatio * 0.25 + meanLen * 0.05).as("quality"))
+  }
+
+  /** Document fingerprints: full-text digest + first-`prefixTokens` prefix
+    * digest (cheap clustering key for exact / prefix dedup).
+    */
+  def fingerprints(id: Column, text: Column, prefixTokens: Int)(df: DataFrame): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      md5(text).as("fp"),
+      md5(concat_ws(" ", slice(Texts.tokens(text), 1, prefixTokens))).as("prefix_fp"))
+}

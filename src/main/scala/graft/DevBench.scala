@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-loop harness: time (and optionally explain) a subset of the query
+  * catalog. Not part of the driver contract — `Bench` is the official
+  * benchmark; this exists so a single query can be iterated on without
+  * paying for the whole catalog.
+  *
+  * Usage: `sbt "runMain graft.DevBench [-explain] name1 name2 ..."`
+  * (no names = all). Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+  */
+object DevBench {
+  def main(args: Array[String]): Unit = {
+    val explain = args.contains("-explain")
+    val names = args.filterNot(_.startsWith("-"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sel = if (names.isEmpty) SparkEntry.queries
+              else SparkEntry.queries.filter { case (n, _) => names.contains(n) }
+    sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      if (explain) { println(s"===== $name plan ====="); df.explain("formatted") }
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[devbench] $name%-24s $dt%8.3f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

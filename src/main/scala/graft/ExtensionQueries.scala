@@ -24,18 +24,31 @@ object ExtensionQueries {
       "X1 exact dedup with deterministic survivor (hash-groupBy per key)"),
 
     Q("x2_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3)(docs(s, dir)),
-      Some("""WITH sets AS (
-             |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-             |                                for i in range(1, len(toks) - 1)]) AS sh
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
-             |SELECT a.doc_id AS a, b.doc_id AS b,
-             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-             |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.3""".stripMargin),
-      "X2 n-gram (3-token shingle) Jaccard near-dup pairs, all-integer until final division"),
+      (s, dir) => Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
+        maxShingleDf = 1000L)(docs(s, dir)),
+      // The DF cut (1000) is mirrored below: both engines prune hot shingles
+      // before pairing and compute sizes from the PRUNED sets, so the
+      // emitted Jaccard is self-consistent. Pairs are generated from
+      // exploded shingles (no NaN possible for shingle-less docs — they
+      // simply produce no rows).
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ex AS (SELECT DISTINCT doc_id,
+             |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                 for i in range(1, len(toks) - 1)]) AS s
+             |       FROM toks WHERE len(toks) >= 3),
+             |kept AS (SELECT doc_id, s FROM ex
+             |         QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+             |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+             |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT p.a, p.b,
+             |       CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) AS jaccard
+             |FROM pairs p
+             |JOIN sz sa ON sa.doc_id = p.a
+             |JOIN sz sb ON sb.doc_id = p.b
+             |WHERE CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) >= 0.3""".stripMargin),
+      "X2 n-gram (3-token shingle) Jaccard near-dup pairs with hot-shingle DF cut, all-integer until final division"),
 
     Q("x2b_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(docs(s, dir)),
@@ -43,11 +56,15 @@ object ExtensionQueries {
       "X2 MinHash(64)+LSH(16 bands x 4) candidates, verified with exact Jaccard"),
 
     Q("x2c_simhash",
-      (s, dir) => docs(s, dir)
-        .withColumn("toks", Texts.tokens(col("text")))
-        .select(col("doc_id"), Dedup.simhash("toks").as("simhash")),
+      (s, dir) => Dedup.simhashByDoc(col("doc_id"), col("text"))(docs(s, dir))
+        .withColumnRenamed("id", "doc_id"),
       None, // xxhash64-based fingerprint
-      "X2 SimHash 64-bit LSH fingerprint per document (map-only HOF pass)"),
+      "X2 SimHash 64-bit LSH fingerprint per document (explode + one hash-groupBy, codegen'd)"),
+
+    Q("x2d_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(col("doc_id"), col("text"), 3)(docs(s, dir)),
+      None, // xxhash64-based fingerprint
+      "X2 SimHash near-dup pairs: pigeonhole chunk buckets (Hamming<=3), equi-join candidates, exact verify"),
 
     // ================= X2 similarity search =================
 
@@ -105,7 +122,7 @@ object ExtensionQueries {
              |  len(string_split(text, ' ')) AS n_tokens,
              |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
              |  list_max(list_transform(string_split(text, ' '), t -> length(t))) AS max_token_len,
-             |  list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_token_len
+             |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_token_len
              |FROM documents""".stripMargin),
       "X3 per-document token statistics (all-integer, map-only)"),
 
@@ -138,6 +155,17 @@ object ExtensionQueries {
              |  md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS prefix_fp
              |FROM documents""".stripMargin),
       "X3 document fingerprinting: full digest + token-prefix digest"),
+
+    Q("x4e_bpeish_count",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        size(Texts.bpeishTokens(col("text"))).cast("long").as("n_bpeish"),
+        size(Texts.tokens(col("text"))).cast("long").as("n_ws")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
+             |  len(string_split(text, ' ')) AS n_ws
+             |FROM documents""".stripMargin),
+      "X3 BPE-ish token counting (pretokenizer split) vs whitespace count, same regex both engines"),
 
     // ================= X4 multimodal =================
 

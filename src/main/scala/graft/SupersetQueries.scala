@@ -89,7 +89,7 @@ object SupersetQueries {
           col("session_window.start").cast("long").as("session_start"), col("cnt")),
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
              |m AS (SELECT user_id, us,
-             |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 300000000
+             |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 300000000
              |               OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
              |             THEN 1 ELSE 0 END AS new_s
              |      FROM e),

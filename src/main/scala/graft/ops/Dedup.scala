@@ -8,13 +8,19 @@ import org.apache.spark.sql.functions._
   * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
   *
   * Scale design (100 TB): every path is shuffle-on-key with map-side
-  * combine — no driver-side collection anywhere. The LSH path exists
-  * precisely because all-pairs Jaccard is O(n²): LSH buckets candidates so
-  * the expensive verify join touches only pairs sharing a band, which is
+  * combine — no driver-side collection anywhere. The LSH paths exist
+  * precisely because all-pairs comparison is O(n²): banded MinHash buckets
+  * Jaccard candidates and chunked SimHash buckets Hamming candidates, so
+  * the expensive verify join touches only pairs sharing a bucket —
   * near-linear for realistic dup rates. Hot-shingle skew (stop-shingles
   * appearing in a large fraction of docs) is the classic blow-up of the
   * pair-generation join; [[ngramJaccardPairs]] takes a `maxShingleDf`
   * frequency cut for that, the standard mitigation in web-scale dedup.
+  *
+  * All bulk passes avoid lambda higher-order functions (CodegenFallback →
+  * interpreted evaluation; see [[Texts]]): shingling is explode +
+  * codegen'd expressions, signatures/fingerprints are hash-groupBy
+  * aggregates with map-side partial aggregation.
   */
 object Dedup {
 
@@ -29,65 +35,76 @@ object Dedup {
 
   /** All candidate pairs (a < b) with shingle-set Jaccard >= `threshold`.
     *
-    * Plan shape: explode distinct shingles → self-equi-join on shingle
-    * (shuffle on shingle) → per-pair intersection counts → join per-doc
-    * set sizes → |A∩B| / (|A|+|B|-|A∩B|). All integer arithmetic until the
-    * final division, so the result is bit-deterministic.
+    * Plan shape: exploded distinct shingles ([[Texts.explodedShingles]], one
+    * generated-code pass) → optional hot-shingle DF cut → self-equi-join on
+    * shingle (shuffle on shingle) → per-pair intersection counts → join
+    * per-doc set sizes → |A∩B| / (|A|+|B|-|A∩B|). All integer arithmetic
+    * until the final division, so the result is bit-deterministic.
     *
     * @param maxShingleDf drop shingles occurring in more than this many docs
     *        before pairing (0 = keep all). At scale this bounds the worst
-    *        join group from O(n²) to O(maxShingleDf²).
+    *        join group from O(n²) to O(maxShingleDf²). Set sizes (and hence
+    *        the reported Jaccard) are computed over the PRUNED shingle sets,
+    *        so the emitted similarity is exact on the pruned space — not an
+    *        underestimate mixing pruned intersections with unpruned sizes.
     */
   def ngramJaccardPairs(id: Column, text: Column, n: Int, threshold: Double,
       maxShingleDf: Long = 0L)(df: DataFrame): DataFrame = {
-    val sets = df.select(id.as("id"), Texts.shingles(Texts.tokens(text), n).as("sh"))
-    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
-    val exploded = sets.select(col("id"), explode(col("sh")).as("s"))
-    val pruned =
-      if (maxShingleDf <= 0) exploded
-      else {
-        val hot = exploded.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDf)
-        exploded.join(hot, Seq("s"), "left_anti")
-      }
-    pruned.as("l").join(pruned.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+    // One exchange on s serves everything shingle-keyed: HashPartitioning(s)
+    // satisfies the (id, s) distinct AND the per-shingle DF-count window.
+    // Per-doc set sizes are attached as a window over id and CARRIED THROUGH
+    // the pair join, so no per-doc sizes subplan has to re-derive the whole
+    // shingle pipeline; the self-join's two sides are one reused exchange.
+    // Every pass over the data runs exactly once.
+    val ex = Texts.explodedShingles(df, id, text, n)
+      .repartition(col("s"))
+      .dropDuplicates("id", "s")
+    val kept =
+      if (maxShingleDf <= 0) ex
+      else ex.withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df")
+    val withSz = kept.withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    withSz.as("l").join(withSz.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.sz").as("sza"), col("r.sz").as("szb"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("sza") + col("szb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** MinHash signature columns: `numHashes` independent min-hashes of the
-    * shingle set, via seeded xxhash64 (seed folded in as a prefix — Spark's
-    * xxhash64 has a fixed seed). Row-local HOF, no shuffle.
-    */
-  def minhashSignature(sh: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s))).as(s"mh$i")
-    }
-
   /** X2 MinHash+LSH near-dup candidates, verified with exact Jaccard.
     *
-    * shingle → `numBands*rowsPerBand` minhashes → band signatures → explode
-    * bands → shuffle on (band, signature) → pairs within a bucket →
-    * distinct → verify via array_intersect on the (small) candidate set.
-    * Emits (a, b, jaccard) for verified pairs >= `threshold`.
+    * exploded shingles → ONE hash-groupBy computing all `numBands *
+    * rowsPerBand` min-hashes as aggregate columns (map-side partial min, so
+    * the shuffle carries just `numHashes` longs per doc — round 1 computed
+    * 64 separate interpreted array passes per row instead) → band
+    * signatures → explode bands → shuffle on (band, signature) → pairs
+    * within a bucket → distinct → verify ONLY the candidate pairs with an
+    * exact shingle-intersection count. Emits (a, b, jaccard) for verified
+    * pairs >= `threshold`.
+    *
+    * Seeded min-hashes use xxhash64 with the seed folded in as a prefix
+    * column (Spark's xxhash64 has a fixed seed); xxhash64 is codegen'd.
     */
   def minhashLshPairs(id: Column, text: Column, n: Int, numBands: Int, rowsPerBand: Int,
       threshold: Double)(df: DataFrame): DataFrame = {
-    val sets = df.select(id.as("id"), Texts.shingles(Texts.tokens(text), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Partition by id once: the (id, s) distinct, the signature groupBy(id)
+    // and the per-doc sizes all reuse that single exchange.
+    val ex = Texts.explodedShingles(df, id, text, n)
+      .repartition(col("id"))
+      .dropDuplicates("id", "s")
     val numHashes = numBands * rowsPerBand
-    val signed = sets.select(col("id") +: col("sh") +: minhashSignature(col("sh"), numHashes): _*)
+    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    val sig = ex.groupBy("id").agg(minCols.head, minCols.tail: _*)
     // one 64-bit signature per band = hash of its rowsPerBand minhashes
     val bands = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
-    val bucketed = signed
+    val bucketed = sig
       .select(col("id"), explode(array(bands: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val candidates = bucketed.as("l")
@@ -96,23 +113,27 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
-    // verify: join shingle sets back, exact Jaccard on the candidate pairs only
+    // verify: exact Jaccard on the candidate pairs only, from the same
+    // exploded shingle table (equi-joins on id and shingle — no array ops).
+    // Sizes ride along via an id-window (free on the id-partitioned ex) so
+    // no extra sizes subplan re-derives the shingle pipeline.
+    val withSz = ex.withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
     candidates
-      .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .join(withSz.as("ea"), col("ea.id") === col("a"))
+      .join(withSz.as("eb"), col("eb.id") === col("b") && col("ea.s") === col("eb.s"))
+      .groupBy(col("a"), col("b"), col("ea.sz").as("sza"), col("eb.sz").as("szb"))
+      .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+        col("common").cast("double") / (col("sza") + col("szb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** X2 SimHash: 64-bit locality-sensitive fingerprint per document.
-    * Row-local: per bit b, sum +1/-1 over token hashes' bit b; the sign
-    * becomes bit b of the fingerprint. Near-dups have small Hamming
-    * distance. Pure SQL HOFs (codegen); at scale this is a single
-    * map-only pass.
+    * Scalar (per-row) form: per bit b, sum +1/-1 over token hashes' bit b;
+    * the sign becomes bit b of the fingerprint. Near-dups have small
+    * Hamming distance. Lambda-HOF based → interpreted; use [[simhashByDoc]]
+    * for corpus-scale fingerprinting (identical output, generated code).
     */
   def simhash(toksCol: String): Column =
     expr(
@@ -123,6 +144,54 @@ object Dedup {
          |         THEN shiftleft(1L, cast(b AS int)) ELSE 0L END),
          |  0L, (acc, x) -> acc | x)""".stripMargin)
 
+  /** Corpus-scale SimHash: explode tokens, hash once per token, aggregate
+    * the 64 per-bit ±1 sums with map-side partial aggregation (shuffle = 64
+    * longs per doc), then assemble the fingerprint from the sum signs. Same
+    * output as [[simhash]], but every per-token bit test is generated code
+    * instead of an interpreted nested lambda.
+    */
+  def simhashByDoc(id: Column, text: Column)(df: DataFrame): DataFrame = {
+    val hashed = df.select(id.as("id"), explode(split(text, " ")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    val summed = hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    summed.select(col("id"), fp.as("simhash"))
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** X2 SimHash near-dup pairs at scale: pigeonhole-bucketed Hamming join.
+    * Split the 64-bit fingerprint into `maxHamming + 1` chunks — any pair
+    * within Hamming distance `maxHamming` must agree on at least one whole
+    * chunk — bucket-join on (chunk index, chunk value), then verify the
+    * exact Hamming distance on the (small) candidate set. This is the
+    * standard simhash dedup index (Manku et al.'s chunked fingerprint
+    * scheme): candidate generation is equi-join-shaped, never all-pairs.
+    */
+  def simhashPairs(id: Column, text: Column, maxHamming: Int)(df: DataFrame): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bits = 64 / nChunks // last chunk absorbs the remainder bits
+    val fps = simhashByDoc(id, text)(df)
+    val chunks = (0 until nChunks).map { c =>
+      val width = if (c == nChunks - 1) 64 - c * bits else bits
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(c).as("ci"),
+        shiftrightunsigned(col("simhash"), c * bits).bitwiseAND(lit(mask)).as("cv"))
+    }
+    val bucketed = fps.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -19,7 +19,10 @@ object TextAnalysis {
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct"),
       array_max(transform(toks, t => length(t))).as("max_token_len"),
-      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).as("sum_token_len"))
+      // long, not int: DuckDB's list_sum yields HUGEINT, which the oracle
+      // hash-compare does not width-normalize (round-1 hash mismatch)
+      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("long").as("sum_token_len"))
   }
 
   /** Language-ID heuristic: fraction of tokens in an English stopword

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness compare.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out_dir>/<name> spark parquet result plus oracle_sql.json,
+runs the oracle SQL in DuckDB with the parquet tables registered as views,
+sorts columns by name, sorts rows, and compares values exactly
+(the driver hash-compares, so exact equality is the bar).
+"""
+import json, sys, glob, os
+import duckdb
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+    oracles = json.load(f)
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+fails = 0
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d) or (only and name not in only):
+        continue
+    spark = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+    if name not in oracles:
+        print(f"[check] {name:24s} no-oracle rows={len(spark)}")
+        continue
+    try:
+        oracle = con.sql(oracles[name]).df()
+    except Exception as e:
+        print(f"[check] {name:24s} ORACLE-ERROR {e}")
+        fails += 1
+        continue
+    s = spark.reindex(sorted(spark.columns), axis=1)
+    o = oracle.reindex(sorted(oracle.columns), axis=1)
+    o.columns = [c for c in o.columns]
+    status = []
+    if len(s) != len(o):
+        status.append(f"rows {len(s)} vs {len(o)}")
+    if list(s.columns) != list(o.columns):
+        status.append(f"cols {list(s.columns)} vs {list(o.columns)}")
+    if not status:
+        s2 = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+        o2 = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+        for c in s.columns:
+            sv, ov = s2[c], o2[c]
+            try:
+                eq = (sv.astype("object") == ov.astype("object")) | (sv.isna() & ov.isna())
+            except Exception:
+                eq = sv == ov
+            if not eq.all():
+                idx = (~eq).idxmax()
+                status.append(f"col {c} differs at row {idx}: {sv[idx]!r} vs {ov[idx]!r}")
+    if status:
+        fails += 1
+        print(f"[check] {name:24s} FAIL " + "; ".join(status))
+    else:
+        print(f"[check] {name:24s} ok rows={len(s)}")
+sys.exit(1 if fails else 0)

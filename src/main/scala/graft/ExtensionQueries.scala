@@ -114,6 +114,18 @@ object ExtensionQueries {
              |WHERE rank <= 3""".stripMargin),
       "X2 IVF-style ANN: route query to nearest centroid, search only that bucket"),
 
+    Q("x3c_ann_hyperplane",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.hyperplaneTopK(corpus, queries, 4, 3)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      None, // xxhash64-derived hyperplanes are not reproducible in DuckDB SQL
+      "X2 random-hyperplane LSH ANN: sign-bit buckets, exact top-k within bucket"),
+
     // ================= X3 text analysis =================
 
     Q("x4_token_stats",

@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{CosineSimilarity, TopKByScore}
 
 /** Similarity search over embedding columns (`array<float>`):
   * brute-force cosine top-k as the exact baseline, IVF-style partitioned
@@ -10,41 +10,62 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the query side is always the small side — it is broadcast,
   * so the candidate scan is a map-only pass over the (huge) corpus with no
-  * corpus shuffle. Top-k uses a per-query window over the similarity; at
-  * true scale you'd cap candidates per partition first (partial top-k before
-  * the final window) — Catalyst's `WindowExec` already sorts per partition
-  * key, which is the same O(n log k) shape when k is small. The IVF path
-  * cuts the scanned fraction to ~1/nlist by routing each query to its
-  * nearest centroid's bucket only.
+  * corpus shuffle. Per-candidate scoring is a native codegen'd expression
+  * ([[graft.functions.CosineSimilarity]]), and top-k selection is a bounded
+  * aggregate ([[graft.functions.TopKByScore]]) whose map-side partial
+  * buffers cap the shuffle at k rows per (query, mapper) — no per-query
+  * single-reducer sort anywhere. The IVF path cuts the scanned fraction to
+  * ~1/nlist by routing each query to its nearest centroid's bucket, with
+  * centroid assignment computed map-only from driver-held centers (the
+  * standard IVF shape: centers are k-means output, small by construction,
+  * and live with the planner exactly like a broadcast dim).
   */
 object Similarity {
 
-  /** Cosine similarity between two `array<float>` columns, computed in
-    * double precision with a deterministic left-to-right fold (so results
-    * are reproducible and oracle-comparable). HOF expression — codegen'd,
-    * no UDF.
+  /** Cosine similarity — native codegen'd expression, double precision,
+    * deterministic left-to-right accumulation (oracle-comparable with
+    * DuckDB's `list_cosine_similarity`).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Lambda-HOF formulation of [[cosine]] (interpreted — CodegenFallback).
+    * Kept as the differential-testing twin of the native expression; not
+    * used on any hot path.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def d(c: Column) = c.cast("array<double>")
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(d(a), d(b)) / (sqrt(dot(d(a), d(a))) * sqrt(dot(d(b), d(b))))
   }
 
+  /** Rank the scored candidates: explode the per-query top-k array into
+    * (qid, rank, id, sim) rows, best first.
+    */
+  private def explodeRanked(scored: DataFrame): DataFrame =
+    scored
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.score").as("sim"))
+
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (excluding the query itself), ranked with a
     * deterministic id tiebreak.
+    *
+    * Plan shape: broadcast the queries, score map-only over the corpus,
+    * then ONE bounded aggregate per qid — partial top-k on the map side,
+    * final top-k on the reduce side. The shuffle carries ≤ k rows per
+    * (query, mapper); no stage ever holds a query's full candidate set.
     *
     * @param corpus  (id, vec) — the big side, scanned map-only
     * @param queries (qid, qvec) — the small side, broadcast
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    corpus.join(broadcast(queries), col("id") =!= col("qid"))
-      .withColumn("sim", cosine(col("qvec"), col("vec")))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), col("sim"))
+    explodeRanked(
+      corpus.join(broadcast(queries), col("id") =!= col("qid"))
+        .withColumn("sim", cosine(col("qvec"), col("vec")))
+        .groupBy("qid")
+        .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid
     * (argmax cosine, deterministic centroid-id tiebreak), route each query
@@ -52,43 +73,84 @@ object Similarity {
     * `nlist` balanced centroids this scans ~1/nlist of the corpus per query
     * — the standard recall/cost trade of IVF indexes.
     *
-    * @param centroids (cid, cvec) — small, broadcast twice (assignment +
-    *                  routing); in a real pipeline these come from k-means,
-    *                  here any deterministic seed set works
+    * The centroid table is collected to the driver (IVF centers are k-means
+    * output — inherently small; guarded at 65536) and unrolled into a
+    * codegen'd argmax over literal vectors, so corpus bucket assignment is
+    * a map-only projection: zero shuffle, zero corpus movement. Round 1
+    * computed the same assignment as a corpus×centroids cross join plus a
+    * per-id window rank — a full extra shuffle of nlist× the corpus.
+    *
+    * @param centroids (cid, cvec) — small; in a real pipeline these come
+    *                  from k-means, here any deterministic seed set works
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    def assign(df: DataFrame, key: String, vec: String, out: String): DataFrame =
-      df.join(broadcast(centroids))
-        .withColumn("csim", cosine(col(vec), col("cvec")))
-        .withColumn("crank",
-          row_number().over(Window.partitionBy(col(key)).orderBy(col("csim").desc, col("cid"))))
-        .filter(col("crank") === 1)
-        .withColumnRenamed("cid", out)
-        .drop("cvec", "csim", "crank")
-    val corpusB = assign(corpus, "id", "vec", "bucket")
-    val queriesB = assign(queries, "qid", "qvec", "qbucket")
-    corpusB.join(broadcast(queriesB),
-        col("bucket") === col("qbucket") && col("id") =!= col("qid"))
-      .withColumn("sim", cosine(col("qvec"), col("vec")))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), col("sim"))
+    val centers: Array[(Long, Array[Float])] = centroids
+      .select(col("cid").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centers.nonEmpty && centers.length <= 65536,
+      s"IVF centroid count must be in [1, 65536], got ${centers.length}")
+
+    /** Codegen'd argmax over the per-centroid similarity array:
+      * `array_position` returns the FIRST index of the max, so ties pick
+      * the earlier (= lower cid) center, matching rank by (csim DESC,
+      * cid ASC). A when-chain fold would duplicate the accumulated branch
+      * per step (2^nlist code growth past janino's 64 KB method limit);
+      * the array form stays linear and method-splittable.
+      */
+    def nearestCid(vec: Column): Column = {
+      val sims = array(centers.map { case (_, cvec) => cosine(vec, typedlit(cvec)) }: _*)
+      val pos = array_position(sims, array_max(sims)).cast("int")
+      element_at(typedlit(centers.map(_._1)), pos)
+    }
+
+    val corpusB = corpus.withColumn("bucket", nearestCid(col("vec")))
+    val queriesB = queries.withColumn("qbucket", nearestCid(col("qvec")))
+    explodeRanked(
+      corpusB.join(broadcast(queriesB),
+          col("bucket") === col("qbucket") && col("id") =!= col("qid"))
+        .withColumn("sim", cosine(col("qvec"), col("vec")))
+        .groupBy("qid")
+        .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: `nBits` sign
     * bits of dot products with deterministic pseudo-random hyperplanes.
     * Hyperplane j's component i is derived from xxhash64(i, j) scaled to
     * [-1, 1] — deterministic across executors with no side data to ship.
+    * HOF-shaped (one aggregate over the vector per bit) rather than a
+    * dim×nBits expression unroll, so the plan stays compact; per-row cost
+    * is interpreted-lambda — use for bucketing passes, not per-candidate
+    * scoring.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int): Column = {
+  def hyperplaneBucket(vec: Column, nBits: Int): Column = {
+    val v = vec.cast("array<double>")
     val bits = (0 until nBits).map { j =>
-      val dotExpr = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") *
-          (xxhash64(lit(i), lit(j)).cast("double") / lit(Long.MaxValue.toDouble))
-      }.reduce(_ + _)
-      when(dotExpr > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val dot = aggregate(
+        zip_with(v, transform(sequence(lit(0), size(v) - 1),
+          i => xxhash64(i, lit(j)).cast("double") / lit(Long.MaxValue.toDouble)),
+          (p, h) => p * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** ANN via random-hyperplane LSH: bucket corpus and queries by
+    * [[hyperplaneBucket]] sign bits (vectors with small angles collide),
+    * then exact top-k within each query's bucket. Scans ~corpus/2^nBits
+    * per query; same broadcast + bounded-aggregate shape as [[ivfTopK]]
+    * but with zero side data (the hyperplanes are hash-derived).
+    */
+  def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, nBits: Int, k: Int): DataFrame =
+    explodeRanked(
+      corpus.withColumn("bucket", hyperplaneBucket(col("vec"), nBits))
+        .join(broadcast(queries
+            .select(col("qid"), col("qvec"), hyperplaneBucket(col("qvec"), nBits).as("bucket"))),
+          Seq("bucket"))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("sim", cosine(col("qvec"), col("vec")))
+        .groupBy("qid")
+        .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
 }

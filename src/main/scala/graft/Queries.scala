@@ -38,6 +38,19 @@ object Queries {
       Some("SELECT event_id, user_id, event_type, value FROM events"),
       "S1/S2 stream source batch analog: parquet scan incl. nanos-timestamp handling (KSA:104, KSA:175)"),
 
+    Q("s1b_json_props",
+      (s, dir) => graft.ops.Serde.fromJsonDropMalformed(
+          col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"),
+          keep = Seq(col("event_id"), col("user_id")))(
+          Tables.events(s, dir))
+        .filter(col("k").isNotNull)
+        .select(col("event_id"), col("user_id"), col("k")),
+      Some("""SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |FROM events
+             |WHERE json_valid(props) AND json_extract_string(props, '$.k') IS NOT NULL""".stripMargin),
+      "serde drop-malformed JSON decode over events.props (KSA:59-74): undecodable records dropped"),
+
     Q("s3_table_compaction",
       (s, dir) => compactLatest(
           Seq(col("user_id")), Seq(expr("ts div 1000"), col("event_id")))(Tables.events(s, dir))

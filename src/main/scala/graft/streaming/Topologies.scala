@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** The reference's five topologies (KSA = reference
+  * `src/main/scala/KafkaStreamsApp.scala`), re-expressed as Structured
+  * Streaming programs. Every topology is a pure `DataFrame => DataFrame`
+  * transform, so the SAME code runs on a streaming input (MemoryStream /
+  * file / Kafka source) and on a batch input — batch execution simply
+  * ignores watermarks. That shared-plan property is the correctness
+  * argument (SURVEY §2.3): Kafka Streams emits per record, Spark per
+  * micro-batch; the two agree at the final fixpoint, which is exactly the
+  * batch result. The streaming test suite asserts that equality.
+  *
+  * Emission mapping:
+  *  - KTable results (A1 count, A2 windowed aggregate) → `update` output
+  *    mode: each micro-batch emits refreshed rows = `ktable.toStream`
+  *    (A3, KSA:150) continuous changelog emission.
+  *  - Stream-stream join results (flagship) → `append` (engine rule).
+  *
+  * Input column contracts are the [[Model]] case classes.
+  */
+object Topologies {
+
+  /** `expensiveOrdersTopology` (KSA:106-111): S1 → P1 filter(amount >=
+    * threshold) → K1. Stateless single-stage pipeline — no watermark, no
+    * shuffle, no state store.
+    */
+  def expensiveOrders(orders: DataFrame, threshold: Double = 1000.0): DataFrame =
+    Relational.filterRecords(col("amount") >= threshold)(orders)
+
+  /** `purchasedListOfProductsTopology` (KSA:113-118): P2 mapValues
+    * (Order → products list) → P5. Pure projection.
+    */
+  def purchasedProducts(orders: DataFrame): DataFrame =
+    Relational.mapValues(col("user"), col("products"))(orders)
+
+  /** `purchasedProductsByFirstLetterTopology` (KSA:120-133): P3
+    * flatMapValues(products) → G1 groupBy(first letter of user, lowered).
+    * The reference declares the grouping but never aggregates it
+    * (KSA:125-128 — dead code after declaration); we aggregate with
+    * `count` so the operator is observable. Unwindowed aggregate →
+    * `update` output mode.
+    */
+  def productsByFirstLetter(orders: DataFrame): DataFrame =
+    Relational.countByMappedKey(lower(substring(col("user"), 1, 1)), "first_letter")(
+      Relational.flatMapValues(Seq(col("user")), col("products"), "product")(orders))
+
+  /** `numberOfProductsByUserEveryTenSecondsTopology`, unwindowed half
+    * (KSA:140, KSA:144): P3 explode → G2 groupByKey → A1 count() →
+    * KTable[user, Long]. `update` output mode = A3 toStream changelog.
+    */
+  def productsPerUser(orders: DataFrame): DataFrame =
+    Relational.countByKey(col("user"), "user")(
+      Relational.flatMapValues(Seq(col("user")), col("products"), "product")(orders))
+
+  /** `numberOfProductsByUserEveryTenSecondsTopology`, windowed half
+    * (KSA:142, KSA:146-148): tumbling 10-second event-time windows,
+    * epoch-aligned, custom fold (0L, +1) = count. `grace` maps Kafka
+    * Streams' window grace (default 24 h) to the watermark's
+    * allowed lateness; rows later than that are dropped in streaming and
+    * (by definition) absent from the batch fixpoint comparison.
+    */
+  def productsPerUserWindowed(orders: DataFrame, window: String = "10 seconds",
+      grace: String = "24 hours"): DataFrame =
+    Relational.windowedCountByKey(col("ts"), window, col("user"), "user")(
+      Relational.flatMapValues(Seq(col("user"), col("ts")), col("products"), "product")(
+        orders.withWatermark("ts", grace)))
+
+  /** `paidOrdersTopology` — the flagship (KSA:155-189):
+    *
+    *  - J1 (KSA:162-165): orders ⋈ profiles on the user key. The profile
+    *    KTable maps to a stream-static join: each micro-batch sees the
+    *    table's current snapshot — the closest Spark analog of "current
+    *    value of the changelog" (SURVEY §7 "what's hard" #1).
+    *  - J2 (KSA:167-171): ⋈ broadcast discounts on the profile extracted
+    *    from the in-flight value; the GlobalKTable IS a broadcast dim.
+    *    Joiner applies `amount * discount.amount` (KSA:170).
+    *  - P4 (KSA:173): re-key by orderId — declared by selection; the
+    *    exchange materializes at the next keyed operator.
+    *  - J3 (KSA:177-186): ⋈ payments within ±`joinWindow`, both sides
+    *    watermarked (symmetric bounds ⇒ both states are prunable).
+    *  - J4 (KSA:179-180, 185): Option-joiner → residual `status = PAID`.
+    *
+    * Streaming output is append-only (stream-stream join rule); the
+    * batch application of this same function is the oracle fixpoint.
+    */
+  def paidOrders(orders: DataFrame, payments: DataFrame, profiles: DataFrame,
+      discounts: DataFrame, joinWindow: String = "5 minutes"): DataFrame = {
+    val withProfile = Relational.streamTableJoin(profiles, Seq("user"))(
+      orders.withWatermark("ts", joinWindow))
+    val discounted = Relational.globalTableJoin(
+        discounts.withColumnRenamed("amount", "discount")
+          .withColumnRenamed("profile", "d_profile"),
+        col("profile") === col("d_profile"))(withProfile)
+      .withColumn("amount", col("amount") * col("discount"))
+      .drop("discount", "d_profile")
+    val rekeyed = Relational.selectKey(col("orderId"), "key")(discounted)
+    val paymentsW = payments
+      .withColumnRenamed("orderId", "p_orderId")
+      .withColumnRenamed("ts", "pts")
+      .withWatermark("pts", joinWindow)
+    rekeyed.join(paymentsW,
+        expr(s"key = p_orderId AND pts BETWEEN ts - INTERVAL $joinWindow " +
+          s"AND ts + INTERVAL $joinWindow"))
+      .filter(col("status") === "PAID")
+      .select(col("orderId"), col("user"), col("profile"), col("amount"), col("status"))
+  }
+}

@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True if a DataSource short-name (e.g. "kafka") resolves on this
+    * classpath — lets connector-dependent paths fail fast with a clear
+    * message instead of a deep planner error.
+    */
+  def dataSourceAvailable(name: String): Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+        name, org.apache.spark.sql.internal.SQLConf.get)
+      true
+    } catch { case _: Throwable => false }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Texts}
+
+/** Dedup-operator tests: hand-computed Jaccard, LSH recall against the
+  * exact pairs, scalar-vs-bulk simhash equivalence, pigeonhole Hamming
+  * pairs, and the hot-shingle DF cut.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text with no overlap at all here"),
+    (4L, "ab"), // shorter than n=3 tokens → no shingles
+    (5L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("X1 exact dedup keeps one deterministic survivor per group") {
+    val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "k")
+    val out = Dedup.exact(Seq(col("k")), col("id"))(df)
+    assert(rowsOf(out) === Set(Seq(1L, "k1"), Seq(2L, "k2")))
+  }
+
+  test("explodedShingles matches the scalar HOF shingles formulation") {
+    val viaHof = docs.select(col("doc_id").as("id"),
+        explode(Texts.shingles(Texts.tokens(col("text")), 3)).as("s"))
+      .distinct()
+    val viaExplode = Texts.explodedShingles(docs, col("doc_id"), col("text"), 3).distinct()
+    assert(rowsOf(viaExplode) === rowsOf(viaHof))
+  }
+
+  test("X2 ngram Jaccard: hand-computed near-dup pair, doc shorter than n yields nothing") {
+    // doc1/doc2: 7 shingles each, 6 shared → J = 6/8 = 0.75; doc5 ≡ doc1 → J = 1
+    val out = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3)(docs)
+    assert(rowsOf(out) ===
+      Set(Seq(1L, 2L, 0.75), Seq(1L, 5L, 1.0), Seq(2L, 5L, 0.75)))
+  }
+
+  test("X2 ngram Jaccard hot-shingle cut prunes and reports sizes on the pruned space") {
+    // Shingle "a b c" appears in all 3 docs → cut at maxShingleDf=2 removes it.
+    // Pruned sets: d1={b c d, c d e}, d2={b c d, c d f}, d3={} →
+    // pair (1,2): common=1, J = 1/(2+2-1) = 1/3
+    val tiny = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
+      maxShingleDf = 2L)(tiny)
+    assert(rowsOf(out) === Set(Seq(1L, 2L, 1.0 / 3.0)))
+  }
+
+  test("X2 MinHash+LSH finds the same pairs as exact Jaccard on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3)(docs)
+    val lsh = Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(docs)
+    // LSH emits only exact-verified pairs, so it is always a subset;
+    // on high-similarity pairs (≥0.75 here) banding recall is ~1.
+    assert(rowsOf(lsh) === rowsOf(exact))
+  }
+
+  test("X2 simhashByDoc equals the scalar HOF simhash") {
+    val viaHof = docs.withColumn("toks", Texts.tokens(col("text")))
+      .select(col("doc_id").as("id"), Dedup.simhash("toks").as("simhash"))
+    val viaAgg = Dedup.simhashByDoc(col("doc_id"), col("text"))(docs)
+    assert(rowsOf(viaAgg) === rowsOf(viaHof))
+  }
+
+  test("X2 simhashPairs finds exact dups (Hamming 0) and respects the bound") {
+    val out = Dedup.simhashPairs(col("doc_id"), col("text"), 3)(docs)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 5L && h == 0 })
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("hamming distance of identical fingerprints is 0, differs by flipped bits") {
+    val df = Seq((0L, 0L), (5L, 1L), (-1L, 0L)).toDF("a", "b")
+    val out = df.select(Dedup.hamming(col("a"), col("b")).as("h"))
+    assert(rowsOf(out) === Set(Seq(0L), Seq(1L), Seq(64L)))
+  }
+}

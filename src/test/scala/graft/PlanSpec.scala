@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Explain-plan assertions (SURVEY §4.2) — the `topology.describe()` analog
+  * (KSA:201): verify each relied-upon Catalyst rewrite actually fires,
+  * instead of re-implementing it. Runs against the sf0.001 testdata.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame = Queries.queries(name)(spark, dir)
+
+  test("P1: the filter predicate is pushed down to the parquet scan") {
+    val p = plan(q("p1_filter_expensive"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual(o_totalprice,300000.0)]"), p)
+  }
+
+  test("P2: column pruning reaches the scan (only projected columns read)") {
+    val p = plan(q("p2_project"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), p)
+  }
+
+  test("J2: the global-table dim is planned as a broadcast hash join") {
+    val p = plan(q("j2_globaltable_join"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("flagship: broadcast for the dim join, no cartesian anywhere") {
+    val p = plan(q("flagship_paid_orders"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("map-only extension queries plan zero exchanges") {
+    for (name <- Seq("x4_token_stats", "x4b_lang_id", "x4c_quality_score",
+        "x4d_fingerprint", "x4e_bpeish_count", "s1_source_scan")) {
+      val p = plan(q(name))
+      assert(!p.contains("Exchange"), s"$name plans an Exchange:\n$p")
+    }
+  }
+
+  test("o1 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(q("o1_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x3 similarity queries plan no window sort (bounded top-k aggregate instead)") {
+    for (name <- Seq("x3_cosine_topk", "x3b_ann_ivf")) {
+      val p = plan(q(name))
+      assert(!p.contains("Window"), s"$name plans a Window:\n$p")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Dedup, Relational}
+import graft.functions.TopKByScore
+
+/** Property-based invariants (SURVEY §5.2.4), driven by scalacheck
+  * generators with a fixed seed (deterministic CI). Sample counts are kept
+  * small — each property round-trips through a Spark job.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic mini-forAll: evaluate `f` on `n` generated samples. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail(s"generator failed at sample $i")))
+    }
+
+  private val wordGen = Gen.oneOf("a", "bb", "ccc", "dd", "e")
+  private val rowsGen = Gen.listOfN(8,
+    Gen.zip(Gen.choose(0L, 5L), Gen.listOfN(4, wordGen)))
+
+  test("P3 explode row count equals the sum of array sizes") {
+    forAllSamples(rowsGen) { rows =>
+      val df = rows.toDF("id", "arr")
+      val exploded = Relational.flatMapValues(Seq(col("id")), col("arr"), "x")(df)
+      assert(exploded.count() === rows.map(_._2.size).sum.toLong)
+    }
+  }
+
+  test("P1 filter output is a subset of its input") {
+    forAllSamples(Gen.listOfN(10, Gen.choose(-100, 100))) { xs =>
+      val df = xs.zipWithIndex.map(_.swap).toDF("id", "v")
+      val out = Relational.filterRecords(col("v") >= 0)(df)
+      assert(rowsOf(out).subsetOf(rowsOf(df)))
+    }
+  }
+
+  test("G2 counts sum to the input row count") {
+    forAllSamples(Gen.listOfN(12, Gen.choose(0L, 3L))) { keys =>
+      val df = keys.toDF("k")
+      val counts = Relational.countByKey(col("k"), "k")(df)
+      assert(counts.agg(sum("cnt")).collect()(0).getLong(0) === keys.size.toLong)
+    }
+  }
+
+  test("X1 exact dedup is idempotent and keeps one survivor per key") {
+    forAllSamples(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 3L)))) { rows =>
+      val df = rows.toDF("id", "k")
+      val once = Dedup.exact(Seq(col("k")), col("id"))(df)
+      val twice = Dedup.exact(Seq(col("k")), col("id"))(once)
+      assert(rowsOf(once) === rowsOf(twice))
+      assert(once.count() === rows.map(_._2).distinct.size.toLong)
+    }
+  }
+
+  test("TopKByScore output is bounded by k, sorted best-first, and contains the max") {
+    forAllSamples(Gen.listOfN(15, Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0L, 100L)))) { rows =>
+      val df = rows.toDF("score", "id")
+      val hits = df.agg(TopKByScore(3)(col("score"), col("id")).as("hits"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(hits.size === math.min(3, rows.size))
+      val scores = hits.map(_.getDouble(0))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+      assert(scores.head === rows.map(_._1).max)
+    }
+  }
+}

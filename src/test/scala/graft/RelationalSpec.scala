@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational._
+
+/** Per-operator unit tests for the reference-parity surface (SURVEY §2),
+  * 3–10-row literal inputs with hand-computed expectations, including the
+  * edge cases the reference semantics imply (SURVEY §5.2.2): empty product
+  * lists for P3, inclusive ±5 min J3 bounds, A2 epoch window alignment.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("P1 filter keeps only matching records (KSA:107-109)") {
+    val df = Seq(("o1", 1500.0), ("o2", 999.99), ("o3", 1000.0)).toDF("orderId", "amount")
+    assert(rowsOf(filterRecords(col("amount") >= 1000)(df)) ===
+      Set(Seq("o1", 1500.0), Seq("o3", 1000.0)))
+  }
+
+  test("P2 mapValues is a pure projection (KSA:114-116)") {
+    val df = Seq(("o1", "alice", 5.0)).toDF("orderId", "user", "amount")
+    val out = mapValues(col("user"), col("amount"))(df)
+    assert(out.columns.toSeq === Seq("user", "amount"))
+    assert(rowsOf(out) === Set(Seq("alice", 5.0)))
+  }
+
+  test("P3 flatMapValues: one row per element, empty list → zero rows (KSA:121-123)") {
+    val df = Seq(
+      ("alice", Seq("iPhone", "MacBook")),
+      ("bob", Seq.empty[String]),
+      ("carol", Seq("iPad"))).toDF("user", "products")
+    val out = flatMapValues(Seq(col("user")), col("products"), "product")(df)
+    assert(rowsOf(out) ===
+      Set(Seq("alice", "iPhone"), Seq("alice", "MacBook"), Seq("carol", "iPad")))
+  }
+
+  test("P4 selectKey declares the key; rekeyEager materializes the exchange (KSA:173)") {
+    val df = Seq(("o1", "a"), ("o2", "b")).toDF("orderId", "v")
+    val lazyKeyed = selectKey(col("orderId"), "key")(df)
+    assert(lazyKeyed.columns.contains("key"))
+    // lazy variant plans no exchange on its own
+    assert(!lazyKeyed.queryExecution.executedPlan.toString.contains("Exchange"))
+    val eager = rekeyEager(col("orderId"), "key")(df)
+    assert(eager.queryExecution.optimizedPlan.toString.contains("RepartitionByExpression"))
+    assert(rowsOf(eager.select(col("orderId"), col("v"))) === rowsOf(df))
+  }
+
+  test("G1 groupBy with key-mapper lambda = derived grouping expression (KSA:125-128)") {
+    val df = Seq(("Alice", "p1"), ("adam", "p2"), ("Bob", "p3")).toDF("user", "product")
+    val out = countByMappedKey(lower(substring(col("user"), 1, 1)), "first_letter")(df)
+    assert(rowsOf(out) === Set(Seq("a", 2L), Seq("b", 1L)))
+  }
+
+  test("G2+A1 count by existing key (KSA:140, KSA:144)") {
+    val df = Seq(("alice", 1), ("alice", 2), ("bob", 3)).toDF("user", "x")
+    assert(rowsOf(countByKey(col("user"), "user")(df)) ===
+      Set(Seq("alice", 2L), Seq("bob", 1L)))
+  }
+
+  test("A2 tumbling windows are epoch-aligned; boundary row starts the next window (KSA:142)") {
+    // 00:00:09.999 is in window [0,10); 00:00:10.000 starts [10,20)
+    val df = Seq(
+      ("u", ts("2024-01-01T00:00:09.999Z")),
+      ("u", ts("2024-01-01T00:00:10.000Z")),
+      ("u", ts("2024-01-01T00:00:19.999Z"))).toDF("user", "ts")
+    val out = windowedCountByKey(col("ts"), "10 seconds", col("user"), "user")(df)
+    val base = Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(rowsOf(out) === Set(Seq("u", base, 1L), Seq("u", base + 10, 2L)))
+  }
+
+  test("S3 compactLatest keeps the latest value per key with deterministic ties (KSA:156-157)") {
+    val df = Seq(
+      ("alice", 1L, "v1"), ("alice", 3L, "v3"), ("alice", 2L, "v2"),
+      ("bob", 1L, "b1")).toDF("user", "seq", "v")
+    val out = compactLatest(Seq(col("user")), Seq(col("seq")))(df)
+    assert(rowsOf(out) === Set(Seq("alice", 3L, "v3"), Seq("bob", 1L, "b1")))
+  }
+
+  test("J1 stream-table equi-join enriches with the current table value (KSA:162-165)") {
+    val stream = Seq(("alice", "o1"), ("bob", "o2"), ("eve", "o3")).toDF("user", "orderId")
+    val table = Seq(("alice", "gold"), ("bob", "basic")).toDF("user", "profile")
+    val out = streamTableJoin(table, Seq("user"))(stream)
+    assert(rowsOf(out) ===
+      Set(Seq("alice", "o1", "gold"), Seq("bob", "o2", "basic"))) // eve: no profile → dropped (inner)
+  }
+
+  test("J2 global-table join on extracted foreign key applies the value joiner (KSA:167-171)") {
+    val stream = Seq(("o1", "gold", 100.0), ("o2", "basic", 50.0)).toDF("orderId", "profile", "amount")
+    val dim = Seq(("gold", 0.5), ("basic", 1.0)).toDF("d_profile", "factor")
+    val out = globalTableJoin(dim, col("profile") === col("d_profile"))(stream)
+      .withColumn("amount", col("amount") * col("factor"))
+      .select(col("orderId"), col("amount"))
+    assert(rowsOf(out) === Set(Seq("o1", 50.0), Seq("o2", 50.0)))
+  }
+
+  test("J3 interval join bounds are inclusive at exactly ±tolerance (KSA:177-186)") {
+    val tolUs = 300000000L // ±5 min in micros
+    val left = Seq(("k", 1000000000L)).toDF("k", "lts")
+    val right = Seq(
+      ("k", 1000000000L - tolUs),     // exactly -5 min: kept
+      ("k", 1000000000L + tolUs),     // exactly +5 min: kept
+      ("k", 1000000000L - tolUs - 1), // 1 µs too early: dropped
+      ("k", 1000000000L + tolUs + 1)  // 1 µs too late: dropped
+    ).toDF("rk", "rts")
+    val out = intervalJoin(right, col("k") === col("rk"), col("lts"), col("rts"), tolUs)(left)
+    assert(out.count() === 2)
+    assert(rowsOf(out.select(col("rts"))) ===
+      Set(Seq(1000000000L - tolUs), Seq(1000000000L + tolUs)))
+  }
+
+  test("J4 filtered join drops rows failing the Option-joiner predicate (KSA:179-180)") {
+    val orders = Seq(("o1", "u1"), ("o2", "u2")).toDF("orderId", "user")
+    val payments = Seq(("o1", "PAID"), ("o2", "PENDING")).toDF("p_orderId", "status")
+    val out = filteredJoin(payments, col("orderId") === col("p_orderId"),
+      col("status") === "PAID")(orders)
+    assert(rowsOf(out.select(col("orderId"))) === Set(Seq("o1")))
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.ops.Serde
+import graft.streaming.{OrderEvent, PaymentEvent, Sinks, Sources, Topologies}
+
+/** Structured Streaming semantics tests (SURVEY §5.2.3): MemoryStream
+  * sources, processAllAvailable, memory sink; assert FINAL results — the
+  * emission-cadence difference between Kafka Streams (per record) and
+  * Spark (per micro-batch) makes intermediate emissions non-comparable by
+  * design (SURVEY §2.3), and both engines agree at the fixpoint, which is
+  * the batch application of the same topology function.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+  private var tableSeq = 0
+  private def freshTable(): String = { tableSeq += 1; s"stream_out_$tableSeq" }
+
+  private val orders = Seq(
+    OrderEvent("o1", "alice", Seq("iPhone", "MacBook"), 4000.0, ts("2024-01-01T00:00:01Z")),
+    OrderEvent("o2", "bob", Seq("iPad"), 800.0, ts("2024-01-01T00:00:05Z")),
+    OrderEvent("o3", "alice", Seq(), 1200.0, ts("2024-01-01T00:00:12Z")),
+    OrderEvent("o4", "carol", Seq("Watch"), 1500.0, ts("2024-01-01T00:01:00Z")))
+
+  /** Run a streaming transform over MemoryStream batches to its fixpoint
+    * and return the memory-sink table.
+    */
+  private def runStream[T: org.apache.spark.sql.Encoder](
+      batches: Seq[Seq[T]], mode: String)(topology: DataFrame => DataFrame): DataFrame = {
+    val (ms, df) = Sources.memoryStream[T](spark)
+    val name = freshTable()
+    val q = Sinks.toMemory(topology(df), name, mode).start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("S1→P1→K1: streaming expensiveOrders equals the batch application (KSA:106-111)") {
+    val out = runStream(Seq(orders.take(2), orders.drop(2)), "append")(
+      Topologies.expensiveOrders(_))
+    val batch = Topologies.expensiveOrders(orders.toDF())
+    assert(rowsOf(out) === rowsOf(batch))
+    assert(out.count() === 3) // o2 at 800 < 1000 dropped
+  }
+
+  test("P2: purchasedProducts projection streams through (KSA:113-118)") {
+    val out = runStream(Seq(orders), "append")(Topologies.purchasedProducts(_))
+    assert(rowsOf(out) === rowsOf(Topologies.purchasedProducts(orders.toDF())))
+  }
+
+  test("G1: productsByFirstLetter final state equals batch (KSA:120-133)") {
+    val out = runStream(Seq(orders.take(2), orders.drop(2)), "complete")(
+      Topologies.productsByFirstLetter(_))
+    assert(rowsOf(out) === rowsOf(Topologies.productsByFirstLetter(orders.toDF())))
+    // alice: iPhone, MacBook → a=2; bob: iPad → b=1; carol: Watch → c=1;
+    // o3's empty products contributes nothing
+    assert(rowsOf(out) === Set(Seq("a", 2L), Seq("b", 1L), Seq("c", 1L)))
+  }
+
+  test("G2+A1: per-user count KTable fixpoint equals batch (KSA:140,144)") {
+    val out = runStream(Seq(orders.take(1), orders.drop(1)), "complete")(
+      Topologies.productsPerUser(_))
+    assert(rowsOf(out) === rowsOf(Topologies.productsPerUser(orders.toDF())))
+  }
+
+  test("A1 update mode emits only changed keys per micro-batch (A3 toStream changelog)") {
+    val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+    val name = freshTable()
+    val q = Sinks.toMemory(Topologies.productsPerUser(df), name, "update").start()
+    ms.addData(orders.take(1)) // alice: 2 products
+    q.processAllAvailable()
+    val afterBatch1 = spark.table(name).collect().map(_.toSeq).toSet
+    ms.addData(Seq(orders(1))) // bob only — alice unchanged
+    q.processAllAvailable()
+    val afterBatch2 = spark.table(name).collect().map(_.toSeq).toSet
+    val totalEmitted = spark.table(name).count()
+    q.stop()
+    assert(afterBatch1 === Set(Seq("alice", 2L)))
+    assert(afterBatch2 === Set(Seq("alice", 2L), Seq("bob", 1L)))
+    assert(totalEmitted === 2L) // alice NOT re-emitted in batch 2
+  }
+
+  test("A2: watermarked tumbling windows reach the batch fixpoint; late rows beyond grace are dropped") {
+    val onTime = orders.take(3)
+    val flush = OrderEvent("flush", "zz", Seq("x"), 1.0, ts("2024-01-03T00:00:00Z"))
+    // late arrives AFTER the watermark advanced 2 days past it → dropped
+    val late = OrderEvent("late", "alice", Seq("Pen"), 1.0, ts("2024-01-01T00:00:02Z"))
+    val out = runStream(
+      Seq(onTime, Seq(flush), Seq(late)), "append")(
+      Topologies.productsPerUserWindowed(_, "10 seconds", "1 hour"))
+    // append emits only watermark-closed windows: all of Jan 1 closed by flush;
+    // the flush window itself stays open, the late row was dropped
+    val batchOnTime = Topologies.productsPerUserWindowed(onTime.toDF(), "10 seconds", "1 hour")
+    assert(rowsOf(out) === rowsOf(batchOnTime))
+    val base = Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(rowsOf(out) === Set(Seq("alice", base, 2L), Seq("bob", base, 1L)))
+  }
+
+  test("flagship paidOrders: streaming append fixpoint equals the batch application (KSA:155-189)") {
+    val profiles = Seq(("alice", "gold"), ("bob", "basic"), ("carol", "gold"))
+      .toDF("user", "profile")
+    val discounts = Seq(("gold", 0.5), ("basic", 0.9)).toDF("profile", "amount")
+    val payments = Seq(
+      PaymentEvent("o1", "PAID", ts("2024-01-01T00:04:59Z")),     // within +5 min → joins
+      PaymentEvent("o2", "PAID", ts("2024-01-01T00:00:06Z")),     // joins but... bob's order
+      PaymentEvent("o3", "PENDING", ts("2024-01-01T00:00:30Z")),  // wrong status → dropped
+      PaymentEvent("o4", "PAID", ts("2024-01-01T00:07:00Z")))     // exactly +6 min → outside, dropped
+
+    val (oms, odf) = Sources.memoryStream[OrderEvent](spark)
+    val (pms, pdf) = Sources.memoryStream[PaymentEvent](spark)
+    val name = freshTable()
+    val q = Sinks.toMemory(
+      Topologies.paidOrders(odf, pdf, profiles, discounts), name, "append").start()
+    oms.addData(orders)
+    q.processAllAvailable()
+    pms.addData(payments)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+
+    val batch = Topologies.paidOrders(orders.toDF(), payments.toDF(), profiles, discounts)
+    assert(rowsOf(streamed) === rowsOf(batch))
+    assert(rowsOf(streamed.select(col("orderId"), col("amount"))) ===
+      Set(Seq("o1", 2000.0), Seq("o2", 720.0)))
+  }
+
+  test("serde drops malformed records, keeps decodable ones (KSA:59-74)") {
+    val schema = StructType.fromDDL("orderId STRING, amount DOUBLE")
+    val raw = Seq(
+      ("k1", """{"orderId":"o1","amount":5.0}"""),
+      ("k2", """not json at all"""),
+      ("k3", """{"orderId":"o3","amount":1.5}""")).toDF("key", "value")
+    val out = Serde.fromJsonDropMalformed(col("value"), schema, Seq(col("key")))(raw)
+    assert(rowsOf(out) === Set(Seq("k1", "o1", 5.0), Seq("k3", "o3", 1.5)))
+  }
+
+  test("kafka source/sink paths are guarded when the connector is absent") {
+    assert(!Sources.dataSourceAvailable("kafka"))
+    val schema = StructType.fromDDL("orderId STRING")
+    intercept[IllegalArgumentException] {
+      Sources.kafkaJsonStream(spark, "localhost:9092", "orders", schema)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.toKafka(Seq(("o1", 1.0)).toDF("orderId", "amount"),
+        "localhost:9092", "paid-orders", "orderId", "/tmp/ckpt")
+    }
+    assert(Sources.dataSourceAvailable("parquet")) // sanity: the probe itself works
+  }
+}

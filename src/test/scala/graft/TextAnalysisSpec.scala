@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextAnalysis, Texts}
+
+/** X3 text-analysis tests with hand-computed expectations. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats computes all-integer stats, sum as long") {
+    val df = Seq((1L, "aa bb aa c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenStats(col("doc_id"), col("text"))(df)
+    assert(out.schema("sum_token_len").dataType.typeName === "long")
+    assert(rowsOf(out) === Set(Seq(1L, 4, 3, 2, 7L)))
+  }
+
+  test("langIdEn flags stopword-heavy text as en") {
+    val df = Seq(
+      (1L, "the cat is on the mat"),  // hits: the,is,on,the = 4/6
+      (2L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdEn(col("doc_id"), col("text"))(df)
+      .select(col("doc_id"), col("lang_guess"))
+    assert(rowsOf(out) === Set(Seq(1L, "en"), Seq(2L, "other")))
+  }
+
+  test("qualityScore combines diversity, stopword ratio and mean length") {
+    val df = Seq((1L, "a a b b")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(col("doc_id"), col("text"))(df).collect()(0)
+    assert(r.getDouble(1) === 0.5) // diversity 2/4
+    assert(r.getDouble(2) === 0.5) // stop ratio: "a" is a stopword, 2/4
+    assert(r.getDouble(3) === 1.0) // mean token len
+    assert(math.abs(r.getDouble(4) - (0.5 * 0.5 + 0.5 * 0.25 + 1.0 * 0.05)) < 1e-12)
+  }
+
+  test("fingerprints: identical text → identical fp; shared prefix → same prefix_fp") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j different tail"),
+      (3L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(col("doc_id"), col("text"), 10)(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) === out(3L))
+    assert(out(1L)._1 !== out(2L)._1)
+    assert(out(1L)._2 === out(2L)._2) // first 10 tokens equal
+  }
+
+  test("bpeishTokens splits alnum runs and single symbols, dropping spaces") {
+    val df = Seq((1L, "ab1 c-d, e!")).toDF("doc_id", "text")
+    val out = df.select(Texts.bpeishTokens(col("text")).as("t")).collect()(0).getSeq[String](0)
+    assert(out === Seq("ab1", "c", "-", "d", ",", "e", "!"))
+  }
+}

@@ -120,7 +120,7 @@ object ExtensionQueries {
         val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.hyperplaneTopK(corpus, queries, 4, 3)
+        Similarity.hyperplaneTopK(corpus, queries, 4, 64, 3)
           .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
       },
       None, // xxhash64-derived hyperplanes are not reproducible in DuckDB SQL

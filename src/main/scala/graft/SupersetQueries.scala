@@ -99,6 +99,42 @@ object SupersetQueries {
              |      FROM m)
              |SELECT user_id, min(us) // 1000000 AS session_start, count(*) AS cnt
              |FROM s GROUP BY user_id, sid""".stripMargin),
-      "session windows (5-min gap) — gaps-and-islands equivalent as oracle")
+      "session windows (5-min gap) — gaps-and-islands equivalent as oracle"),
+
+    // The Kafka Streams DSL offers leftJoin/outerJoin (unused by the
+    // reference — SURVEY §2.4); a user switching engines expects them, so
+    // they are first-class here with oracles.
+
+    Q("o8_left_join",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_totalprice") >= 400000)
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey")),
+      Some("""SELECT c_custkey, c_mktsegment, o_orderkey
+             |FROM customer
+             |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice >= 400000) o
+             |  ON c_custkey = o_custkey""".stripMargin),
+      "left outer join: customers kept without matching big orders (DSL leftJoin analog)"),
+
+    Q("o9_semi_anti_join",
+      (s, dir) => {
+        val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") >= 400000)
+          .select(col("o_custkey"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"))
+        c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .withColumn("has_big_order", lit(true))
+          .unionAll(
+            c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+              .withColumn("has_big_order", lit(false)))
+      },
+      Some("""SELECT c_custkey, TRUE AS has_big_order FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
+             |UNION ALL
+             |SELECT c_custkey, FALSE AS has_big_order FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)""".stripMargin),
+      "semi + anti join partition of customers by big-order existence")
   )
 }

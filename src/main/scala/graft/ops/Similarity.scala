@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{CosineSimilarity, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
 
 /** Similarity search over embedding columns (`array<float>`):
   * brute-force cosine top-k as the exact baseline, IVF-style partitioned
@@ -117,22 +117,25 @@ object Similarity {
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: `nBits` sign
     * bits of dot products with deterministic pseudo-random hyperplanes.
-    * Hyperplane j's component i is derived from xxhash64(i, j) scaled to
-    * [-1, 1] — deterministic across executors with no side data to ship.
-    * HOF-shaped (one aggregate over the vector per bit) rather than a
-    * dim×nBits expression unroll, so the plan stays compact; per-row cost
-    * is interpreted-lambda — use for bucketing passes, not per-candidate
-    * scoring.
+    * Hyperplane j's component i is derived from a splitmix64 mix of (i, j)
+    * scaled to [-1, 1] — generated on the driver, shipped as literal
+    * vectors (tiny: nBits × dim doubles), so every per-row dot is the
+    * native codegen'd [[graft.functions.DotProduct]]: the bucketing pass
+    * over a 100 TB corpus is one generated-code map, no interpreted
+    * lambdas, no side data beyond the literals.
+    *
+    * @param dim vector dimensionality (hyperplanes are driver-generated)
     */
-  def hyperplaneBucket(vec: Column, nBits: Int): Column = {
-    val v = vec.cast("array<double>")
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    def mix(z0: Long): Double = { // splitmix64 finalizer → [-1, 1]
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+    }
     val bits = (0 until nBits).map { j =>
-      val dot = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(v) - 1),
-          i => xxhash64(i, lit(j)).cast("double") / lit(Long.MaxValue.toDouble)),
-          (p, h) => p * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val plane = Array.tabulate(dim)(i => mix(i.toLong * 0x100000001bL + j))
+      when(DotProduct(vec, typedlit(plane)) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -143,11 +146,13 @@ object Similarity {
     * per query; same broadcast + bounded-aggregate shape as [[ivfTopK]]
     * but with zero side data (the hyperplanes are hash-derived).
     */
-  def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, nBits: Int, k: Int): DataFrame =
+  def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, nBits: Int, dim: Int,
+      k: Int): DataFrame =
     explodeRanked(
-      corpus.withColumn("bucket", hyperplaneBucket(col("vec"), nBits))
+      corpus.withColumn("bucket", hyperplaneBucket(col("vec"), nBits, dim))
         .join(broadcast(queries
-            .select(col("qid"), col("qvec"), hyperplaneBucket(col("qvec"), nBits).as("bucket"))),
+            .select(col("qid"), col("qvec"),
+              hyperplaneBucket(col("qvec"), nBits, dim).as("bucket"))),
           Seq("bucket"))
         .filter(col("id") =!= col("qid"))
         .withColumn("sim", cosine(col("qvec"), col("vec")))

@@ -69,6 +69,16 @@ object Topologies {
       Relational.flatMapValues(Seq(col("user"), col("ts")), col("products"), "product")(
         orders.withWatermark("ts", grace)))
 
+  /** X1 streaming exact dedup: drop re-deliveries of the same order id
+    * arriving within the watermark horizon — the streaming analog of
+    * [[graft.ops.Dedup.exact]]. `dropDuplicatesWithinWatermark` is the only
+    * scale-safe formulation: plain streaming `dropDuplicates` keeps every
+    * key seen forever, while watermark-scoped state is bounded by
+    * (arrival rate × grace).
+    */
+  def dedupOrders(orders: DataFrame, grace: String = "10 minutes"): DataFrame =
+    orders.withWatermark("ts", grace).dropDuplicatesWithinWatermark("orderId")
+
   /** `paidOrdersTopology` — the flagship (KSA:155-189):
     *
     *  - J1 (KSA:162-165): orders ⋈ profiles on the user key. The profile

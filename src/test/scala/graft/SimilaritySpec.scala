@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("hyperplaneTopK returns correctly-ranked results within buckets") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
-    val out = Similarity.hyperplaneTopK(vecs, queries, 2, 3)
+    val out = Similarity.hyperplaneTopK(vecs, queries, 2, 3, 3)
     // bucket membership is hash-derived; just require: no self-match,
     // ranks contiguous from 1, sims non-increasing
     val rows = out.orderBy("rank").collect()

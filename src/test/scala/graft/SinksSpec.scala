@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{OrderEvent, Sinks, Sources, Topologies}
+
+/** Sink-operator tests (SURVEY §2.5 K1/K2, §2.2 P5): the durable parquet
+  * sink round-trips with exactly-once file-commit semantics, foreachBatch
+  * observes every micro-batch, and the console/batch sinks run.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  private val orders = Seq(
+    OrderEvent("o1", "alice", Seq("a"), 4000.0, ts("2024-01-01T00:00:01Z")),
+    OrderEvent("o2", "bob", Seq("b"), 800.0, ts("2024-01-01T00:00:02Z")),
+    OrderEvent("o3", "carol", Seq("c"), 1500.0, ts("2024-01-01T00:00:03Z")))
+
+  test("K1 parquet sink: expensiveOrders stream lands durably and re-reads (KSA:110)") {
+    val out = Files.createTempDirectory("graft-sink-out").toString
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+    val q = Sinks.toParquet(Topologies.expensiveOrders(df), out, ckpt).start()
+    ms.addData(orders)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+    assert(rowsOf(landed.select(col("orderId"))) === Set(Seq("o1"), Seq("o3")))
+  }
+
+  test("K1 foreachBatch sink observes each micro-batch with its id") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+    val q = Sinks.foreachBatchSink(df, "append") { (batch, id) =>
+      seen += ((id, batch.count()))
+    }.start()
+    ms.addData(orders.take(2)); q.processAllAvailable()
+    ms.addData(orders.drop(2)); q.processAllAvailable()
+    q.stop()
+    assert(seen.map(_._2).sum === 3L)
+    assert(seen.map(_._1).distinct.size === seen.size) // distinct batch ids
+  }
+
+  test("K2/P5 console sinks run without error (KSA:117, 130-132, 150-152)") {
+    val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+    val q = Sinks.toConsole(Topologies.purchasedProducts(df)).start()
+    ms.addData(orders)
+    q.processAllAvailable()
+    q.stop()
+    Sinks.printEach(orders.toDF(), 2) // batch foreach(println) analog
+  }
+
+  test("K1 batch sink writes and re-reads parquet") {
+    val out = Files.createTempDirectory("graft-batch-out").toString
+    Sinks.writeParquet(orders.toDF(), out)
+    assert(spark.read.parquet(out).count() === 3)
+  }
+}

@@ -131,6 +131,14 @@ class StreamingSpec extends SparkSpec {
       Set(Seq("o1", 2000.0), Seq("o2", 720.0)))
   }
 
+  test("X1 streaming dedup drops re-deliveries within the watermark horizon") {
+    val dup = orders.head.copy(amount = 9999.0) // same orderId, re-delivered
+    val out = runStream(Seq(orders.take(2), Seq(dup)), "append")(
+      Topologies.dedupOrders(_))
+    assert(out.count() === 2) // o1 kept once, o2 kept, the re-delivery dropped
+    assert(rowsOf(out.select(col("orderId"))) === Set(Seq("o1"), Seq("o2")))
+  }
+
   test("serde drops malformed records, keeps decodable ones (KSA:59-74)") {
     val schema = StructType.fromDDL("orderId STRING, amount DOUBLE")
     val raw = Seq(

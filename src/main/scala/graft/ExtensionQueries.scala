@@ -192,6 +192,20 @@ object ExtensionQueries {
              |  1 + octet_length(encode(text)) % 64 AS width,
              |  octet_length(encode(text)) // (1 + octet_length(encode(text)) % 64) AS height
              |FROM documents""".stripMargin),
-      "X4 multimodal: binary payload + metadata struct + partition-wise (stub) decode")
+      "X4 multimodal: binary payload + metadata struct + partition-wise (stub) decode"),
+
+    Q("x5b_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(col("doc_id"), col("text"), 32, 2)(docs(s, dir))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"), length(col("frame")).as("n_chars")),
+      Some("""WITH p AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
+             |e AS (SELECT doc_id, text,
+             |        unnest(range(0, CAST(ceil(len(text)/32.0) AS BIGINT))) AS frame_idx
+             |      FROM p)
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             |       md5(substring(text, CAST(frame_idx*32+1 AS INT), 32)) AS frame_md5,
+             |       len(substring(text, CAST(frame_idx*32+1 AS INT), 32)) AS n_chars
+             |FROM e WHERE frame_idx % 2 = 0""".stripMargin),
+      "X4 frame sampling over opaque payloads: fixed grid, every-k stride, no decode, no lambda boundary")
   )
 }

@@ -135,6 +135,20 @@ object SupersetQueries {
              |UNION ALL
              |SELECT c_custkey, FALSE AS has_big_order FROM customer
              |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)""".stripMargin),
-      "semi + anti join partition of customers by big-order existence")
+      "semi + anti join partition of customers by big-order existence"),
+
+    Q("o10_salted_join",
+      (s, dir) => graft.ops.Relational.saltedJoin(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderkey", 8)(
+          Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"), col("l_quantity")))
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_orderpriority")),
+      // The oracle is the UNSALTED join: salting must not change results,
+      // only the physical distribution of hot keys.
+      Some("""SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_orderpriority
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin),
+      "salted equi-join for extreme key skew — result identical to the plain join by construction")
   )
 }

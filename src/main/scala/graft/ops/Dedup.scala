@@ -104,9 +104,12 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
+    // Explicit repartition on the bucket key: both self-join sides reuse
+    // one exchange, so the signature aggregation runs once per corpus.
     val bucketed = sig
       .select(col("id"), explode(array(bands: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .repartition(col("band"), col("sig"))
     val candidates = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
@@ -184,8 +187,12 @@ object Dedup {
       struct(lit(c).as("ci"),
         shiftrightunsigned(col("simhash"), c * bits).bitwiseAND(lit(mask)).as("cv"))
     }
+    // Explicit repartition on the bucket key: both self-join sides then
+    // hang off ONE reused exchange, so the simhash pipeline (explode +
+    // 64-column aggregate) runs once, not once per join side.
     val bucketed = fps.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+      .repartition(col("ci"), col("cv"))
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") && col("l.id") < col("r.id"))

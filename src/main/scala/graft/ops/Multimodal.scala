@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** X4 multimodal-column plumbing: media as opaque `binary` payloads with a
@@ -50,6 +50,28 @@ object Multimodal {
         length(col(text)).as("n_bytes"),
         lit("text/plain").as("mime"),
         lit(1).as("frames")).as("meta"))
+
+  /** X4 frame sampling WITHOUT decode: lay a fixed-size frame grid over an
+    * opaque payload column (binary or string — `substr` handles both) and
+    * keep every `everyK`-th frame. This is the Spark-side plumbing of
+    * video/audio frame sampling: the grid, the stride and the row shape
+    * are real; a codec would only change how `frame` bytes are produced.
+    * All plain codegen'd expressions — the payload is sliced, never
+    * decoded, and column pruning upstream is unaffected (no opaque
+    * lambda boundary).
+    */
+  def sampleFrames(id: Column, payload: Column, frameSize: Int, everyK: Int)(
+      df: DataFrame): DataFrame = {
+    require(frameSize > 0 && everyK > 0, "frameSize and everyK must be positive")
+    val nFrames = ceil(length(payload) / lit(frameSize.toDouble)).cast("int")
+    df.select(id.as("doc_id"), payload.as("__p"), nFrames.as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__p"),
+        explode(sequence(lit(0), col("__n") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % everyK === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        col("__p").substr(col("frame_idx") * frameSize + 1, lit(frameSize)).as("frame"))
+  }
 
   /** Partition-wise feature extraction over the payload column. */
   def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeatures] = {

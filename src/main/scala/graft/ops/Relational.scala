@@ -127,4 +127,24 @@ object Relational {
     */
   def filteredJoin(right: DataFrame, eq: Column, residual: Column)(left: DataFrame): DataFrame =
     left.join(right, eq).filter(residual)
+
+  /** Salted inner equi-join for EXTREME key skew: when one join key is so
+    * hot that its rows exceed a single task (AQE's skew-join split handles
+    * moderate skew automatically; salting is the manual fallback beyond
+    * that). The left (big, skewed) side gets a deterministic per-row salt
+    * in [0, saltBuckets); the right side is replicated once per salt value;
+    * the join key becomes (key, salt), splitting each hot key's hash group
+    * across `saltBuckets` tasks. Result set is identical to the plain
+    * inner join — only the physical distribution changes. Right-side
+    * amplification is `saltBuckets`×, so use for joins whose right side is
+    * mid-sized: too big to broadcast, small enough to replicate a few ways.
+    */
+  def saltedJoin(right: DataFrame, key: String, saltBuckets: Int)(left: DataFrame): DataFrame = {
+    require(saltBuckets > 1, s"saltBuckets must be > 1, got $saltBuckets")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

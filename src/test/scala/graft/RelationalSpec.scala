@@ -113,6 +113,16 @@ class RelationalSpec extends SparkSpec {
       Set(Seq(1000000000L - tolUs), Seq(1000000000L + tolUs)))
   }
 
+  test("salted join equals the plain join, including duplicate and hot keys") {
+    val left = Seq.tabulate(40)(i => (if (i % 4 == 0) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k1", "A"), ("k1", "B"), ("k2", "C")).toDF("k", "d")
+    val plain = left.join(right, Seq("k"))
+    val salted = saltedJoin(right, "k", 4)(left)
+    assert(rowsOf(salted) === rowsOf(plain))
+    assert(salted.count() === plain.count())
+  }
+
   test("J4 filtered join drops rows failing the Option-joiner predicate (KSA:179-180)") {
     val orders = Seq(("o1", "u1"), ("o2", "u2")).toDF("orderId", "user")
     val payments = Seq(("o1", "PAID"), ("o2", "PENDING")).toDF("p_orderId", "status")

@@ -198,7 +198,64 @@ object Queries {
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
              |GROUP BY l_returnflag, l_linestatus""".stripMargin),
-      "TPC-H Q1-style pricing summary; money sums exact via decimal/integer-cents")
+      "TPC-H Q1-style pricing summary; money sums exact via decimal/integer-cents"),
+
+    Q("q3_shipping_priority",
+      (s, dir) => Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          col("o_orderkey") === col("l_orderkey"))
+        .withColumn("rev_cents",
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg((sum(col("rev_cents")).cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1995-03-15'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey
+             |LIMIT 10""".stripMargin),
+      "TPC-H Q3-style shipping priority: 3-way join, pushed filters, integer-cents revenue, top-10"),
+
+    Q("q5_region_volume",
+      (s, dir) => Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .withColumn("rev_cents",
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))))
+        .groupBy(col("n_name"))
+        .agg((sum(col("rev_cents")).cast("double") / 10000.0).as("revenue")),
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+             |FROM region
+             |JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin),
+      "TPC-H Q5-style regional volume: 6-way join incl. broadcast dims, local-supplier residual")
   )
 
   /** Full catalog: reference parity + extensions + superset ops. */

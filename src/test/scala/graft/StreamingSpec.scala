@@ -131,6 +131,28 @@ class StreamingSpec extends SparkSpec {
       Set(Seq("o1", 2000.0), Seq("o2", 720.0)))
   }
 
+  test("mapGroupsWithState running totals reach the hand-folded fixpoint across batches") {
+    import graft.streaming.Stateful
+    val (ms, df) = Sources.memoryStream[graft.streaming.OrderEvent](spark)
+    val name = freshTable()
+    val q = Stateful.runningTotals(df.as[graft.streaming.OrderEvent])
+      .toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+    ms.addData(orders.take(2)); q.processAllAvailable()
+    ms.addData(orders.drop(2)); q.processAllAvailable()
+    q.stop()
+    // update mode emits one refreshed row per touched key per batch; the
+    // LAST emission per key is the fixpoint
+    val latest = spark.table(name).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (u, rows) => // later emissions have larger counts
+        u -> rows.map(_._2).maxBy(_._1)
+      }
+    val expected = Stateful.runningTotalsBatch(spark, orders)
+      .map(t => t.user -> ((t.orders, t.products, t.amount))).toMap
+    assert(latest === expected)
+    assert(expected("alice") === ((2L, 2L, 5200.0))) // o1 (2 products) + empty o3
+  }
+
   test("X1 streaming dedup drops re-deliveries within the watermark horizon") {
     val dup = orders.head.copy(amount = 9999.0) // same orderId, re-delivered
     val out = runStream(Seq(orders.take(2), Seq(dup)), "append")(

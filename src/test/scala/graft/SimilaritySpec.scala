@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
-import graft.functions.TopKByScore
+import graft.functions.{GraftFunctions, TopKByScore}
 
 /** Similarity-search tests: the native cosine expression against the HOF
   * formulation and hand values, the bounded top-k aggregate against the
@@ -86,6 +86,16 @@ class SimilaritySpec extends SparkSpec {
     // corpus×centroids join + per-id window = two more exchanges)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
     assert(!plan.contains("Window"), plan)
+  }
+
+  test("SQL registration exposes cosine_similarity and dot_product to spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 23.0)
   }
 
   test("hyperplaneTopK returns correctly-ranked results within buckets") {

@@ -17,8 +17,9 @@ import graft.ops.Serde
   *    and [[printEach]].
   *
   * Output-mode guidance (SURVEY §2.3 note): KTable-like continuous
-  * refinement = `update`; final-only emission of watermark-closed windows
-  * = `append`. Stream-stream joins are append-only by engine rule.
+  * refinement uses `update`; final-only emission of watermark-closed
+  * windows uses `append`. Stream-stream joins are append-only by engine
+  * rule.
   */
 object Sinks {
 

@@ -20,7 +20,8 @@ import graft.ops.Relational
   *    (A3, KSA:150) continuous changelog emission.
   *  - Stream-stream join results (flagship) → `append` (engine rule).
   *
-  * Input column contracts are the [[Model]] case classes.
+  * Input column contracts are the [[OrderEvent]]/[[PaymentEvent]] case
+  * classes.
   */
 object Topologies {
 

@@ -1,10 +1,30 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Per-user running totals: the accumulator for [[Stateful.runningTotals]]. */
 final case class UserTotals(user: String, orders: Long, products: Long, amount: Double)
+
+/** A profile-table changelog record (the compacted-topic upsert stream
+  * behind `builder.table`, KSA:156-157): at `ts`, `user`'s profile became
+  * `profile`.
+  */
+final case class ProfileUpdate(user: String, profile: String, ts: Timestamp)
+
+/** Internal co-processing envelope for [[Stateful.streamTableJoinExact]]:
+  * order events and profile upserts unioned into one keyed stream.
+  */
+final case class CoEvent(user: String, isProfile: Boolean, profile: String,
+    orderId: String, amount: Double, ts: Timestamp)
+
+/** Output of the exact stream–table join: an order enriched with the
+  * profile current when it was processed.
+  */
+final case class EnrichedOrder(orderId: String, user: String, amount: Double,
+    profile: String, ts: Timestamp)
 
 /** Custom per-key state — the GENERAL form of the reference's windowed
   * custom fold (`aggregate(initializer)(adder)`, KSA:146-148). The
@@ -41,6 +61,47 @@ object Stateful {
           }
           state.update(next)
           next
+      }
+  }
+
+  /** EXACT changelog-table join (J1's hard case — SURVEY §7 "what's hard"
+    * #1): the profile table is itself a STREAM of upserts, not a static
+    * snapshot. Kafka Streams backs `stream.join(ktable)` with a per-key
+    * state store holding the table's latest value; this reproduces that
+    * with `flatMapGroupsWithState` over the UNION of both inputs keyed by
+    * user: profile records upsert the state, order records read it and
+    * emit enriched (inner-join: orders with no profile yet are dropped,
+    * exactly the KTable-miss behavior). Within a micro-batch, events are
+    * applied in event-time order, so an upsert and a later order in the
+    * same batch see each other — the deterministic refinement of Kafka
+    * Streams' processing-order semantics.
+    *
+    * Scale: state is one (user → profile) entry per key, hash-partitioned
+    * across executors — identical footprint to the reference's RocksDB
+    * store; the shuffle key is the join key, same as the repartition
+    * topics it replaces.
+    */
+  def streamTableJoinExact(orders: Dataset[OrderEvent],
+      profiles: Dataset[ProfileUpdate]): Dataset[EnrichedOrder] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val co = orders
+      .map(o => CoEvent(o.user, isProfile = false, null, o.orderId, o.amount, o.ts))
+      .unionByName(
+        profiles.map(p => CoEvent(p.user, isProfile = true, p.profile, null, 0.0, p.ts)))
+    co.groupByKey(_.user)
+      .flatMapGroupsWithState[String, EnrichedOrder](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: String, events: Iterator[CoEvent], state: GroupState[String]) =>
+          val out = Seq.newBuilder[EnrichedOrder]
+          var profile = state.getOption.orNull
+          events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (e.isProfile) profile = e.profile
+            else if (profile != null)
+              out += EnrichedOrder(e.orderId, user, e.amount, profile, e.ts)
+          }
+          if (profile != null) state.update(profile)
+          out.result().iterator
       }
   }
 

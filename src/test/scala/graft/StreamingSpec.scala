@@ -153,6 +153,35 @@ class StreamingSpec extends SparkSpec {
     assert(expected("alice") === ((2L, 2L, 5200.0))) // o1 (2 products) + empty o3
   }
 
+  test("exact changelog-table join: upserts take effect for later orders, misses drop") {
+    import graft.streaming.{EnrichedOrder, ProfileUpdate, Stateful}
+    val (oms, odf) = Sources.memoryStream[OrderEvent](spark)
+    val (pms, pdf) = Sources.memoryStream[ProfileUpdate](spark)
+    val name = freshTable()
+    val q = Stateful.streamTableJoinExact(
+        odf.as[OrderEvent], pdf.as[ProfileUpdate])
+      .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+
+    // order before ANY profile → dropped (KTable miss)
+    oms.addData(Seq(OrderEvent("o0", "eve", Seq(), 10.0, ts("2024-01-01T00:00:00Z"))))
+    q.processAllAvailable()
+    // profile arrives, then an order → joins the current value
+    pms.addData(Seq(ProfileUpdate("alice", "silver", ts("2024-01-01T00:00:01Z"))))
+    q.processAllAvailable()
+    oms.addData(Seq(OrderEvent("o1", "alice", Seq(), 100.0, ts("2024-01-01T00:00:02Z"))))
+    q.processAllAvailable()
+    // profile UPSERT to gold; a later order joins the UPDATED value
+    pms.addData(Seq(ProfileUpdate("alice", "gold", ts("2024-01-01T00:01:00Z"))))
+    q.processAllAvailable()
+    oms.addData(Seq(OrderEvent("o2", "alice", Seq(), 200.0, ts("2024-01-01T00:02:00Z"))))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table(name).as[EnrichedOrder].collect()
+      .map(e => (e.orderId, e.profile)).toSet
+    assert(rows === Set(("o1", "silver"), ("o2", "gold"))) // o0 dropped: no profile yet
+  }
+
   test("X1 streaming dedup drops re-deliveries within the watermark horizon") {
     val dup = orders.head.copy(amount = 9999.0) // same orderId, re-delivered
     val out = runStream(Seq(orders.take(2), Seq(dup)), "append")(

@@ -200,6 +200,39 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq("k1", "o1", 5.0), Seq("k3", "o3", 1.5)))
   }
 
+  test("file-stream over driver testdata reaches the oracle-checked batch fixpoint (A2 on events)") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.events(spark, dir) // sets nanosAsLong on the session
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // FileStreamSource wants a directory; testdata ships single files
+    val watched = java.nio.file.Files.createTempDirectory("graft-events-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      watched.resolve("events.parquet"))
+    val streamed = Sources.fileStream(spark, watched.toString, raw.schema)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val windowed = graft.ops.Relational.windowedCountByKey(
+      col("ts_ts"), "10 seconds", col("user_id"), "user_id")(streamed)
+    val name = freshTable()
+    val q = windowed.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = Queries.queries("a2_windowed_count")(spark, dir)
+    assert(rowsOf(spark.table(name)) === rowsOf(batch))
+    assert(spark.table(name).count() > 0)
+  }
+
+  test("toJsonValue round-trips through fromJsonDropMalformed (KSA:61 serializer)") {
+    import org.apache.spark.sql.types.StructType
+    val df = Seq(("o1", 5.0), ("o2", 1.5)).toDF("orderId", "amount")
+    val wired = df.select(col("orderId").as("key"),
+      Serde.toJsonValue(col("orderId"), col("amount")).as("value"))
+    val back = Serde.fromJsonDropMalformed(col("value"),
+      StructType.fromDDL("orderId STRING, amount DOUBLE"), Seq(col("key")))(wired)
+    assert(rowsOf(back) === Set(Seq("o1", "o1", 5.0), Seq("o2", "o2", 1.5)))
+  }
+
   test("kafka source/sink paths are guarded when the connector is absent") {
     assert(!Sources.dataSourceAvailable("kafka"))
     val schema = StructType.fromDDL("orderId STRING")

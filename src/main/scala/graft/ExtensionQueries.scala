@@ -12,6 +12,29 @@ object ExtensionQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.documents(s, dir)
 
+  /** Shared oracle CTE chain producing the DF-cut 3-shingle Jaccard pairs
+    * (`jp(a, b, jaccard)`), mirrored by `Dedup.ngramJaccardPairs(..., 1000)`.
+    * Used by both the pairs query and the canonicalization closure.
+    */
+  private val ngramPairsCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ex AS (SELECT DISTINCT doc_id,
+      |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks) - 1)]) AS s
+      |       FROM toks WHERE len(toks) >= 3),
+      |kept AS (SELECT doc_id, s FROM ex
+      |         QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+      |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT p.a, p.b,
+      |         CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) AS jaccard
+      |       FROM pairs p
+      |       JOIN sz sa ON sa.doc_id = p.a
+      |       JOIN sz sb ON sb.doc_id = p.b
+      |       WHERE CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) >= 0.3)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ================= X1/X2 deduplication =================
@@ -26,29 +49,33 @@ object ExtensionQueries {
     Q("x2_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
         maxShingleDf = 1000L)(docs(s, dir)),
-      // The DF cut (1000) is mirrored below: both engines prune hot shingles
-      // before pairing and compute sizes from the PRUNED sets, so the
-      // emitted Jaccard is self-consistent. Pairs are generated from
+      // The DF cut (1000) is mirrored in the shared CTE: both engines prune
+      // hot shingles before pairing and compute sizes from the PRUNED sets,
+      // so the emitted Jaccard is self-consistent. Pairs are generated from
       // exploded shingles (no NaN possible for shingle-less docs — they
       // simply produce no rows).
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |ex AS (SELECT DISTINCT doc_id,
-             |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-             |                 for i in range(1, len(toks) - 1)]) AS s
-             |       FROM toks WHERE len(toks) >= 3),
-             |kept AS (SELECT doc_id, s FROM ex
-             |         QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
-             |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
-             |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-             |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2)
-             |SELECT p.a, p.b,
-             |       CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) AS jaccard
-             |FROM pairs p
-             |JOIN sz sa ON sa.doc_id = p.a
-             |JOIN sz sb ON sb.doc_id = p.b
-             |WHERE CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) >= 0.3""".stripMargin),
+      Some(s"WITH $ngramPairsCte\nSELECT a, b, jaccard FROM jp"),
       "X2 n-gram (3-token shingle) Jaccard near-dup pairs with hot-shingle DF cut, all-integer until final division"),
+
+    Q("x2e_dedup_canonical",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
+          maxShingleDf = 1000L)(d)
+        Dedup.canonicalize(d.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("canonical"))
+      },
+      // Oracle: transitive closure of the near-dup graph via recursive CTE;
+      // canonical = min id reachable (or self for singletons).
+      Some(s"""WITH RECURSIVE $ngramPairsCte,
+              |edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+              |reach AS (SELECT x, y FROM edges
+              |          UNION
+              |          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+              |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS canonical
+              |FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+              |GROUP BY d.doc_id""".stripMargin),
+      "X1/X2 duplicate-cluster canonicalization: connected components by min-label propagation"),
 
     Q("x2b_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(docs(s, dir)),

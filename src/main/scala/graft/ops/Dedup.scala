@@ -132,6 +132,42 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Canonical duplicate-cluster assignment: given near-dup pairs (from
+    * [[ngramJaccardPairs]], [[minhashLshPairs]] or [[simhashPairs]]),
+    * assign every id the MINIMUM id of its connected component — the
+    * survivor-selection step that turns pairwise similarity into an
+    * actionable keep/drop decision.
+    *
+    * Algorithm: iterative min-label propagation (each round, every node
+    * takes the min label among itself and its neighbors) — converges in
+    * O(component diameter) rounds; near-dup components are shallow in
+    * practice. Each round is one join + one aggregate, both keyed
+    * shuffles; `localCheckpoint` truncates the growing lineage (the
+    * standard Spark idiom for driver-looped iterative algorithms — the
+    * loop is over ACTIONS, never over collected data).
+    */
+  def canonicalize(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, col("y") === col("id"))
+        .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("x"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("canonical"))
+  }
+
   /** X2 SimHash: 64-bit locality-sensitive fingerprint per document.
     * Scalar (per-row) form: per bit b, sum +1/-1 over token hashes' bit b;
     * the sign becomes bit b of the fingerprint. Near-dups have small

@@ -58,6 +58,15 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(lsh) === rowsOf(exact))
   }
 
+  test("canonicalize propagates the min id across chained components") {
+    // chain 1-2, 2-3, 3-4 (diameter 3) + singleton 9
+    val ids = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Dedup.canonicalize(ids, pairs)
+    assert(rowsOf(out) === Set(
+      Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L), Seq(9L, 9L)))
+  }
+
   test("X2 simhashByDoc equals the scalar HOF simhash") {
     val viaHof = docs.withColumn("toks", Texts.tokens(col("text")))
       .select(col("doc_id").as("id"), Dedup.simhash("toks").as("simhash"))

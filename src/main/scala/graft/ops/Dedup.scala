@@ -150,7 +150,12 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint()
+    // Iterate ONLY over edge-incident nodes: in a web-scale corpus almost
+    // every doc is a singleton, and looping the full id set through every
+    // round would re-shuffle the whole corpus per iteration for nothing.
+    // Singletons are attached with one final left join.
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -165,7 +170,8 @@ object Dedup {
       labels = updated
       i += 1
     }
-    labels.select(col("id"), col("label").as("canonical"))
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("canonical"))
   }
 
   /** X2 SimHash: 64-bit locality-sensitive fingerprint per document.

@@ -103,6 +103,27 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq("alice", base, 2L), Seq("bob", base, 1L)))
   }
 
+  test("session windows merge in streaming (superset op) and reach the batch fixpoint") {
+    // alice: events at 0s, 100s (gap<5m → one session), 500s (new session);
+    // flush event advances the watermark far enough to close them all
+    val evs = Seq(
+      OrderEvent("e1", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:00Z")),
+      OrderEvent("e2", "alice", Seq("b"), 1.0, ts("2024-01-01T00:01:40Z")),
+      OrderEvent("e3", "alice", Seq("c"), 1.0, ts("2024-01-01T00:08:20Z")))
+    val flush = OrderEvent("zz", "zz", Seq("x"), 1.0, ts("2024-01-02T00:00:00Z"))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user"), col("session_window.start").cast("long").as("start"), col("cnt"))
+    val out = runStream(Seq(evs, Seq(flush)), "append")(sessions)
+    val base = Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(rowsOf(out) === Set(
+      Seq("alice", base, 2L),        // e1+e2 merged into one session
+      Seq("alice", base + 500, 1L))) // e3 starts a new session; flush window still open
+    assert(rowsOf(out) === rowsOf(sessions(evs.toDF())))
+  }
+
   test("flagship paidOrders: streaming append fixpoint equals the batch application (KSA:155-189)") {
     val profiles = Seq(("alice", "gold"), ("bob", "basic"), ("carol", "gold"))
       .toDF("user", "profile")

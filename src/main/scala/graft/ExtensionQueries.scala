@@ -206,6 +206,49 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
       "X3 BPE-ish token counting (pretokenizer split) vs whitespace count, same regex both engines"),
 
+    Q("x4f_normalize",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
+        .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long")),
+      Some("""SELECT doc_id, norm, len(string_split(norm, ' ')) AS n_tokens
+             |FROM (SELECT doc_id,
+             |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             |      FROM documents)""".stripMargin),
+      "X3 text normalization: lowercase, strip punctuation, squeeze spaces — same regexes both engines"),
+
+    Q("x6_curation_pipeline",
+      (s, dir) => {
+        // The end-to-end curation pass this engine exists for, as ONE
+        // declarative plan: normalize → quality-filter → exact-dedup on
+        // the normalized fingerprint → deterministic hash sample.
+        val normed = docs(s, dir)
+          .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
+        val scored = TextAnalysis.qualityScore(col("doc_id"), col("norm"))(normed)
+          .filter(col("quality") >= 0.45)
+          .select(col("doc_id"), col("quality"))
+        val kept = normed.join(scored, "doc_id")
+        val deduped = Dedup.exact(Seq(md5(col("norm"))), col("doc_id"))(kept)
+        deduped
+          .filter(TextAnalysis.deterministicSample(col("doc_id"), "c0"))
+          .select(col("doc_id"), md5(col("norm")).as("norm_fp"), col("quality"))
+      },
+      Some(s"""WITH normed AS (SELECT doc_id,
+              |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              |       FROM documents),
+              |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM normed),
+              |q AS (SELECT doc_id, norm,
+              |        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |      + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |      + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |      FROM t),
+              |kept AS (SELECT * FROM q WHERE quality >= 0.45),
+              |deduped AS (SELECT doc_id, norm, quality FROM kept
+              |            QUALIFY row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1)
+              |SELECT doc_id, md5(norm) AS norm_fp, quality
+              |FROM deduped
+              |WHERE md5(CAST(doc_id AS VARCHAR)) < 'c0'""".stripMargin),
+      "X1-X3 curation composite: normalize -> quality filter -> fingerprint dedup -> deterministic 75% sample"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -60,6 +60,24 @@ object TextAnalysis {
       (diversity * 0.5 + stopRatio * 0.25 + meanLen * 0.05).as("quality"))
   }
 
+  /** Text normalization for curation pipelines: lowercase, strip
+    * non-alphanumerics to spaces, squeeze runs of spaces, trim. Plain
+    * codegen'd expressions; the same regexes run in DuckDB (with the 'g'
+    * flag — Spark replaces all occurrences by default).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic hash sample: keep a row iff the md5 hex digest of its
+    * key is lexicographically below `hexThreshold` (lowercase hex orders
+    * numerically, so "1a" ≈ 10.2%, "80" = 50%). Unlike `rand()`-based
+    * sampling this is reproducible across engines, runs and retries —
+    * which is what a training-data pipeline needs for auditable splits —
+    * and it is embarrassingly parallel (no RNG state, no seed plumbing).
+    */
+  def deterministicSample(key: Column, hexThreshold: String): Column =
+    md5(key.cast("string")) < hexThreshold
+
   /** Document fingerprints: full-text digest + first-`prefixTokens` prefix
     * digest (cheap clustering key for exact / prefix dedup).
     */

@@ -44,6 +44,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 === out(2L)._2) // first 10 tokens equal
   }
 
+  test("normalize lowercases, strips punctuation, squeezes spaces") {
+    val df = Seq((1L, "  Hello,   WORLD!! (x1) ")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.normalize(col("text")).as("n")).collect()(0).getString(0)
+    assert(out === "hello world x1")
+  }
+
+  test("deterministicSample is reproducible and threshold-monotone") {
+    val df = (1L to 200L).toDF("id")
+    val p10 = df.filter(TextAnalysis.deterministicSample(col("id"), "1a")).count()
+    val p50 = df.filter(TextAnalysis.deterministicSample(col("id"), "80")).count()
+    val p50again = df.filter(TextAnalysis.deterministicSample(col("id"), "80")).count()
+    assert(p50 === p50again)   // same rows every run
+    assert(p10 < p50)          // monotone in the threshold
+    assert(p50 > 60 && p50 < 140) // roughly half
+  }
+
   test("bpeishTokens splits alnum runs and single symbols, dropping spaces") {
     val df = Seq((1L, "ab1 c-d, e!")).toDF("doc_id", "text")
     val out = df.select(Texts.bpeishTokens(col("text")).as("t")).collect()(0).getSeq[String](0)

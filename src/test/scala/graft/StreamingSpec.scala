@@ -254,6 +254,49 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(back) === Set(Seq("o1", "o1", 5.0), Seq("o2", "o2", 1.5)))
   }
 
+  test("stateful aggregation runs on the RocksDB state store provider (scale config)") {
+    // At 100 TB key spaces, in-memory (HDFSBackedStateStore) state OOMs;
+    // RocksDB spills to local disk. Verify the bundled provider actually
+    // backs a stateful query and produces the same fixpoint.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream(Seq(orders.take(2), orders.drop(2)), "complete")(
+        Topologies.productsPerUser(_))
+      assert(rowsOf(out) === rowsOf(Topologies.productsPerUser(orders.toDF())))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("query progress exposes per-batch row counts (topology monitoring analog)") {
+    val progressRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        progressRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = runStream(Seq(orders), "append")(Topologies.expensiveOrders(_))
+      assert(out.count() === 3)
+      // listener events are async; spark.streams delivers them before
+      // processAllAvailable returns on the last batch commit, but allow a
+      // brief drain to be safe
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (progressRows.get() < orders.size && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(progressRows.get() >= orders.size) // all 4 input rows observed
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("kafka source/sink paths are guarded when the connector is absent") {
     assert(!Sources.dataSourceAvailable("kafka"))
     val schema = StructType.fromDDL("orderId STRING")

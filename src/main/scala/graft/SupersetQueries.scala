@@ -149,6 +149,49 @@ object SupersetQueries {
       // only the physical distribution of hot keys.
       Some("""SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_orderpriority
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin),
-      "salted equi-join for extreme key skew — result identical to the plain join by construction")
+      "salted equi-join for extreme key skew — result identical to the plain join by construction"),
+
+    Q("o11_percentile",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.95)).as("p95_qty")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.95) AS p95_qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "exact interpolated percentiles per group (sort-based aggregate)"),
+
+    Q("o4b_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid")),
+      Some("""SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+             |  GROUPING(c_mktsegment, o_orderpriority) AS gid
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY CUBE(c_mktsegment, o_orderpriority)""".stripMargin),
+      "CUBE over two dims with grouping id (expand + two-phase agg)"),
+
+    Q("o12_moving_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, 0)
+        Tables.orders(s, dir)
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("cents")).over(w).as("mov_cents"),
+            count(lit(1)).over(w).as("mov_n"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_cents,
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+             |FROM orders""".stripMargin),
+      "sliding window frame (ROWS 2 PRECEDING): moving sum in exact integer cents")
   )
 }

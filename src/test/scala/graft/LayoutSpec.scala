@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Partition-pruning layout tests (SURVEY §4.2 "partition pruning" row):
+  * a filter on the partition column must appear as a `PartitionFilters`
+  * clause on the scan and cut the files read, before any row is decoded.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filters on partition columns prune directories at the scan") {
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val df = Seq.tabulate(60)(i => (i.toLong, s"p${i % 3}", i * 1.5)).toDF("id", "part", "v")
+    Layout.writePartitioned(df, dir, "part")
+
+    val read = Layout.readPartitioned(spark, dir).filter(col("part") === "p1")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("isnotnull(part"), plan)
+    assert(read.count() === 20)
+    // pruned scan reads only the matching partition's files
+    val scanned = read.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert(!scanned.contains("part=p0"), scanned)
+  }
+
+  test("partitioned round-trip preserves values and partition column typing") {
+    val dir = Files.createTempDirectory("graft-layout2").toString
+    val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "part", "v")
+    Layout.writePartitioned(df, dir, "part")
+    val back = Layout.readPartitioned(spark, dir)
+      .select(col("id"), col("part"), col("v")) // partition col is restored
+    assert(rowsOf(back) === rowsOf(df))
+  }
+}

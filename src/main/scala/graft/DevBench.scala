@@ -26,10 +26,14 @@ object DevBench {
     val sel = if (names.isEmpty) SparkEntry.queries
               else SparkEntry.queries.filter { case (n, _) => names.contains(n) }
     sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df = fn(spark, sfDir)
-      if (explain) { println(s"===== $name plan ====="); df.explain("formatted") }
+      if (explain) {
+        println(s"===== $name plan =====")
+        fn(spark, sfDir).explain("formatted")
+      }
+      // time construction + count together, like Bench: some operators
+      // (iterative ones with checkpoints) do real work at build time
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[devbench] $name%-24s $dt%8.3f s  rows=$n")
     }

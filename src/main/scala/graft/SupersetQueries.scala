@@ -192,6 +192,24 @@ object SupersetQueries {
              |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
              |FROM orders""".stripMargin),
-      "sliding window frame (ROWS 2 PRECEDING): moving sum in exact integer cents")
+      "sliding window frame (ROWS 2 PRECEDING): moving sum in exact integer cents"),
+
+    Q("o13_branch_merge",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        val branches = graft.ops.Relational.branch(Seq(
+          col("o_totalprice") >= 300000, col("o_totalprice") >= 100000))(o)
+        graft.ops.Relational.merge(Seq(
+          branches(0).withColumn("tier", lit("high")),
+          branches(1).withColumn("tier", lit("mid")),
+          branches(2).withColumn("tier", lit("low"))))
+      },
+      // first-match-wins branch semantics = ordered CASE WHEN
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CASE WHEN o_totalprice >= 300000 THEN 'high'
+             |       WHEN o_totalprice >= 100000 THEN 'mid'
+             |       ELSE 'low' END AS tier
+             |FROM orders""".stripMargin),
+      "DSL branch/merge: first-match routing into tagged branches, merged back (union)")
   )
 }

@@ -128,6 +128,28 @@ object Relational {
   def filteredJoin(right: DataFrame, eq: Column, residual: Column)(left: DataFrame): DataFrame =
     left.join(right, eq).filter(residual)
 
+  /** DSL `stream.split().branch(...).defaultBranch()` analog: route each
+    * record to the FIRST branch whose predicate matches (Kafka Streams
+    * branch semantics — predicates are tried in order, a record lands in
+    * exactly one branch). Returns `predicates.size + 1` DataFrames, the
+    * last being the no-match remainder. Compose with [[merge]] for
+    * tagged-union pipelines. Each branch is a filter over the same source
+    * plan — Catalyst pushes all of them to the scan.
+    */
+  def branch(predicates: Seq[Column])(df: DataFrame): Seq[DataFrame] = {
+    val firstMatch = predicates.zipWithIndex.map { case (p, i) =>
+      predicates.take(i).foldLeft(p)((acc, prev) => acc && !prev)
+    }
+    val remainder = predicates.map(p => !p).reduce(_ && _)
+    (firstMatch :+ remainder).map(df.filter)
+  }
+
+  /** DSL `stream.merge(other)` analog: union by column name — works for
+    * batch and streaming inputs alike (streaming union is stateless).
+    */
+  def merge(streams: Seq[DataFrame]): DataFrame =
+    streams.reduce(_.unionByName(_))
+
   /** Salted inner equi-join for EXTREME key skew: when one join key is so
     * hot that its rows exceed a single task (AQE's skew-join split handles
     * moderate skew automatically; salting is the manual fallback beyond

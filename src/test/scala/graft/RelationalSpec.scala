@@ -113,6 +113,16 @@ class RelationalSpec extends SparkSpec {
       Set(Seq(1000000000L - tolUs), Seq(1000000000L + tolUs)))
   }
 
+  test("branch routes first-match-wins with a default branch; merge reunites losslessly") {
+    val df = Seq((1, 350), (2, 150), (3, 50)).toDF("id", "v")
+    val bs = branch(Seq(col("v") >= 300, col("v") >= 100))(df)
+    assert(bs.size === 3)
+    assert(rowsOf(bs(0)) === Set(Seq(1, 350)))
+    assert(rowsOf(bs(1)) === Set(Seq(2, 150))) // 350 already taken by branch 0
+    assert(rowsOf(bs(2)) === Set(Seq(3, 50)))  // default branch
+    assert(rowsOf(merge(bs)) === rowsOf(df))   // partition: nothing lost or duplicated
+  }
+
   test("salted join equals the plain join, including duplicate and hot keys") {
     val left = Seq.tabulate(40)(i => (if (i % 4 == 0) "hot" else s"k$i", i))
       .toDF("k", "v")

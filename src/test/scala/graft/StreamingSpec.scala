@@ -211,6 +211,21 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out.select(col("orderId"))) === Set(Seq("o1"), Seq("o2")))
   }
 
+  test("merge unions two live streams (DSL stream.merge analog)") {
+    val (ms1, df1) = Sources.memoryStream[OrderEvent](spark)
+    val (ms2, df2) = Sources.memoryStream[OrderEvent](spark)
+    val name = freshTable()
+    val q = graft.ops.Relational.merge(Seq(df1, df2))
+      .select(col("orderId"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms1.addData(orders.take(2))
+    ms2.addData(orders.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    assert(rowsOf(spark.table(name)) ===
+      Set(Seq("o1"), Seq("o2"), Seq("o3"), Seq("o4")))
+  }
+
   test("serde drops malformed records, keeps decodable ones (KSA:59-74)") {
     val schema = StructType.fromDDL("orderId STRING, amount DOUBLE")
     val raw = Seq(

@@ -211,6 +211,25 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out.select(col("orderId"))) === Set(Seq("o1"), Seq("o2")))
   }
 
+  test("bounded top-k aggregate works incrementally over a stream") {
+    import graft.functions.TopKByScore
+    val cands = Seq(
+      ("q", 0.9, 1L), ("q", 0.5, 2L), ("q", 0.95, 3L),
+      ("q", 0.7, 4L), ("q", 0.99, 5L))
+    val (ms, raw) = Sources.memoryStream[(String, Double, Long)](spark)
+    val df = raw.toDF("qid", "sim", "id")
+    val name = freshTable()
+    val q = df.groupBy("qid").agg(TopKByScore(2)(col("sim"), col("id")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).as("rank"), col("col.id").as("id"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    ms.addData(cands.take(3)); q.processAllAvailable()
+    ms.addData(cands.drop(3)); q.processAllAvailable()
+    q.stop()
+    // final state: best two of ALL candidates across batches
+    assert(rowsOf(spark.table(name)) === Set(Seq("q", 1L, 5L), Seq("q", 2L, 3L)))
+  }
+
   test("merge unions two live streams (DSL stream.merge analog)") {
     val (ms1, df1) = Sources.memoryStream[OrderEvent](spark)
     val (ms2, df2) = Sources.memoryStream[OrderEvent](spark)

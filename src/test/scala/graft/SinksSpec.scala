@@ -35,10 +35,10 @@ class SinksSpec extends SparkSpec {
   test("K1 foreachBatch sink observes each micro-batch with its id") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val (ms, df) = Sources.memoryStream[OrderEvent](spark)
-    val q = Sinks.foreachBatchSink(df, "append") { (batch, id) =>
+    ms.addData(orders.take(2))
+    val q = Sinks.runToFixpoint(Sinks.foreachBatchSink(df, "append") { (batch, id) =>
       seen += ((id, batch.count()))
-    }.start()
-    ms.addData(orders.take(2)); q.processAllAvailable()
+    })
     ms.addData(orders.drop(2)); q.processAllAvailable()
     q.stop()
     assert(seen.map(_._2).sum === 3L)

@@ -137,10 +137,14 @@ object Relational {
     * plan — Catalyst pushes all of them to the scan.
     */
   def branch(predicates: Seq[Column])(df: DataFrame): Seq[DataFrame] = {
-    val firstMatch = predicates.zipWithIndex.map { case (p, i) =>
-      predicates.take(i).foldLeft(p)((acc, prev) => acc && !prev)
+    // null-safe: a NULL predicate result means "no match" (→ default
+    // branch), like CASE WHEN — under raw three-valued logic a null would
+    // drop the record from EVERY branch and break the partition property
+    val norm = predicates.map(p => coalesce(p, lit(false)))
+    val firstMatch = norm.zipWithIndex.map { case (p, i) =>
+      norm.take(i).foldLeft(p)((acc, prev) => acc && !prev)
     }
-    val remainder = predicates.map(p => !p).reduce(_ && _)
+    val remainder = norm.map(p => !p).reduce(_ && _)
     (firstMatch :+ remainder).map(df.filter)
   }
 

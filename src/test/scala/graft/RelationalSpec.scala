@@ -114,13 +114,14 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("branch routes first-match-wins with a default branch; merge reunites losslessly") {
-    val df = Seq((1, 350), (2, 150), (3, 50)).toDF("id", "v")
+    val df = Seq((1, Some(350)), (2, Some(150)), (3, Some(50)), (4, None))
+      .toDF("id", "v")
     val bs = branch(Seq(col("v") >= 300, col("v") >= 100))(df)
     assert(bs.size === 3)
-    assert(rowsOf(bs(0)) === Set(Seq(1, 350)))
-    assert(rowsOf(bs(1)) === Set(Seq(2, 150))) // 350 already taken by branch 0
-    assert(rowsOf(bs(2)) === Set(Seq(3, 50)))  // default branch
-    assert(rowsOf(merge(bs)) === rowsOf(df))   // partition: nothing lost or duplicated
+    assert(rowsOf(bs(0).select(col("id"))) === Set(Seq(1)))
+    assert(rowsOf(bs(1).select(col("id"))) === Set(Seq(2))) // 350 already taken by branch 0
+    assert(rowsOf(bs(2).select(col("id"))) === Set(Seq(3), Seq(4))) // incl. NULL → default
+    assert(rowsOf(merge(bs)) === rowsOf(df)) // partition: nothing lost or duplicated
   }
 
   test("salted join equals the plain join, including duplicate and hot keys") {

@@ -138,13 +138,15 @@ object Dedup {
     * survivor-selection step that turns pairwise similarity into an
     * actionable keep/drop decision.
     *
-    * Algorithm: iterative min-label propagation (each round, every node
-    * takes the min label among itself and its neighbors) — converges in
-    * O(component diameter) rounds; near-dup components are shallow in
-    * practice. Each round is one join + one aggregate, both keyed
-    * shuffles; `localCheckpoint` truncates the growing lineage (the
-    * standard Spark idiom for driver-looped iterative algorithms — the
-    * loop is over ACTIONS, never over collected data).
+    * Algorithm: min-label propagation with pointer doubling — each round
+    * every node takes the min label among itself, its neighbors, AND its
+    * label's label (the shortcut halves remaining component diameter, so
+    * convergence is O(log diameter) rounds, not O(diameter): a 1000-doc
+    * duplication chain converges in ~10 rounds instead of silently
+    * stopping un-converged at the iteration cap). Each round is two keyed
+    * joins + one aggregate; `localCheckpoint` truncates the growing
+    * lineage (the standard Spark idiom for driver-looped iterative
+    * algorithms — the loop is over ACTIONS, never over collected data).
     */
   def canonicalize(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
@@ -161,9 +163,14 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges.join(labels, col("y") === col("id"))
         .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, col("id") === col("x"), "left")
+      val viaNeighbors = labels.join(neighborMin, col("id") === col("x"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer doubling: follow the current label one more hop
+      val hop = labels.select(col("id").as("lid"), col("label").as("llabel"))
+      val updated = viaNeighbors.join(hop, col("label") === col("lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
         .localCheckpoint()
       changed = updated.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()

@@ -67,6 +67,17 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L), Seq(9L, 9L)))
   }
 
+  test("canonicalize converges on a long chain well inside the iteration cap") {
+    // 41-node path: plain 1-hop propagation would need 40 rounds and stop
+    // un-converged at maxIter=20; pointer doubling needs ~log2(40)
+    val n = 40L
+    val ids = (0L to n).toDF("id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.canonicalize(ids, pairs, maxIter = 12)
+    assert(out.filter(col("canonical") =!= 0L).count() === 0)
+    assert(out.count() === n + 1)
+  }
+
   test("X2 simhashByDoc equals the scalar HOF simhash") {
     val viaHof = docs.withColumn("toks", Texts.tokens(col("text")))
       .select(col("doc_id").as("id"), Dedup.simhash("toks").as("simhash"))

@@ -28,10 +28,14 @@ object Dedup {
     * (lowest `tiebreak`). `dropDuplicates` would keep an arbitrary row —
     * fine in production, not reproducible against an oracle.
     */
-  def exact(keys: Seq[Column], tiebreak: Column)(df: DataFrame): DataFrame =
+  def exact(keys: Seq[Column], tiebreak: Column)(df: DataFrame): DataFrame = {
+    // an empty key list would plan a GLOBAL window — every row through one
+    // reducer; that is never what a dedup caller means
+    require(keys.nonEmpty, "exact dedup requires at least one key column")
     df.withColumn("__rn", row_number().over(Window.partitionBy(keys: _*).orderBy(tiebreak)))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
 
   /** All candidate pairs (a < b) with shingle-set Jaccard >= `threshold`.
     *
@@ -227,6 +231,10 @@ object Dedup {
     * scheme): candidate generation is equi-join-shaped, never all-pairs.
     */
   def simhashPairs(id: Column, text: Column, maxHamming: Int)(df: DataFrame): DataFrame = {
+    // >= 64 would make the chunk width 0 and every fingerprint share one
+    // bucket — an accidental all-pairs join
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val nChunks = maxHamming + 1
     val bits = 64 / nChunks // last chunk absorbs the remainder bits
     val fps = simhashByDoc(id, text)(df)

@@ -75,8 +75,13 @@ object TextAnalysis {
     * which is what a training-data pipeline needs for auditable splits —
     * and it is embarrassingly parallel (no RNG state, no seed plumbing).
     */
-  def deterministicSample(key: Column, hexThreshold: String): Column =
+  def deterministicSample(key: Column, hexThreshold: String): Column = {
+    // md5 emits LOWERCASE hex; an uppercase or non-hex threshold would
+    // compare at the wrong collation point and silently skew the rate
+    require(hexThreshold.nonEmpty && hexThreshold.matches("[0-9a-f]+"),
+      s"hexThreshold must be non-empty lowercase hex, got '$hexThreshold'")
     md5(key.cast("string")) < hexThreshold
+  }
 
   /** Document fingerprints: full-text digest + first-`prefixTokens` prefix
     * digest (cheap clustering key for exact / prefix dedup).

@@ -255,7 +255,61 @@ object Queries {
              |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name""".stripMargin),
-      "TPC-H Q5-style regional volume: 6-way join incl. broadcast dims, local-supplier residual")
+      "TPC-H Q5-style regional volume: 6-way join incl. broadcast dims, local-supplier residual"),
+
+    Q("q4_order_priority",
+      (s, dir) => {
+        // genuine correlated EXISTS through the SQL surface — Catalyst
+        // decorrelates it into a left-semi join (RewritePredicateSubquery)
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+                |FROM orders_v o
+                |WHERE EXISTS (SELECT 1 FROM lineitem_v
+                |              WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+                |GROUP BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority""".stripMargin),
+      "TPC-H Q4-style: correlated EXISTS decorrelated to a left-semi join, priority counts"),
+
+    Q("q18_large_orders",
+      (s, dir) => {
+        // IN-subquery over a HAVING aggregate — planned as a semi-join
+        // against the aggregated subquery
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM orders_v
+                |WHERE o_orderkey IN (
+                |  SELECT l_orderkey FROM lineitem_v
+                |  GROUP BY l_orderkey
+                |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem
+             |  GROUP BY l_orderkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin),
+      "TPC-H Q18-style: IN-subquery over a HAVING aggregate = semi-join against an agg"),
+
+    Q("o14_grouping_sets_sql",
+      (s, dir) => {
+        // the SQL entry path of the engine: the same Catalyst planner,
+        // driven by spark.sql over a registered view
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+                |FROM orders_v
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
+      "GROUPING SETS through the spark.sql surface (same planner, SQL front door)")
   )
 
   /** Full catalog: reference parity + extensions + superset ops. */

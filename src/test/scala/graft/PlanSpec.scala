@@ -42,6 +42,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("EXISTS and IN subqueries decorrelate to semi-joins (RewritePredicateSubquery)") {
+    for (name <- Seq("q4_order_priority", "q18_large_orders")) {
+      val p = plan(q(name))
+      assert(p.contains("LeftSemi"), s"$name did not plan a semi-join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("o1 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(q("o1_topk"))
     assert(p.contains("TakeOrderedAndProject"), p)

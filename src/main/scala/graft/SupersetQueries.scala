@@ -163,6 +163,13 @@ object SupersetQueries {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       "exact interpolated percentiles per group (sort-based aggregate)"),
 
+    Q("o11b_approx_percentile",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_est")),
+      None, // sketch estimates are engine-specific; rows-only check
+      "approx percentile (KLL-style sketch) — the constant-memory scale path next to exact o11"),
+
     Q("o4b_cube",
       (s, dir) => Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))

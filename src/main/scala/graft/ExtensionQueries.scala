@@ -249,6 +249,20 @@ object ExtensionQueries {
               |WHERE md5(CAST(doc_id AS VARCHAR)) < 'c0'""".stripMargin),
       "X1-X3 curation composite: normalize -> quality filter -> fingerprint dedup -> deterministic 75% sample"),
 
+    Q("x6b_split_assign",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextAnalysis.assignSplit(col("doc_id"),
+          Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).as("split")),
+      Some {
+        val Seq(t1, t2) = TextAnalysis.splitThresholds(Seq(0.8, 0.1, 0.1))
+        s"""SELECT doc_id,
+           |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
+           |       WHEN md5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      },
+      "deterministic train/val/test split via md5 thresholds — identical routing in both engines"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

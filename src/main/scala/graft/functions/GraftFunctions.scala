@@ -27,6 +27,11 @@ object GraftFunctions {
       case Seq(a, b) => DotProduct(a, b)
       case other => throw new IllegalArgumentException(
         s"dot_product expects 2 arguments, got ${other.size}")
+    },
+    "l2_normalize" -> {
+      case Seq(v) => L2Normalize(v)
+      case other => throw new IllegalArgumentException(
+        s"l2_normalize expects 1 argument, got ${other.size}")
     })
 
   private def info(name: String): ExpressionInfo =

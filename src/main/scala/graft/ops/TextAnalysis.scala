@@ -83,6 +83,34 @@ object TextAnalysis {
     md5(key.cast("string")) < hexThreshold
   }
 
+  /** Hex thresholds over the first 6 md5 digits for cumulative split
+    * fractions — shared between [[assignSplit]] and its SQL oracle so both
+    * engines route on identical literals.
+    */
+  def splitThresholds(fractions: Seq[Double]): Seq[String] = {
+    require(fractions.nonEmpty && fractions.forall(_ > 0)
+      && math.abs(fractions.sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1, got $fractions")
+    fractions.scanLeft(0.0)(_ + _).tail.dropRight(1)
+      .map(f => f"${math.floor(f * 0x1000000).toLong}%06x")
+  }
+
+  /** Deterministic train/val/test split assignment: route each key into a
+    * named bucket by comparing its md5 digest against cumulative hex
+    * thresholds (first match wins, last name is the remainder). Like
+    * [[deterministicSample]] this is reproducible across engines, runs and
+    * retries — auditable dataset splits with no RNG state — and is a pure
+    * map-only expression.
+    */
+  def assignSplit(key: Column, fractions: Seq[Double], names: Seq[String]): Column = {
+    require(names.size == fractions.size, "one name per fraction")
+    val digest = md5(key.cast("string"))
+    splitThresholds(fractions).zip(names.init)
+      .foldRight(lit(names.last): Column) { case ((t, n), acc) =>
+        when(digest < t, lit(n)).otherwise(acc)
+      }
+  }
+
   /** Document fingerprints: full-text digest + first-`prefixTokens` prefix
     * digest (cheap clustering key for exact / prefix dedup).
     */

@@ -88,14 +88,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("SQL registration exposes cosine_similarity and dot_product to spark.sql") {
+  test("SQL registration exposes cosine_similarity, dot_product and l2_normalize to spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
-        |       dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d""".stripMargin)
+        |       dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
+        |       l2_normalize(array(3.0D, 4.0D)) AS n""".stripMargin)
       .collect()(0)
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 23.0)
+    assert(r.getSeq[Double](2) === Seq(0.6, 0.8))
+  }
+
+  test("l2_normalize yields unit vectors; cosine of normalized = dot; zero vector stays zero") {
+    import graft.functions.{DotProduct, L2Normalize}
+    val df = Seq(
+      (Array(3.0f, 4.0f), Array(1.0f, 0.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(
+      DotProduct(L2Normalize(col("a")), L2Normalize(col("a"))).as("selfdot"),
+      L2Normalize(col("a")).as("na"))
+    val rows = out.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12) // unit norm
+    assert(rows(1).getDouble(0) === 0.0) // zero vector → zeros, not NaN
+    assert(rows(1).getSeq[Double](1) === Seq(0.0, 0.0))
   }
 
   test("hyperplaneTopK returns correctly-ranked results within buckets") {

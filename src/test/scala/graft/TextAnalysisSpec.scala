@@ -60,6 +60,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p50 > 60 && p50 < 140) // roughly half
   }
 
+  test("assignSplit partitions keys deterministically with roughly the asked fractions") {
+    val df = (1L to 1000L).toDF("id")
+    val split = TextAnalysis.assignSplit(col("id"),
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val counts = df.groupBy(split.as("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test")) // total partition
+    assert(counts.values.sum === 1000L)
+    assert(counts("train") > 700 && counts("train") < 900)
+    // deterministic: same assignment on re-evaluation
+    val again = df.groupBy(split.as("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
   test("bpeishTokens splits alnum runs and single symbols, dropping spaces") {
     val df = Seq((1L, "ab1 c-d, e!")).toDF("doc_id", "text")
     val out = df.select(Texts.bpeishTokens(col("text")).as("t")).collect()(0).getSeq[String](0)

@@ -195,6 +195,27 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
       "X3 document fingerprinting: full digest + token-prefix digest"),
 
+    Q("x3d_embedding_dups",
+      (s, dir) => {
+        val corpus = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        // 0.35 ≈ the 99.9th percentile of pairwise cosine on this synthetic
+        // corpus — "near-dup" relative to its random baseline
+        Similarity.embeddingDupPairs(corpus, 4, 64, 0.35)
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      },
+      None, // LSH buckets are hash-derived; unit test bounds recall/precision
+      "X2 embedding-cosine near-dup pairs: hyperplane bucket self-join, exact cosine verify"),
+
+    Q("x4g_rolling_fp",
+      (s, dir) => TextAnalysis.rollingFingerprints(col("doc_id"), col("text"), 8)(docs(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             |             WHERE len(string_split(text, ' ')) >= 8)
+             |SELECT doc_id, CAST(i AS INT) AS pos,
+             |       md5(array_to_string(toks[i:i+7], ' ')) AS window_fp
+             |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM toks)""".stripMargin),
+      "X3 rolling window fingerprints (8-token sliding md5) for partial-overlap detection"),
+
     Q("x4e_bpeish_count",
       (s, dir) => docs(s, dir).select(
         col("doc_id"),

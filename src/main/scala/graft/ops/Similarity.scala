@@ -140,6 +140,28 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Embedding near-DUP pairs at scale: all (a < b) with cosine >=
+    * `threshold`, candidates generated by a hyperplane-LSH bucket
+    * self-join (vectors at small angles collide) and verified with the
+    * exact codegen'd cosine — the embedding twin of
+    * [[graft.ops.Dedup.minhashLshPairs]]: equi-join-shaped candidate
+    * generation, never all-pairs. Fewer bits ⇒ higher recall, bigger
+    * buckets; near-identical vectors (dedup territory, cos ≈ 1) collide
+    * with near-certainty at any nBits.
+    */
+  def embeddingDupPairs(corpus: DataFrame, nBits: Int, dim: Int,
+      threshold: Double): DataFrame = {
+    val bucketed = corpus
+      .select(col("id"), col("vec"), hyperplaneBucket(col("vec"), nBits, dim).as("bucket"))
+      .repartition(col("bucket")) // one reused exchange for both join sides
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        cosine(col("l.vec"), col("r.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** ANN via random-hyperplane LSH: bucket corpus and queries by
     * [[hyperplaneBucket]] sign bits (vectors with small angles collide),
     * then exact top-k within each query's bucket. Scans ~corpus/2^nBits

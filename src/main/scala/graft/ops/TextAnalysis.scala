@@ -119,4 +119,21 @@ object TextAnalysis {
       id.as("doc_id"),
       md5(text).as("fp"),
       md5(concat_ws(" ", slice(Texts.tokens(text), 1, prefixTokens))).as("prefix_fp"))
+
+  /** Rolling window fingerprints: one digest per `window`-token sliding
+    * position — the chunk-level fingerprint set used for partial-overlap
+    * detection (quotes, boilerplate, near-containment), where a whole-doc
+    * digest only catches exact dups. Built on the HOF-free exploded
+    * shingle path (codegen'd); digests are md5 so the oracle can mirror
+    * them.
+    */
+  def rollingFingerprints(id: Column, text: Column, window: Int)(df: DataFrame): DataFrame = {
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .filter(size(col("toks")) >= window)
+    toks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (window - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(window)))).as("window_fp"))
+  }
 }

@@ -114,6 +114,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1).getSeq[Double](1) === Seq(0.0, 0.0))
   }
 
+  test("embeddingDupPairs: only true pairs emitted; near-identical vectors found") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.embeddingDupPairs(corpus, 2, 3, 0.99)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // near-identical vectors collide and verify
+    // every emitted pair genuinely clears the threshold (verify step)
+    out.collect().foreach(r => assert(r.getDouble(2) >= 0.99))
+    // no pair involving the orthogonal/opposite vectors
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L })
+  }
+
   test("hyperplaneTopK returns correctly-ranked results within buckets") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
     val out = Similarity.hyperplaneTopK(vecs, queries, 2, 3, 3)

@@ -44,6 +44,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 === out(2L)._2) // first 10 tokens equal
   }
 
+  test("rollingFingerprints emits one digest per sliding window; shared windows match") {
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "x b c d e"), // shares the trailing 4-token window with doc 1
+      (3L, "a b")        // shorter than the window → nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rollingFingerprints(col("doc_id"), col("text"), 4)(df)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.count(_._1 == 1L) === 2) // positions 1 and 2
+    assert(rows.count(_._1 == 3L) === 0)
+    val fp1 = rows.filter(t => t._1 == 1L && t._2 == 2).head._3 // "b c d e"
+    val fp2 = rows.filter(t => t._1 == 2L && t._2 == 2).head._3 // "b c d e"
+    assert(fp1 === fp2) // partial overlap detected via shared window digest
+  }
+
   test("normalize lowercases, strips punctuation, squeezes spaces") {
     val df = Seq((1L, "  Hello,   WORLD!! (x1) ")).toDF("doc_id", "text")
     val out = df.select(TextAnalysis.normalize(col("text")).as("n")).collect()(0).getString(0)

@@ -25,6 +25,10 @@ object DevBench {
     spark.sparkContext.setLogLevel("WARN")
     val sel = if (names.isEmpty) SparkEntry.queries
               else SparkEntry.queries.filter { case (n, _) => names.contains(n) }
+    // -rN: run each query N times (first iteration carries janino-compile /
+    // file-listing / AQE warmup; later iterations are the intrinsic time)
+    val repeat = args.collectFirst { case a if a.matches("-r\\d+") => a.drop(2).toInt }
+      .getOrElse(1)
     sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (explain) {
         println(s"===== $name plan =====")
@@ -32,10 +36,12 @@ object DevBench {
       }
       // time construction + count together, like Bench: some operators
       // (iterative ones with checkpoints) do real work at build time
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[devbench] $name%-24s $dt%8.3f s  rows=$n")
+      for (it <- 1 to repeat) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[devbench] $name%-24s $dt%8.3f s  rows=$n  it=$it")
+      }
     }
     spark.stop()
   }

@@ -242,15 +242,25 @@ object ExtensionQueries {
         // The end-to-end curation pass this engine exists for, as ONE
         // declarative plan: normalize → quality-filter → exact-dedup on
         // the normalized fingerprint → deterministic hash sample.
+        // Single scan: `qualityExpr` is a scalar computed NEXT TO the
+        // passthrough columns (round 2 re-derived norm on both sides of a
+        // doc_id self-join just to recover it), so the only exchange in the
+        // plan is the dedup window's hash partitioning on the fingerprint.
+        // The quality filter runs AFTER the dedup window, which is exact:
+        // rows in one fingerprint group share `norm`, hence share `quality`
+        // — the whole group passes or fails together, so filtering before
+        // or after picking the min-doc_id survivor yields the same set.
+        // Placed before, Catalyst would push the predicate below the norm
+        // projection and inline the 3-regex normalize chain once per
+        // quality term (6×/row, round 2's interpreted-HOF sin in codegen'd
+        // form); placed after the window it cannot cross the partition
+        // boundary, so normalize runs exactly once per row.
         val normed = docs(s, dir)
           .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
-        val scored = TextAnalysis.qualityScore(col("doc_id"), col("norm"))(normed)
-          .filter(col("quality") >= 0.45)
-          .select(col("doc_id"), col("quality"))
-        val kept = normed.join(scored, "doc_id")
-        val deduped = Dedup.exact(Seq(md5(col("norm"))), col("doc_id"))(kept)
-        deduped
-          .filter(TextAnalysis.deterministicSample(col("doc_id"), "c0"))
+        Dedup.exact(Seq(md5(col("norm"))), col("doc_id"))(normed)
+          .withColumn("quality", TextAnalysis.qualityExpr(col("norm")))
+          .filter(col("quality") >= 0.45 &&
+            TextAnalysis.deterministicSample(col("doc_id"), "c0"))
           .select(col("doc_id"), md5(col("norm")).as("norm_fp"), col("quality"))
       },
       Some(s"""WITH normed AS (SELECT doc_id,

@@ -192,10 +192,12 @@ object SupersetQueries {
             sum(col("cents")).over(w).as("mov_cents"),
             count(lit(1)).over(w).as("mov_n"))
       },
+      // CAST the window sum itself: DuckDB widens sum(BIGINT) OVER (...) to
+      // HUGEINT (int128), which the driver hash does not width-normalize.
       Some("""SELECT o_custkey, o_orderkey,
-             |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
              |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_cents,
+             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents,
              |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
              |FROM orders""".stripMargin),

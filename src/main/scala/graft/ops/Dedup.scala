@@ -55,24 +55,38 @@ object Dedup {
   def ngramJaccardPairs(id: Column, text: Column, n: Int, threshold: Double,
       maxShingleDf: Long = 0L)(df: DataFrame): DataFrame = {
     // One exchange on s serves everything shingle-keyed: HashPartitioning(s)
-    // satisfies the (id, s) distinct AND the per-shingle DF-count window.
-    // Per-doc set sizes are attached as a window over id and CARRIED THROUGH
-    // the pair join, so no per-doc sizes subplan has to re-derive the whole
-    // shingle pipeline; the self-join's two sides are one reused exchange.
-    // Every pass over the data runs exactly once.
+    // satisfies the (id, s) distinct, the per-shingle DF counts AND the pair
+    // self-join (both sides reuse that single exchange). The DF cut is a
+    // hash AGGREGATE + anti join, never a Window over s: a window would
+    // sort-buffer every occurrence of a stop-shingle in one task — at corpus
+    // scale that is the exact skew the cut exists to prevent — while the
+    // aggregate streams per-partition counters and the anti join drops hot
+    // shingles without materializing their row groups (AQE broadcasts the
+    // small hot-shingle side).
     val ex = Texts.explodedShingles(df, id, text, n)
       .repartition(col("s"))
       .dropDuplicates("id", "s")
     val kept =
       if (maxShingleDf <= 0) ex
-      else ex.withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
-        .filter(col("__df") <= maxShingleDf)
-        .drop("__df")
-    val withSz = kept.withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-    withSz.as("l").join(withSz.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.sz").as("sza"), col("r.sz").as("szb"))
+      else {
+        val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select(col("s"))
+        ex.join(hot, Seq("s"), "left_anti")
+      }
+    // Per-doc set sizes as a keyed AGGREGATE, not a Window over id: with
+    // map-side partial aggregation the sizes shuffle carries one (id, count)
+    // row per doc per map partition, where the round-2 id-window re-shuffled
+    // the entire (id, s) corpus to id and back to s. Pairs (already reduced
+    // to candidates) join the sizes on a and b.
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = kept.as("l")
+      .join(kept.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
       .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("sza") + col("szb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)

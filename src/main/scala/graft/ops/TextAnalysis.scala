@@ -20,9 +20,11 @@ object TextAnalysis {
       size(array_distinct(toks)).as("n_distinct"),
       array_max(transform(toks, t => length(t))).as("max_token_len"),
       // long, not int: DuckDB's list_sum yields HUGEINT, which the oracle
-      // hash-compare does not width-normalize (round-1 hash mismatch)
-      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-        .cast("long").as("sum_token_len"))
+      // hash-compare does not width-normalize (round-1 hash mismatch).
+      // Splitting on a single char means sum(token lengths) =
+      // length(text) - (n_tokens - 1) exactly — pure codegen'd arithmetic
+      // instead of an interpreted aggregate-over-transform lambda pass.
+      (length(text) - (size(toks) - lit(1))).cast("long").as("sum_token_len"))
   }
 
   /** Language-ID heuristic: fraction of tokens in an English stopword
@@ -32,7 +34,7 @@ object TextAnalysis {
     */
   def langIdEn(id: Column, text: Column)(df: DataFrame): DataFrame = {
     val toks = Texts.tokens(text)
-    val hits = size(filter(toks, t => t.isInCollection(Texts.enStopwords)))
+    val hits = regexp_count(text, lit(Texts.stopwordCountPattern))
     df.select(
       id.as("doc_id"),
       hits.as("en_hits"),
@@ -41,17 +43,38 @@ object TextAnalysis {
         .otherwise(lit("other")).as("lang_guess"))
   }
 
+  /** The three quality components, each a plain codegen'd expression (no
+    * lambda HOFs — those are CodegenFallback and the optimizer duplicates
+    * them into pushed-down filters, which made round 2's curation pipeline
+    * re-run interpreted passes per derived column): stopword hits count via
+    * `regexp_count` (exactly the token-equality count, see
+    * [[Texts.stopwordCountPattern]]) and token-length sum via the
+    * `length(text) - (n - 1)` identity for single-char splits.
+    */
+  private def qualityParts(text: Column): (Column, Column, Column) = {
+    val toks = Texts.tokens(text)
+    val n = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = regexp_count(text, lit(Texts.stopwordCountPattern)).cast("double") / n
+    val meanLen = (length(text) - (size(toks) - lit(1))).cast("double") / n
+    (diversity, stopRatio, meanLen)
+  }
+
+  /** Combined quality score as one scalar Column — for pipelines that only
+    * route on the score and carry their own passthrough columns (no
+    * re-derive-and-join; see the curation pipeline query).
+    */
+  def qualityExpr(text: Column): Column = {
+    val (diversity, stopRatio, meanLen) = qualityParts(text)
+    diversity * 0.5 + stopRatio * 0.25 + meanLen * 0.05
+  }
+
   /** Quality score: deterministic linear combination of length, lexical
     * diversity, stopword ratio and mean token length — the standard cheap
     * filters applied before expensive model-based scoring in data pipelines.
     */
   def qualityScore(id: Column, text: Column)(df: DataFrame): DataFrame = {
-    val toks = Texts.tokens(text)
-    val n = size(toks).cast("double")
-    val diversity = size(array_distinct(toks)).cast("double") / n
-    val stopRatio = size(filter(toks, t => t.isInCollection(Texts.enStopwords))).cast("double") / n
-    val meanLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-      .cast("double") / n
+    val (diversity, stopRatio, meanLen) = qualityParts(text)
     df.select(
       id.as("doc_id"),
       diversity.as("diversity"),

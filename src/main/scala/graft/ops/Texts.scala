@@ -70,4 +70,14 @@ object Texts {
 
   /** SQL literal of [[enStopwords]] for the DuckDB oracle. */
   val enStopwordsSql: String = enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Regex counting whitespace-delimited stopword tokens: each match is a
+    * full token (anchored on start-of-string/space before, space/end after,
+    * with a lookahead so adjacent stopwords both count). For text split on
+    * single spaces this counts exactly the tokens `t` with
+    * `t IN enStopwords` — the codegen'd (`regexp_count`) equivalent of the
+    * interpreted `size(filter(toks, _.isInCollection(...)))` lambda HOF.
+    */
+  val stopwordCountPattern: String =
+    enStopwords.mkString("(?:^| )(?:", "|", ")(?= |$)")
 }

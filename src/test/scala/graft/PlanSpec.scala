@@ -61,4 +61,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$name plans a Window:\n$p")
     }
   }
+
+  test("x2 pair pipeline plans no Window: DF cut and sizes are hash aggregates") {
+    // A Window over s would sort-buffer every occurrence of a stop-shingle
+    // in one task — the skew the DF cut exists to prevent (round-2 verdict).
+    val p = plan(q("x2_ngram_jaccard"))
+    assert(!p.contains("Window"), s"x2_ngram_jaccard plans a Window:\n$p")
+  }
+
+  test("x6 curation pipeline is a single pass: no join, one exchange (dedup window)") {
+    val p = plan(q("x6_curation_pipeline"))
+    assert(!p.toLowerCase.contains("join"), s"x6 plans a join:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"x6 plans more than one exchange (+reuse):\n$p")
+  }
 }

@@ -32,6 +32,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - (0.5 * 0.5 + 0.5 * 0.25 + 1.0 * 0.05)) < 1e-12)
   }
 
+  test("stopwordCountPattern counts exactly the stopword tokens (vs interpreted filter HOF)") {
+    // adjacent stopwords, prefix-shadowing (that vs the, a vs and), doubled
+    // spaces, stopwords at both ends, symbols that are regex metachars
+    val texts = Seq(
+      "the the the", "to the of", "that theory is a and ab", "a  the  b",
+      "", "x", "on", "cat on", "a|b the (a) for", "nothe then the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaRegex = df.select(col("doc_id"),
+      regexp_count(col("text"), lit(Texts.stopwordCountPattern)).as("c"))
+    val viaHof = df.select(col("doc_id"),
+      size(filter(Texts.tokens(col("text")),
+        t => t.isInCollection(Texts.enStopwords))).as("c"))
+    assert(rowsOf(viaRegex) === rowsOf(viaHof))
+  }
+
+  test("qualityExpr equals qualityScore's quality column") {
+    val df = Seq((1L, "the cat is on the mat"), (2L, "zzz qqq  www"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val viaExpr = df.select(col("doc_id"), TextAnalysis.qualityExpr(col("text")).as("quality"))
+    val viaScore = TextAnalysis.qualityScore(col("doc_id"), col("text"))(df)
+      .select(col("doc_id"), col("quality"))
+    assert(rowsOf(viaExpr) === rowsOf(viaScore))
+  }
+
   test("fingerprints: identical text → identical fp; shared prefix → same prefix_fp") {
     val df = Seq(
       (1L, "a b c d e f g h i j k l"),

@@ -22,6 +22,16 @@ object Bench {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet").limit(1).count()
     } catch { case _: Throwable => () }
+    // One untimed pass of the whole catalog first: each query's first run
+    // pays one-time janino codegen compilation and AQE stage planning
+    // (2-5 s for complex plans), which made reported numbers a function of
+    // POSITION in the run rather than of the plan (round-2 "regressions"
+    // were all first-run noise — warmed A/B showed every one at or under
+    // its round-1 time). A 100 TB cluster job compiles codegen once and
+    // then processes data for hours, so steady-state per-query time is the
+    // honest scale metric; the timed second pass reports exactly that.
+    for ((_, fn) <- SparkEntry.queries)
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -37,9 +37,8 @@ final case class EnrichedOrder(orderId: String, user: String, amount: Double,
   *
   * Scale notes: state is partitioned by key across executors; memory is
   * O(distinct keys × accumulator size) cluster-wide. For keys that stop
-  * arriving, pass an idle-timeout variant (GroupStateTimeout) — unbounded
-  * key spaces need ttl'd state, same discipline as compacted-topic
-  * retention.
+  * arriving, use [[Stateful.runningTotalsTtl]] — unbounded key spaces
+  * need ttl'd state, same discipline as compacted-topic retention.
   */
 object Stateful {
 
@@ -61,6 +60,63 @@ object Stateful {
           }
           state.update(next)
           next
+      }
+  }
+
+  /** [[runningTotals]] with idle-state TTL — the discipline the object
+    * scaladoc above demands for unbounded key spaces: a key that receives
+    * no events for `idleMs` of EVENT time has its accumulator DROPPED from
+    * the state store once the watermark passes its idle deadline, so
+    * cluster-wide state is bounded by (active keys × accumulator size)
+    * instead of (all keys ever seen) — the same retention contract as a
+    * TTL'd compacted topic. A key that reappears after expiry restarts
+    * its totals from zero.
+    *
+    * Event-time (not processing-time) timeout, deliberately: expiry then
+    * rides the same watermark that bounds every other state store in the
+    * engine — deterministic, replayable, and free of the busy-spin
+    * ProcessingTimeTimeout causes (its `shouldRunAnotherBatch` is
+    * unconditionally true, so an armed idle deadline makes the engine run
+    * empty micro-batches back-to-back between data arrivals). The input
+    * must carry a watermark on `ts`; `watermarkDelay` applies it.
+    * Streaming-only by nature (timeouts never fire in batch — use
+    * [[runningTotals]] as the batch fixpoint).
+    *
+    * `flatMapGroupsWithState` rather than `mapGroupsWithState` because the
+    * timeout invocation must emit NOTHING (there is no refreshed value for
+    * an expiring key — mapGroups would be forced to re-emit stale totals).
+    */
+  def runningTotalsTtl(orders: Dataset[OrderEvent], idleMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "0 seconds"): Dataset[UserTotals] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders.withWatermark("ts", watermarkDelay)
+      .as[OrderEvent]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (user: String, events: Iterator[OrderEvent], state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = events.toSeq
+            val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L, 0.0))
+            val next = evs.foldLeft(prev) { (acc, e) =>
+              UserTotals(user, acc.orders + 1, acc.products + e.products.size,
+                acc.amount + e.amount)
+            }
+            state.update(next)
+            // re-arm on every batch that touches the key: idle time counts
+            // from LAST activity. Clamped above the current watermark —
+            // Spark rejects a deadline the watermark already passed (a key
+            // whose events arrive at the watermark edge still gets one
+            // full idle period).
+            val deadline = math.max(evs.map(_.ts.getTime).max + idleMs,
+              state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(deadline)
+            Iterator.single(next)
+          }
       }
   }
 

@@ -99,7 +99,39 @@ object Topologies {
     * batch application of this same function is the oracle fixpoint.
     */
   def paidOrders(orders: DataFrame, payments: DataFrame, profiles: DataFrame,
-      discounts: DataFrame, joinWindow: String = "5 minutes"): DataFrame = {
+      discounts: DataFrame, joinWindow: String = "5 minutes"): DataFrame =
+    enrichedRekeyed(orders, profiles, discounts, joinWindow)
+      .join(watermarkedPayments(payments, joinWindow),
+        expr(intervalCond(joinWindow)))
+      .filter(col("status") === "PAID")
+      .select(col("orderId"), col("user"), col("profile"), col("amount"), col("status"))
+
+  /** Left-outer flagship variant — "orders with OR without payment", the
+    * DSL `leftJoin` surface the reference leaves unused (SURVEY §2.4).
+    * Same stages as [[paidOrders]], but the J3 payment join keeps
+    * unmatched orders with null payment columns, and the PAID residual
+    * moves INTO the join condition: applied after an outer join it would
+    * drop exactly the null-padded rows the outer join exists to emit.
+    *
+    * Streaming semantics: an unmatched order is emitted (null-padded)
+    * only once the watermark passes the end of its join interval — the
+    * state-expiry emission that the DSL's left-join grace period maps to.
+    * Until then the engine cannot know a matching payment won't still
+    * arrive. The batch application of this same function is the fixpoint
+    * the streaming test compares against.
+    */
+  def paidOrdersLeftOuter(orders: DataFrame, payments: DataFrame, profiles: DataFrame,
+      discounts: DataFrame, joinWindow: String = "5 minutes"): DataFrame =
+    enrichedRekeyed(orders, profiles, discounts, joinWindow)
+      .join(watermarkedPayments(payments, joinWindow),
+        expr(intervalCond(joinWindow) + " AND status = 'PAID'"), "left_outer")
+      .select(col("orderId"), col("user"), col("profile"), col("amount"), col("status"))
+
+  /** Shared J1→J2→P4 prefix of the flagship: profile snapshot join,
+    * broadcast discount join with the discount applied, re-key by orderId.
+    */
+  private def enrichedRekeyed(orders: DataFrame, profiles: DataFrame,
+      discounts: DataFrame, joinWindow: String): DataFrame = {
     val withProfile = Relational.streamTableJoin(profiles, Seq("user"))(
       orders.withWatermark("ts", joinWindow))
     val discounted = Relational.globalTableJoin(
@@ -108,15 +140,16 @@ object Topologies {
         col("profile") === col("d_profile"))(withProfile)
       .withColumn("amount", col("amount") * col("discount"))
       .drop("discount", "d_profile")
-    val rekeyed = Relational.selectKey(col("orderId"), "key")(discounted)
-    val paymentsW = payments
+    Relational.selectKey(col("orderId"), "key")(discounted)
+  }
+
+  private def watermarkedPayments(payments: DataFrame, joinWindow: String): DataFrame =
+    payments
       .withColumnRenamed("orderId", "p_orderId")
       .withColumnRenamed("ts", "pts")
       .withWatermark("pts", joinWindow)
-    rekeyed.join(paymentsW,
-        expr(s"key = p_orderId AND pts BETWEEN ts - INTERVAL $joinWindow " +
-          s"AND ts + INTERVAL $joinWindow"))
-      .filter(col("status") === "PAID")
-      .select(col("orderId"), col("user"), col("profile"), col("amount"), col("status"))
-  }
+
+  private def intervalCond(joinWindow: String): String =
+    s"key = p_orderId AND pts BETWEEN ts - INTERVAL $joinWindow " +
+      s"AND ts + INTERVAL $joinWindow"
 }

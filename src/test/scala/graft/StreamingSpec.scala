@@ -152,6 +152,73 @@ class StreamingSpec extends SparkSpec {
       Set(Seq("o1", 2000.0), Seq("o2", 720.0)))
   }
 
+  test("leftOuter flagship: null-padded orders appear only after the watermark passes") {
+    val profiles = Seq(("alice", "gold"), ("bob", "basic"), ("carol", "gold"))
+      .toDF("user", "profile")
+    val discounts = Seq(("gold", 0.5), ("basic", 0.9)).toDF("profile", "amount")
+    val payments = Seq(
+      PaymentEvent("o1", "PAID", ts("2024-01-01T00:04:59Z")),     // joins
+      PaymentEvent("o2", "PAID", ts("2024-01-01T00:00:06Z")),     // joins
+      PaymentEvent("o3", "PENDING", ts("2024-01-01T00:00:30Z")),  // residual fails → o3 null-padded
+      PaymentEvent("o4", "PAID", ts("2024-01-01T00:07:00Z")))     // outside ±5 min → o4 null-padded
+
+    val (oms, odf) = Sources.memoryStream[OrderEvent](spark)
+    val (pms, pdf) = Sources.memoryStream[PaymentEvent](spark)
+    val name = freshTable()
+    val q = Sinks.toMemory(
+      Topologies.paidOrdersLeftOuter(odf, pdf, profiles, discounts), name, "append").start()
+    oms.addData(orders)
+    q.processAllAvailable()
+    pms.addData(payments)
+    q.processAllAvailable()
+    // BEFORE the watermark passes the join intervals, only matched rows
+    // are out: the engine cannot yet rule out a payment for o3/o4
+    val early = spark.table(name).collect().map(_.toSeq).toSet
+    assert(early.map(_.head) === Set("o1", "o2"))
+    assert(early.forall(_.last != null)) // no null-padded rows yet
+    // flush both sides a day ahead → watermark passes every interval →
+    // unmatched orders expire from state and emit null-padded
+    oms.addData(Seq(OrderEvent("oflush", "alice", Seq(), 1.0, ts("2024-01-02T00:00:00Z"))))
+    pms.addData(Seq(PaymentEvent("pflush", "PAID", ts("2024-01-02T00:00:00Z"))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).filter(col("orderId") =!= "oflush")
+
+    // fixpoint = the batch application of the same function (the flush
+    // order is excluded: its own interval is still open at stop)
+    val batch = Topologies.paidOrdersLeftOuter(
+      orders.toDF(), payments.toDF(), profiles, discounts)
+    assert(rowsOf(streamed) === rowsOf(batch))
+    assert(rowsOf(streamed.select(col("orderId"), col("amount"), col("status"))) === Set(
+      Seq("o1", 2000.0, "PAID"), Seq("o2", 720.0, "PAID"),
+      Seq("o3", 600.0, null), Seq("o4", 750.0, null)))
+  }
+
+  test("runningTotalsTtl drops idle keys once the watermark passes and restarts their totals") {
+    import graft.streaming.Stateful
+    val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+    val name = freshTable()
+    // 10 s of event-time idleness expires a key
+    val q = Stateful.runningTotalsTtl(df.as[OrderEvent], idleMs = 10000L)
+      .toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+    // alice accumulates: o1 @00:00:01, then o3 @00:00:12 → deadline 00:00:22
+    ms.addData(orders.take(1)); q.processAllAvailable()
+    ms.addData(Seq(orders(2))); q.processAllAvailable()
+    // carol @00:01:00 advances the watermark past alice's idle deadline →
+    // the timeout sweep removes alice's accumulator (emitting nothing)
+    ms.addData(Seq(orders(3))); q.processAllAvailable()
+    // alice reappears @00:02:00 → totals restart from zero, not from 2
+    ms.addData(Seq(OrderEvent("o5", "alice", Seq("Pen"), 10.0,
+      ts("2024-01-01T00:02:00Z")))); q.processAllAvailable()
+    q.stop()
+    val aliceOrders = spark.table(name).filter(col("user") === "alice")
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(aliceOrders.sorted === Seq(1L, 1L, 2L)) // 1, 2 accumulating; then 1 restarted
+    // the expiry itself emitted nothing extra; carol has her single row
+    assert(spark.table(name).filter(col("user") === "carol").count() === 1)
+    assert(spark.table(name).count() === 4)
+  }
+
   test("mapGroupsWithState running totals reach the hand-folded fixpoint across batches") {
     import graft.streaming.Stateful
     val (ms, df) = Sources.memoryStream[graft.streaming.OrderEvent](spark)

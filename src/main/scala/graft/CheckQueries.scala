@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+import graft.ops.{Dedup, Similarity}
+
+/** Driver-visible invariants for the catalog's no-oracle queries (round-2
+  * verdict "what's missing #3"): the hash/sketch-based operators (xxhash64
+  * signatures, HLL/KLL sketches, hash-derived hyperplanes) cannot be
+  * reproduced in DuckDB SQL, so their catalog entries are rows-only at the
+  * driver. Each check query here closes that loop with an ORACLE-CHECKABLE
+  * statement about the no-oracle result:
+  *
+  *  - completeness against an exact twin where the method guarantees it
+  *    (MinHash-LSH recall at high Jaccard is ~certain: a pair at j >= 0.8
+  *    shares a 4-row band with p = 1-(1-j^4)^16 > 0.9997);
+  *  - precision re-verified through an INDEPENDENT implementation (the
+  *    interpreted lambda-HOF twins of the native codegen'd expressions);
+  *  - sketch error against the exact aggregate, within the tolerance the
+  *    sketch's parameters promise.
+  *
+  * Every check emits deterministic columns only (exact-side values and
+  * booleans that must be TRUE), so the driver's hash-compare turns a
+  * broken invariant into a red row in CORRECTNESS_r{N}.json.
+  */
+object CheckQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  val all: Seq[Q] = Seq(
+
+    Q("o6_hll_check",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nparts"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("nparts"),
+          (abs(col("approx") - col("nparts")).cast("double")
+            / col("nparts").cast("double") <= 0.15).as("within_tol")),
+      // HLL++ default rsd is 0.05; 0.15 = 3 sigma, so a green row means the
+      // sketch behaves as parameterized, not that it got lucky
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nparts, TRUE AS within_tol
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "invariant for o6: HLL++ estimate within 3-sigma of the exact distinct count"),
+
+    Q("o11b_sketch_check",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("est"))
+        .select(col("l_returnflag"), col("median_qty"),
+          (abs(col("est") - col("median_qty")) / col("median_qty") <= 0.05).as("within_tol")),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, TRUE AS within_tol
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "invariant for o11b: approx-percentile sketch within 5% of the exact median"),
+
+    Q("x2b_lsh_recall_check",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exact = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
+          maxShingleDf = 1000L)(d)
+          .filter(col("jaccard") >= 0.8)
+        val lsh = Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(d)
+        // every high-similarity exact pair must have been FOUND by LSH: a
+        // missed pair is a missing output row → driver hash mismatch
+        exact.join(lsh.select(col("a"), col("b")), Seq("a", "b"), "left_semi")
+      },
+      // oracle = the exact high-similarity pairs; completeness at j >= 0.8
+      // is a method guarantee (16 bands x 4 rows: miss prob < 3e-4 per pair)
+      Some(s"WITH ${ExtensionQueries.ngramPairsCte}\n" +
+        "SELECT a, b, jaccard FROM jp WHERE jaccard >= 0.8"),
+      "invariant for x2b: MinHash-LSH finds every exact near-dup pair with jaccard >= 0.8"),
+
+    Q("x2c_simhash_check",
+      (s, dir) => {
+        // differential: the corpus-scale codegen'd aggregate path must equal
+        // the interpreted scalar twin, on a deterministic 10% slice (the
+        // twin is 64 interpreted passes per row — fine as a spot check, not
+        // as a corpus pass)
+        val sub = docs(s, dir).filter(col("doc_id") % 10 === 0)
+        val fast = Dedup.simhashByDoc(col("doc_id"), col("text"))(sub)
+        val slow = sub.select(col("doc_id").as("id2"),
+            split(col("text"), " ").as("toks"))
+          .select(col("id2"), Dedup.simhash("toks").as("fp2"))
+        fast.join(slow, col("id") === col("id2"))
+          .agg(
+            coalesce(bool_and(col("simhash") === col("fp2")), lit(true))
+              .as("fingerprints_match"),
+            (count(lit(1)) > 0).as("checked_some"))
+      },
+      Some("SELECT TRUE AS fingerprints_match, TRUE AS checked_some"),
+      "invariant for x2c: codegen'd simhash aggregate equals the interpreted scalar twin"),
+
+    Q("x2d_simhash_check",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.simhashPairs(col("doc_id"), col("text"), 3)(d)
+        val toks = d.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        val inter = size(array_intersect(col("ta"), col("tb")))
+        // simhash is token-frequency LSH: pairs at Hamming <= 3 must be
+        // near-dups in token-set Jaccard (observed >= 0.86 on the corpus;
+        // 0.5 has margin while still catching a bucketing bug that pairs
+        // random docs, whose unigram jaccard concentrates far below)
+        pairs
+          .join(toks.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+          .join(toks.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+          .select((inter.cast("double")
+            / (size(col("ta")) + size(col("tb")) - inter).cast("double")).as("uni_j"))
+          .agg(
+            coalesce(bool_and(col("uni_j") >= 0.5), lit(true)).as("all_near_dups"),
+            (count(lit(1)) > 0).as("found_pairs"))
+      },
+      Some("SELECT TRUE AS all_near_dups, TRUE AS found_pairs"),
+      "invariant for x2d: every simhash Hamming<=3 pair is a unigram-Jaccard near-dup"),
+
+    Q("x3c_ann_check",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val ann = Similarity.hyperplaneTopK(corpus, queries, 4, 64, 3)
+        // (a) every emitted sim re-verified through the interpreted HOF twin
+        val verified = ann
+          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+          .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
+          .agg(
+            coalesce(bool_and(
+              abs(col("sim") - Similarity.cosineHof(col("qv"), col("cvec"))) < 1e-9),
+              lit(true)).as("sims_exact"),
+            (count(lit(1)) > 0).as("found_hits"))
+        // (b) ranks are consecutive and ordered by (sim DESC, id ASC)
+        val l = ann.select(col("qid"), col("rank"), col("sim"), col("id"))
+        val mono = l.as("x")
+          .join(l.as("y"),
+            col("x.qid") === col("y.qid") && col("x.rank") + 1 === col("y.rank"))
+          .agg(coalesce(bool_and(col("x.sim") > col("y.sim") ||
+            (col("x.sim") === col("y.sim") && col("x.id") < col("y.id"))),
+            lit(true)).as("ranks_monotone"))
+        verified.crossJoin(mono)
+      },
+      Some("SELECT TRUE AS sims_exact, TRUE AS found_hits, TRUE AS ranks_monotone"),
+      "invariant for x3c: ANN sims re-verified via the interpreted twin; ranking well-formed"),
+
+    Q("x3d_embdup_check",
+      (s, dir) => {
+        val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val pairs = Similarity.embeddingDupPairs(corpus, 4, 64, 0.35)
+        pairs
+          .join(corpus.select(col("id").as("a"), col("vec").as("va")), "a")
+          .join(corpus.select(col("id").as("b"), col("vec").as("vb")), "b")
+          .agg(
+            coalesce(bool_and(col("cos") >= 0.35 &&
+              abs(col("cos") - Similarity.cosineHof(col("va"), col("vb"))) < 1e-9),
+              lit(true)).as("pairs_verified"),
+            (count(lit(1)) > 0).as("found_pairs"))
+      },
+      Some("SELECT TRUE AS pairs_verified, TRUE AS found_pairs"),
+      "invariant for x3d: every emitted near-dup pair's cosine re-verified via the interpreted twin")
+  )
+}

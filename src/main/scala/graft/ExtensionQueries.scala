@@ -16,7 +16,7 @@ object ExtensionQueries {
     * (`jp(a, b, jaccard)`), mirrored by `Dedup.ngramJaccardPairs(..., 1000)`.
     * Used by both the pairs query and the canonicalization closure.
     */
-  private val ngramPairsCte: String =
+  private[graft] val ngramPairsCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |ex AS (SELECT DISTINCT doc_id,
       |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]

@@ -312,8 +312,10 @@ object Queries {
       "GROUPING SETS through the spark.sql surface (same planner, SQL front door)")
   )
 
-  /** Full catalog: reference parity + extensions + superset ops. */
-  def catalog: Seq[Q] = all ++ ExtensionQueries.all ++ SupersetQueries.all
+  /** Full catalog: reference parity + extensions + superset ops +
+    * driver-visible invariants over the no-oracle queries. */
+  def catalog: Seq[Q] =
+    all ++ ExtensionQueries.all ++ SupersetQueries.all ++ CheckQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.run).toMap

@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,7 +20,6 @@ object Bench {
       for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings"))
         spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet").limit(1).count()
     } catch { case _: Throwable => () }
     // One untimed pass of the whole catalog first: each query's first run

@@ -130,11 +130,16 @@ object SupersetQueries {
             c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
               .withColumn("has_big_order", lit(false)))
       },
-      Some("""SELECT c_custkey, TRUE AS has_big_order FROM customer
-             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
+      // EXISTS, not IN: `NOT IN` returns no rows if the subquery ever
+      // yields a NULL key — correct today only because o_custkey is
+      // non-null; EXISTS has the anti-join semantics unconditionally
+      Some("""SELECT c_custkey, TRUE AS has_big_order FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 400000)
              |UNION ALL
-             |SELECT c_custkey, FALSE AS has_big_order FROM customer
-             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)""".stripMargin),
+             |SELECT c_custkey, FALSE AS has_big_order FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 400000)""".stripMargin),
       "semi + anti join partition of customers by big-order existence"),
 
     Q("o10_salted_join",

@@ -37,7 +37,11 @@ object Tables {
     *    `session_window()` (session TZ is UTC).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The engine's entry points (Verify/Bench/DevBench) set this at session
+    // build; the guarded set here covers ad-hoc sessions (tests, shells)
+    // without re-mutating an already-configured session on every call.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))

@@ -237,6 +237,34 @@ object ExtensionQueries {
              |      FROM documents)""".stripMargin),
       "X3 text normalization: lowercase, strip punctuation, squeeze spaces — same regexes both engines"),
 
+    Q("x4h_repetition",
+      (s, dir) => TextAnalysis.repetitionRatio(col("doc_id"), col("text"), 2)(docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |g AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS gs
+             |      FROM t)
+             |SELECT doc_id, len(gs) AS n_ngrams, len(list_distinct(gs)) AS n_distinct,
+             |       1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE) AS rep_ratio
+             |FROM g""".stripMargin),
+      "X3 repeated-bigram fraction (boilerplate / keyword-stuffing / loop filter), one keyed aggregate"),
+
+    Q("x4i_redact_pii",
+      (s, dir) => {
+        val red = TextAnalysis.redactPii(col("text"))
+        docs(s, dir).select(col("doc_id"), red.as("red"),
+          regexp_count(red, lit("<EMAIL>|<URL>|<PHONE>")).as("n_tags"))
+      },
+      Some {
+        // build the oracle replace chain from the SAME pattern literals
+        val chain = TextAnalysis.piiPatterns.foldLeft("text") {
+          case (e, (p, t)) => s"regexp_replace($e, '$p', '$t', 'g')"
+        }
+        s"""SELECT doc_id, $chain AS red,
+           |  len(regexp_extract_all($chain, '<EMAIL>|<URL>|<PHONE>')) AS n_tags
+           |FROM documents""".stripMargin
+      },
+      "X3 PII-shaped span redaction (emails, URLs, phone runs) — same regex literals both engines"),
+
     Q("x6_curation_pipeline",
       (s, dir) => {
         // The end-to-end curation pass this engine exists for, as ONE

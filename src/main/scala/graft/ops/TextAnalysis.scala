@@ -134,6 +134,44 @@ object TextAnalysis {
       }
   }
 
+  /** Repetition ratio — the classic "repeated n-gram fraction" quality
+    * filter for training corpora (a high ratio flags boilerplate, keyword
+    * stuffing, decoding loops): 1 - distinct_ngrams / total_ngrams over
+    * `n`-token shingles. Built on the exploded codegen shingle path +
+    * ONE keyed aggregate with map-side combine (count + count-distinct per
+    * doc), so the corpus pass is generated code and the shuffle carries
+    * per-doc partials — no per-row interpreted shingle arrays. Docs
+    * shorter than `n` tokens have no shingles and emit no row.
+    */
+  def repetitionRatio(id: Column, text: Column, n: Int)(df: DataFrame): DataFrame =
+    Texts.explodedShingles(df, id, text, n)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("s")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"), col("rep_ratio"))
+
+  /** PII redaction patterns (Java and RE2 compatible — no backreferences,
+    * so the same literals run in Spark and the DuckDB oracle): each class
+    * is replaced with a stable tag so downstream tokenization stays sane.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "\\+?[0-9][0-9 -]{7,}[0-9]" -> "<PHONE>")
+
+  /** Redact PII-shaped spans (emails, URLs, phone-number-shaped digit
+    * runs) — the standard scrub pass before training-data release. A
+    * chain of codegen'd `regexp_replace`, applied in [[piiPatterns]]
+    * order (emails before phones, so a digit-bearing local part is
+    * tagged as EMAIL, not half-eaten as PHONE). Map-only at any scale.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
   /** Document fingerprints: full-text digest + first-`prefixTokens` prefix
     * digest (cheap clustering key for exact / prefix dedup).
     */

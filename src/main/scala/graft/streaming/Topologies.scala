@@ -127,6 +127,22 @@ object Topologies {
         expr(intervalCond(joinWindow) + " AND status = 'PAID'"), "left_outer")
       .select(col("orderId"), col("user"), col("profile"), col("amount"), col("status"))
 
+  /** Full-outer flagship variant — the DSL `outerJoin`: every order AND
+    * every payment appears, null-padded when the other side never arrives
+    * inside the interval. No status residual here (with an outer join a
+    * failed residual would null-pad BOTH sides of a matched pair — the
+    * filtered-join composition belongs to the inner/left flavors); the
+    * emitted key is whichever side is present. Same watermark-expiry
+    * emission discipline as [[paidOrdersLeftOuter]], on both states.
+    */
+  def paidOrdersFullOuter(orders: DataFrame, payments: DataFrame, profiles: DataFrame,
+      discounts: DataFrame, joinWindow: String = "5 minutes"): DataFrame =
+    enrichedRekeyed(orders, profiles, discounts, joinWindow)
+      .join(watermarkedPayments(payments, joinWindow),
+        expr(intervalCond(joinWindow)), "full_outer")
+      .select(coalesce(col("key"), col("p_orderId")).as("orderId"),
+        col("user"), col("profile"), col("amount"), col("status"))
+
   /** Shared J1→J2→P4 prefix of the flagship: profile snapshot join,
     * broadcast discount join with the discount applied, re-key by orderId.
     */

@@ -194,6 +194,42 @@ class StreamingSpec extends SparkSpec {
       Seq("o3", 600.0, null), Seq("o4", 750.0, null)))
   }
 
+  test("fullOuter flagship: both unmatched sides emit null-padded after the watermark") {
+    val profiles = Seq(("alice", "gold"), ("bob", "basic"), ("carol", "gold"))
+      .toDF("user", "profile")
+    val discounts = Seq(("gold", 0.5), ("basic", 0.9)).toDF("profile", "amount")
+    val payments = Seq(
+      PaymentEvent("o1", "PAID", ts("2024-01-01T00:04:59Z")),   // matches o1
+      PaymentEvent("o9", "PAID", ts("2024-01-01T00:00:30Z")))   // no such order → left-null row
+
+    val (oms, odf) = Sources.memoryStream[OrderEvent](spark)
+    val (pms, pdf) = Sources.memoryStream[PaymentEvent](spark)
+    val name = freshTable()
+    val q = Sinks.toMemory(
+      Topologies.paidOrdersFullOuter(odf, pdf, profiles, discounts), name, "append").start()
+    oms.addData(orders)
+    q.processAllAvailable()
+    pms.addData(payments)
+    q.processAllAvailable()
+    oms.addData(Seq(OrderEvent("oflush", "alice", Seq(), 1.0, ts("2024-01-02T00:00:00Z"))))
+    pms.addData(Seq(PaymentEvent("pflush", "PAID", ts("2024-01-02T00:00:00Z"))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter(col("orderId") =!= "oflush" && col("orderId") =!= "pflush")
+
+    val batch = Topologies.paidOrdersFullOuter(
+      orders.toDF(), payments.toDF(), profiles, discounts)
+    assert(rowsOf(streamed) === rowsOf(batch))
+    assert(rowsOf(streamed.select(col("orderId"), col("status"))) === Set(
+      Seq("o1", "PAID"),    // matched
+      Seq("o2", null), Seq("o3", null), Seq("o4", null), // orders w/o payment in window
+      Seq("o9", "PAID")))   // payment w/o order: order side null-padded
+    // the o9 row carries no order columns
+    assert(streamed.filter(col("orderId") === "o9")
+      .collect().forall(r => r.isNullAt(r.fieldIndex("user"))))
+  }
+
   test("runningTotalsTtl drops idle keys once the watermark passes and restarts their totals") {
     import graft.streaming.Stateful
     val (ms, df) = Sources.memoryStream[OrderEvent](spark)

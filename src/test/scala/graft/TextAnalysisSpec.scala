@@ -114,6 +114,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === counts)
   }
 
+  test("repetitionRatio flags repeated bigrams; short docs emit nothing") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct → 0.6
+      (2L, "w x y z"),      // 3 distinct of 3 → 0.0
+      (3L, "solo")          // < 2 tokens → no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(col("doc_id"), col("text"), 2)(df)
+    assert(rowsOf(out) === Set(
+      Seq(1L, 5L, 2L, 1.0 - 2.0 / 5.0),
+      Seq(2L, 3L, 3L, 0.0)))
+  }
+
+  test("redactPii tags emails, urls and phone runs; email wins over phone on overlap") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "see https://ex.org/a?b=1 and http://t.co"),
+      (3L, "call +1 555-123 4567 ok"),
+      (4L, "clean text with digits 42")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "mail <EMAIL> now")
+    assert(out(2L) === "see <URL> and <URL>")
+    assert(out(3L) === "call <PHONE> ok")
+    assert(out(4L) === "clean text with digits 42")
+  }
+
   test("bpeishTokens splits alnum runs and single symbols, dropping spaces") {
     val df = Seq((1L, "ab1 c-d, e!")).toDF("doc_id", "text")
     val out = df.select(Texts.bpeishTokens(col("text")).as("t")).collect()(0).getSeq[String](0)

@@ -1,9 +1,11 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import java.time.Duration
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running totals: the accumulator for [[Stateful.runningTotals]]. */
 final case class UserTotals(user: String, orders: Long, products: Long, amount: Double)
@@ -159,6 +161,54 @@ object Stateful {
           if (profile != null) state.update(profile)
           out.result().iterator
       }
+  }
+
+  /** The running-totals fold as a Spark 4 `StatefulProcessor`: state is a
+    * typed `ValueState` declared in `init` with a DECLARATIVE TTL — the
+    * engine expires idle entries itself (lazily, on read/maintenance;
+    * wall-clock based), where the `mapGroupsWithState` generation
+    * hand-rolls timeout handling. No timers registered, so no
+    * timeout-driven micro-batches.
+    */
+  final class RunningTotalsProcessor(ttl: Duration)
+      extends StatefulProcessor[String, OrderEvent, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        Encoders.product[UserTotals], TTLConfig(ttl))
+    override def handleInputRows(user: String, rows: Iterator[OrderEvent],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(user, 0L, 0L, 0.0)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserTotals(user, acc.orders + 1, acc.products + e.products.size,
+          acc.amount + e.amount)
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningTotals]] on `transformWithState` — the Spark 4 stateful API
+    * this engine targets going forward: typed state cells (value/list/map)
+    * per key, declarative TTL instead of hand-rolled timeouts, timers when
+    * event-driven expiry is needed. Requires the RocksDB state store
+    * provider (the scale-correct choice anyway — see the RocksDB test).
+    *
+    * Caveat shared with every processing-time stateful operator: in
+    * ProcessingTime mode `shouldRunAnotherBatch` is unconditionally true,
+    * so the query runs micro-batches CONTINUOUSLY (that is how TTL
+    * cleanup and timers get serviced between arrivals). Pace it with a
+    * processing-time trigger in production, and never wait on
+    * `processAllAvailable` in tests — the no-new-data signal it blocks on
+    * is never raised while batches keep self-scheduling; poll the sink.
+    */
+  def runningTotalsTws(orders: Dataset[OrderEvent],
+      ttl: Duration = Duration.ofMinutes(30)): Dataset[UserTotals] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders.groupByKey(_.user)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Batch reference fold for [[runningTotals]] — same arithmetic, same

@@ -255,6 +255,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(name).count() === 4)
   }
 
+  test("transformWithState running totals: fixpoint equality + declarative TTL expiry") {
+    import graft.streaming.Stateful
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+      val name = freshTable()
+      // a ProcessingTime-mode stateful query self-schedules micro-batches
+      // continuously (TTL/timer servicing), so the no-new-data signal that
+      // processAllAvailable blocks on never fires — POLL the sink instead
+      val q = Stateful.runningTotalsTws(df.as[OrderEvent],
+          java.time.Duration.ofSeconds(4))
+        .toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      def aliceRows(): Seq[Long] = spark.table(name)
+        .filter(col("user") === "alice").collect().map(_.getLong(1)).toSeq
+      def pollUntil(cond: => Boolean): Boolean = {
+        val deadline = System.nanoTime() + 30e9.toLong
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+        cond
+      }
+      ms.addData(orders.take(1))
+      assert(pollUntil(aliceRows().size == 1)) // alice: 1 order
+      ms.addData(Seq(orders(2)))
+      assert(pollUntil(aliceRows().size == 2)) // alice: 2 orders (accumulated)
+      Thread.sleep(5000) // exceed the 4 s TTL
+      ms.addData(Seq(OrderEvent("o6", "alice", Seq("Pen"), 1.0,
+        ts("2024-01-01T00:03:00Z"))))
+      assert(pollUntil(aliceRows().size == 3))
+      q.stop()
+      // 1, then 2 while the state is live; after the TTL, restart at 1
+      assert(aliceRows().sorted === Seq(1L, 1L, 2L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState running totals reach the hand-folded fixpoint across batches") {
     import graft.streaming.Stateful
     val (ms, df) = Sources.memoryStream[graft.streaming.OrderEvent](spark)

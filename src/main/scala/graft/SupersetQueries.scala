@@ -208,6 +208,32 @@ object SupersetQueries {
              |FROM orders""".stripMargin),
       "sliding window frame (ROWS 2 PRECEDING): moving sum in exact integer cents"),
 
+    Q("o15_asof_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("us"))
+        // right side deduped to one row per (user, ts) so the as-of match
+        // is deterministic in BOTH engines (DuckDB ASOF picks an arbitrary
+        // row among ties; here ties cannot exist by construction)
+        val purchases = graft.ops.Relational.compactLatest(
+            Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))(
+            e.filter(col("event_type") === "purchase"))
+          .select(col("user_id"), col("ts_us").as("p_us"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        graft.ops.Relational.asofJoin(purchases, Seq("user_id"), "us", "p_us",
+          Seq("p_event_id", "p_value"), "p_event_id")(clicks)
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+             |           WHERE event_type = 'click'),
+             |r AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_event_id, value AS p_value
+             |      FROM events WHERE event_type = 'purchase'
+             |      QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+             |                                 ORDER BY event_id DESC) = 1)
+             |SELECT l.event_id, l.user_id, l.us, r.p_event_id, r.p_value
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.p_us""".stripMargin),
+      "AS-OF join: each click matched to the user's latest at-or-before purchase (union + ordered carry, no range-join pair explosion)"),
+
     Q("o13_branch_merge",
       (s, dir) => {
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))

@@ -128,6 +128,61 @@ object Relational {
   def filteredJoin(right: DataFrame, eq: Column, residual: Column)(left: DataFrame): DataFrame =
     left.join(right, eq).filter(residual)
 
+  /** AS-OF (point-in-time) left join: attach to each left row the LATEST
+    * right row with the same key whose timestamp is at or before the left
+    * row's — the time-series lookup (DuckDB/kdb ASOF JOIN, pandas
+    * merge_asof) that Spark has no native operator for.
+    *
+    * Scale shape: the naive formulation — a range-condition join plus a
+    * per-left-row max — pairs every left row with ALL earlier right rows
+    * before discarding all but one (quadratic per key, and Spark would
+    * plan the range join as a broadcast nested loop). Instead the two
+    * sides are UNIONED with a side tag, hash-partitioned by key, sorted
+    * within each key by (ts, tag, tiebreak), and the right row rides
+    * forward via `last(ignoreNulls)` over ROWS UNBOUNDED PRECEDING: one
+    * shuffle of left+right, one per-key sort, zero pair amplification —
+    * the same merge-scan an ASOF-specialized engine runs, expressed in
+    * Catalyst operators. Right rows sort BEFORE left rows at equal ts
+    * (at-or-before is inclusive); among right rows sharing (key, ts) the
+    * greatest `rightTiebreak` wins, making the result deterministic.
+    * Right values arrive as ONE struct, so all attached columns come from
+    * the SAME matched row (per-column carry would mix rows when a right
+    * column is null). Left rows with no prior right row get nulls.
+    *
+    * @param right         the lookup side
+    * @param keys          equality key column names present on both sides
+    * @param leftTs        left timestamp column name (comparable to rightTs)
+    * @param rightTs       right timestamp column name
+    * @param rightVals     right columns to attach (must not collide with left's)
+    * @param rightTiebreak right column ordering rows within (key, ts) ties
+    */
+  def asofJoin(right: DataFrame, keys: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String], rightTiebreak: String)(left: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "asofJoin requires at least one equality key")
+    require(rightVals.nonEmpty, "asofJoin requires right value columns to attach")
+    val keyCols = keys.map(col)
+    val lrowType = left.select(struct(left.columns.map(col): _*).as("s")).schema("s").dataType
+    val rvalsType = right.select(struct(rightVals.map(col): _*).as("s")).schema("s").dataType
+    val tbType = right.schema(rightTiebreak).dataType
+    val l = left.select(keyCols ++ Seq(
+      col(leftTs).as("__ts"), lit(1).as("__is_left"),
+      lit(null).cast(tbType).as("__tb"),
+      struct(left.columns.map(col): _*).as("__lrow"),
+      lit(null).cast(rvalsType).as("__rvals")): _*)
+    val r = right.select(keyCols ++ Seq(
+      col(rightTs).as("__ts"), lit(0).as("__is_left"),
+      col(rightTiebreak).as("__tb"),
+      lit(null).cast(lrowType).as("__lrow"),
+      struct(rightVals.map(col): _*).as("__rvals")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__is_left"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__rvals", last(col("__rvals"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(col("__lrow.*") +: rightVals.map(v => col(s"__rvals.$v").as(v)): _*)
+  }
+
   /** DSL `stream.split().branch(...).defaultBranch()` analog: route each
     * record to the FIRST branch whose predicate matches (Kafka Streams
     * branch semantics — predicates are tried in order, a record lands in

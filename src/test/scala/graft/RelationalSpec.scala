@@ -141,4 +141,30 @@ class RelationalSpec extends SparkSpec {
       col("status") === "PAID")(orders)
     assert(rowsOf(out.select(col("orderId"))) === Set(Seq("o1")))
   }
+
+  test("asofJoin: latest at-or-before match, inclusive ties, nulls before any right row") {
+    val quotes = Seq( // (sym, ts, px, seq)
+      ("A", 3L, 1.0, 1L), ("A", 7L, 2.0, 2L),
+      ("A", 7L, 3.0, 3L), // same (key, ts): greatest tiebreak must win
+      ("B", 5L, 9.0, 4L)).toDF("sym", "qts", "px", "seq")
+    val trades = Seq(
+      ("A", 2L, "t0"), // before any quote → null
+      ("A", 3L, "t1"), // ts tie with quote → inclusive match (px=1.0)
+      ("A", 8L, "t2"), // latest of the two ts=7 quotes → px=3.0 (seq 3)
+      ("B", 9L, "t3"), // other key
+      ("C", 1L, "t4")  // key with no quotes at all → null
+    ).toDF("sym", "tts", "tid")
+    val out = asofJoin(quotes, Seq("sym"), "tts", "qts",
+      Seq("px", "seq"), "seq")(trades)
+    assert(out.columns.toSeq === Seq("sym", "tts", "tid", "px", "seq"))
+    assert(rowsOf(out.select(col("tid"), col("px"), col("seq"))) === Set(
+      Seq("t0", null, null),
+      Seq("t1", 1.0, 1L),
+      Seq("t2", 3.0, 3L), // all attached columns from the SAME matched row
+      Seq("t3", 9.0, 4L),
+      Seq("t4", null, null)))
+    // one exchange (the key partitioning), never a nested-loop range join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -322,6 +322,24 @@ object ExtensionQueries {
       },
       "deterministic train/val/test split via md5 thresholds — identical routing in both engines"),
 
+    Q("x6c_stratified_sample",
+      (s, dir) => docs(s, dir)
+        .filter(TextAnalysis.stratifiedSample(col("doc_id"), col("lang"),
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.1)))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some {
+        val t = TextAnalysis.rateThresholdHex _
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE CASE lang
+           |  WHEN 'en' THEN TRUE
+           |  WHEN 'de' THEN md5(CAST(doc_id AS VARCHAR)) < '${t(0.5)}'
+           |  WHEN 'fr' THEN md5(CAST(doc_id AS VARCHAR)) < '${t(0.5)}'
+           |  WHEN 'es' THEN md5(CAST(doc_id AS VARCHAR)) < '${t(0.25)}'
+           |  WHEN 'zh' THEN md5(CAST(doc_id AS VARCHAR)) < '${t(0.1)}'
+           |  ELSE FALSE END""".stripMargin
+      },
+      "deterministic stratified sampling by language — the training-mixture reweighting primitive, identical routing both engines"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

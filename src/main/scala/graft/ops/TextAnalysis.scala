@@ -106,6 +106,37 @@ object TextAnalysis {
     md5(key.cast("string")) < hexThreshold
   }
 
+  /** Hex threshold over the first 6 md5 digits for a keep-rate in (0, 1) —
+    * shared between the sampling operators and their SQL oracles so both
+    * engines compare against identical literals.
+    */
+  def rateThresholdHex(rate: Double): String = {
+    require(rate > 0.0 && rate < 1.0, s"rate must be in (0, 1), got $rate")
+    f"${math.floor(rate * 0x1000000).toLong}%06x"
+  }
+
+  /** Deterministic STRATIFIED sample — the training-mixture primitive:
+    * keep each row with the probability assigned to its stratum (source,
+    * language, quality bucket), routed by md5 threshold like
+    * [[deterministicSample]], so the sample is reproducible across
+    * engines, runs and retries and is a single map-only expression (the
+    * mixture weights ship as literals — no join against a rates table,
+    * no RNG state). Strata absent from `rates` are DROPPED — mixture
+    * specs are allowlists. A rate >= 1 keeps the whole stratum.
+    */
+  def stratifiedSample(key: Column, stratum: Column,
+      rates: Map[String, Double]): Column = {
+    require(rates.nonEmpty, "stratifiedSample requires at least one stratum rate")
+    val digest = md5(key.cast("string"))
+    rates.toSeq.sortBy(_._1).foldLeft(lit(false)) { case (acc, (s, rate)) =>
+      val keep =
+        if (rate >= 1.0) lit(true)
+        else if (rate <= 0.0) lit(false)
+        else digest < rateThresholdHex(rate)
+      when(stratum === s, keep).otherwise(acc)
+    }
+  }
+
   /** Hex thresholds over the first 6 md5 digits for cumulative split
     * fractions — shared between [[assignSplit]] and its SQL oracle so both
     * engines route on identical literals.

@@ -99,6 +99,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p50 > 60 && p50 < 140) // roughly half
   }
 
+  test("stratifiedSample keeps whole rate-1 strata, drops unlisted strata, samples the rest") {
+    val df = (1L to 400L).map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de"
+      else if (i % 4 == 2) "zh" else "unknown")).toDF("id", "lang")
+    val kept = df.filter(TextAnalysis.stratifiedSample(col("id"), col("lang"),
+      Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.0)))
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") === 100L)               // rate 1.0: whole stratum
+    assert(counts.get("zh").isEmpty)            // rate 0: dropped
+    assert(counts.get("unknown").isEmpty)       // unlisted: dropped (allowlist)
+    assert(counts("de") > 25 && counts("de") < 75) // ~half
+    // deterministic: identical on re-evaluation
+    assert(kept.count() === kept.count())
+    val again = df.filter(TextAnalysis.stratifiedSample(col("id"), col("lang"),
+      Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.0))).count()
+    assert(again === kept.count())
+  }
+
   test("assignSplit partitions keys deterministically with roughly the asked fractions") {
     val df = (1L to 1000L).toDF("id")
     val split = TextAnalysis.assignSplit(col("id"),

@@ -58,6 +58,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin equals the naive per-row latest-at-or-before computation") {
+    // random (key, ts) on both sides with deliberate collisions, so ties
+    // across and within sides and missing keys all get exercised
+    val sideGen = Gen.listOfN(10, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 5L)))
+    forAllSamples(Gen.zip(sideGen, sideGen)) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("k", "lts", "lid")
+      val right = rs.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong, s"v$i") }
+        .toDF("k", "rts", "rid", "rv")
+      val out = Relational.asofJoin(right, Seq("k"), "lts", "rts",
+        Seq("rid", "rv"), "rid")(left)
+        .collect().map(r => (r.getLong(2),
+          if (r.isNullAt(3)) null else (r.getLong(3), r.getString(4)))).toMap
+      // naive reference: per left row, the matching right rows at-or-before,
+      // latest ts first, greatest rid breaking ties
+      val expected = ls.zipWithIndex.map { case ((k, lts), i) =>
+        val m = rs.zipWithIndex
+          .filter { case ((rk, rts), _) => rk == k && rts <= lts }
+          .sortBy { case ((_, rts), ri) => (-rts, -ri) }
+          .headOption.map { case (_, ri) => (ri.toLong, s"v$ri") }.orNull
+        i.toLong -> m
+      }.toMap
+      assert(out === expected)
+    }
+  }
+
   test("TopKByScore output is bounded by k, sorted best-first, and contains the max") {
     forAllSamples(Gen.listOfN(15, Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0L, 100L)))) { rows =>
       val df = rows.toDF("score", "id")

@@ -69,6 +69,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"x2_ngram_jaccard plans a Window:\n$p")
   }
 
+  test("o15 as-of join plans a merge-scan shape: no range join, no pair amplification") {
+    val p = plan(q("o15_asof_join"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // one exchange for the key partitioning + one inside the right-side
+    // (user, ts) dedup — never a per-pair join
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, p)
+  }
+
   test("x6 curation pipeline is a single pass: no join, one exchange (dedup window)") {
     val p = plan(q("x6_curation_pipeline"))
     assert(!p.toLowerCase.contains("join"), s"x6 plans a join:\n$p")

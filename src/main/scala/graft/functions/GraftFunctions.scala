@@ -3,7 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, Cast, Divide,
+  Expression, ExpressionInfo, Length, Literal, Multiply, RegExpCount, RegExpReplace,
+  Size, StringSplit, StringTrim, Subtract, Lower}
+import org.apache.spark.sql.types.DoubleType
 
 /** SQL-surface registration for graft's native expressions, so SQL users
   * get them alongside the Column API:
@@ -32,7 +35,48 @@ object GraftFunctions {
       case Seq(v) => L2Normalize(v)
       case other => throw new IllegalArgumentException(
         s"l2_normalize expects 1 argument, got ${other.size}")
+    },
+    // Text ops re-exposed to SQL as directly-constructed catalyst trees
+    // (registry builders must return resolvable Expressions — a Column
+    // composition stays an unresolved ColumnNode there). Same arithmetic
+    // and the same literals as the Column API in ops.TextAnalysis; the
+    // SimilaritySpec SQL test pins the two surfaces to identical values.
+    "quality_score" -> {
+      case Seq(t) => qualityScoreExpr(t)
+      case other => throw new IllegalArgumentException(
+        s"quality_score expects 1 argument, got ${other.size}")
+    },
+    "redact_pii" -> {
+      case Seq(t) => graft.ops.TextAnalysis.piiPatterns.foldLeft(t) {
+        case (e, (pat, tag)) => RegExpReplace(e, Literal(pat), Literal(tag))
+      }
+      case other => throw new IllegalArgumentException(
+        s"redact_pii expects 1 argument, got ${other.size}")
+    },
+    "normalize_text" -> {
+      case Seq(t) => StringTrim(RegExpReplace(
+        RegExpReplace(Lower(t), Literal("[^a-z0-9 ]"), Literal(" ")),
+        Literal(" +"), Literal(" ")))
+      case other => throw new IllegalArgumentException(
+        s"normalize_text expects 1 argument, got ${other.size}")
     })
+
+  /** Catalyst form of [[graft.ops.TextAnalysis.qualityExpr]] — identical
+    * sub-expressions and combination order, so SQL and Column results are
+    * bit-equal.
+    */
+  private def qualityScoreExpr(text: Expression): Expression = {
+    def dbl(e: Expression) = Cast(e, DoubleType)
+    val toks = StringSplit(text, Literal(" "), Literal(-1))
+    val n = dbl(Size(toks))
+    val diversity = Divide(dbl(Size(ArrayDistinct(toks))), n)
+    val stopRatio = Divide(
+      dbl(RegExpCount(text, Literal(graft.ops.Texts.stopwordCountPattern))), n)
+    val meanLen = Divide(
+      dbl(Subtract(Length(text), Subtract(Size(toks), Literal(1)))), n)
+    Add(Add(Multiply(diversity, Literal(0.5)), Multiply(stopRatio, Literal(0.25))),
+      Multiply(meanLen, Literal(0.05)))
+  }
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[CosineSimilarity].getName, name)

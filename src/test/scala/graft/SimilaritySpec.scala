@@ -100,6 +100,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getSeq[Double](2) === Seq(0.6, 0.8))
   }
 
+  test("SQL registration exposes the text ops: quality_score, redact_pii, normalize_text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT quality_score('the cat is on the mat') AS q,
+        |       redact_pii('mail a@b.co now') AS red,
+        |       normalize_text('  Hello,   WORLD!! ') AS norm""".stripMargin)
+      .collect()(0)
+    // same value as the Column API (differentially checked in TextAnalysisSpec)
+    // 6 tokens, 5 distinct, 4 stopword hits, summed token length 16
+    assert(math.abs(r.getDouble(0) -
+      ((5.0 / 6.0) * 0.5 + (4.0 / 6.0) * 0.25 + (16.0 / 6.0) * 0.05)) < 1e-12)
+    assert(r.getString(1) === "mail <EMAIL> now")
+    assert(r.getString(2) === "hello world")
+  }
+
   test("l2_normalize yields unit vectors; cosine of normalized = dot; zero vector stays zero") {
     import graft.functions.{DotProduct, L2Normalize}
     val df = Seq(

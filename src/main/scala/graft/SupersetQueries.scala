@@ -234,6 +234,31 @@ object SupersetQueries {
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.p_us""".stripMargin),
       "AS-OF join: each click matched to the user's latest at-or-before purchase (union + ordered carry, no range-join pair explosion)"),
 
+    Q("o16_pivot",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        // explicit value list: with it, pivot needs NO extra distinct-values
+        // job and the output schema is static — the scale-safe form
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("unspecified"),
+          coalesce(col("5-LOW"), lit(0L)).as("low")),
+      // pivot = grouped conditional aggregation; count(*) FILTER is its
+      // relational spelling (0 for empty cells either way)
+      Some("""SELECT o_orderstatus,
+             |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+             |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+             |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+             |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+             |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "pivot with an explicit value list (static schema, no extra distinct scan) = conditional aggregation"),
+
     Q("o13_branch_merge",
       (s, dir) => {
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))

@@ -70,6 +70,29 @@ object Topologies {
       Relational.flatMapValues(Seq(col("user"), col("ts")), col("products"), "product")(
         orders.withWatermark("ts", grace)))
 
+  /** Streaming document curation — the batch curation pipeline
+    * (normalize → quality gate → fingerprint dedup) applied to a LIVE
+    * document stream, the shape an ingestion-time curation service runs:
+    * each arriving doc is normalized and quality-scored with the same
+    * codegen'd expressions as the batch path
+    * ([[graft.ops.TextAnalysis.qualityExpr]]), then content-deduped on
+    * `md5(norm)` within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`: state bounded by arrival rate ×
+    * grace, the only scale-safe streaming dedup). Unlike the batch
+    * pipeline there is no min-doc_id survivor election — a stream keeps
+    * the FIRST arrival per fingerprint, which is the online analog.
+    */
+  def curateDocuments(docs: DataFrame, minQuality: Double = 0.45,
+      grace: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("norm", graft.ops.TextAnalysis.normalize(col("text")))
+      .withColumn("quality", graft.ops.TextAnalysis.qualityExpr(col("norm")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("norm_fp", md5(col("norm")))
+      .withWatermark("ts", grace)
+      .dropDuplicatesWithinWatermark("norm_fp")
+      .select(col("doc_id"), col("norm_fp"), col("quality"), col("ts"))
+
   /** X1 streaming exact dedup: drop re-deliveries of the same order id
     * arriving within the watermark horizon — the streaming analog of
     * [[graft.ops.Dedup.exact]]. `dropDuplicatesWithinWatermark` is the only

@@ -347,6 +347,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("o1", "silver"), ("o2", "gold"))) // o0 dropped: no profile yet
   }
 
+  test("streaming document curation: quality gate + content dedup on a live stream") {
+    val t0 = ts("2024-01-01T00:00:00Z")
+    val good = "the cat is on the mat and the dog is in the house" // quality-passing
+    val batch1 = Seq(
+      (1L, good, t0),
+      (2L, "zq zq zq zq zq", t0),          // repetitive, no stopwords → gated out
+      (3L, good.toUpperCase + "!!", t0))   // normalizes to doc 1's content → deduped
+    val batch2 = Seq(
+      (4L, good + " again", t0),           // different content → kept
+      (5L, good, t0))                      // same fingerprint, within grace → deduped
+    val out = runStream(Seq(batch1, batch2), "append") { df =>
+      Topologies.curateDocuments(df.toDF("doc_id", "text", "ts"))
+    }
+    assert(rowsOf(out.select(col("doc_id"))) === Set(Seq(1L), Seq(4L)))
+    // doc 1 and doc 3 carried the same fingerprint; the first arrival won
+    val fp1 = out.filter(col("doc_id") === 1L).collect()(0).getString(1)
+    val batchNorm = Seq((3L, good.toUpperCase + "!!")).toDF("doc_id", "text")
+      .select(md5(graft.ops.TextAnalysis.normalize(col("text")))).collect()(0).getString(0)
+    assert(fp1 === batchNorm)
+  }
+
   test("X1 streaming dedup drops re-deliveries within the watermark horizon") {
     val dup = orders.head.copy(amount = 9999.0) // same orderId, re-delivered
     val out = runStream(Seq(orders.take(2), Seq(dup)), "append")(

@@ -50,6 +50,31 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq(1L, 2L, 1.0 / 3.0)))
   }
 
+  test("X2 pair self-join reuses one exchange when broadcast is off (the 100TB plan)") {
+    // At toy scale AQE broadcasts the kept-shingle side, recomputing the
+    // pipeline per join side — harmless there. At corpus scale the side is
+    // not broadcastable and the plan MUST degrade to a shuffle self-join
+    // whose two identical sides share one exchange; pin that here.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val out = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
+        maxShingleDf = 1000L)(docs)
+      // result first (and unchanged by the join strategy): collect() runs
+      // THIS queryExecution, finalizing the adaptive plan in place
+      assert(rowsOf(out) ===
+        Set(Seq(1L, 2L, 0.75), Seq(1L, 5L, 1.0), Seq(2L, 5L, 0.75)))
+      // the static template prints the kept-shingle subtree once per use;
+      // AQE's runtime stage cache collapses the identical exchanges, so
+      // the FINALIZED plan must show ReusedExchange — the corpus pipeline
+      // physically runs once however many times the plan references it
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("ReusedExchange"), plan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("X2 MinHash+LSH finds the same pairs as exact Jaccard on this corpus") {
     val exact = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3)(docs)
     val lsh = Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(docs)

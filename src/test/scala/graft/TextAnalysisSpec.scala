@@ -147,7 +147,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("redactPii tags emails, urls and phone runs; email wins over phone on overlap") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
-      (2L, "see https://ex.org/a?b=1 and http://t.co"),
+      (2L, "see https://a.example/a?b=1 and http://b.example"),
       (3L, "call +1 555-123 4567 ok"),
       (4L, "clean text with digits 42")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))

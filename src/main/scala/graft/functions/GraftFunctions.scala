@@ -55,8 +55,9 @@ object GraftFunctions {
     },
     "normalize_text" -> {
       case Seq(t) => StringTrim(RegExpReplace(
-        RegExpReplace(Lower(t), Literal("[^a-z0-9 ]"), Literal(" ")),
-        Literal(" +"), Literal(" ")))
+        RegExpReplace(Lower(t),
+          Literal(graft.ops.TextAnalysis.normalizeStripPattern), Literal(" ")),
+        Literal(graft.ops.TextAnalysis.normalizeSqueezePattern), Literal(" ")))
       case other => throw new IllegalArgumentException(
         s"normalize_text expects 1 argument, got ${other.size}")
     })

@@ -83,13 +83,21 @@ object TextAnalysis {
       (diversity * 0.5 + stopRatio * 0.25 + meanLen * 0.05).as("quality"))
   }
 
+  /** Normalization pattern literals, shared by the Column API, the SQL
+    * function builder ([[graft.functions.GraftFunctions]]) and (verbatim
+    * in the oracle SQL strings) DuckDB — one definition, no drift.
+    */
+  val normalizeStripPattern: String = "[^a-z0-9 ]"
+  val normalizeSqueezePattern: String = " +"
+
   /** Text normalization for curation pipelines: lowercase, strip
     * non-alphanumerics to spaces, squeeze runs of spaces, trim. Plain
     * codegen'd expressions; the same regexes run in DuckDB (with the 'g'
     * flag — Spark replaces all occurrences by default).
     */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    trim(regexp_replace(regexp_replace(lower(text), normalizeStripPattern, " "),
+      normalizeSqueezePattern, " "))
 
   /** Deterministic hash sample: keep a row iff the md5 hex digest of its
     * key is lexicographically below `hexThreshold` (lowercase hex orders
@@ -112,7 +120,13 @@ object TextAnalysis {
     */
   def rateThresholdHex(rate: Double): String = {
     require(rate > 0.0 && rate < 1.0, s"rate must be in (0, 1), got $rate")
-    f"${math.floor(rate * 0x1000000).toLong}%06x"
+    val bucket = math.floor(rate * 0x1000000).toLong
+    // 6 hex digits quantize to 1/2^24 ≈ 6e-8 steps: a smaller positive rate
+    // would floor to "000000" and silently drop the whole stratum
+    require(bucket > 0,
+      s"rate $rate is below the 6-hex-digit resolution (1/${0x1000000}); " +
+        "it would keep nothing")
+    f"$bucket%06x"
   }
 
   /** Deterministic STRATIFIED sample — the training-mixture primitive:

@@ -77,7 +77,10 @@ object Texts {
     * single spaces this counts exactly the tokens `t` with
     * `t IN enStopwords` — the codegen'd (`regexp_count`) equivalent of the
     * interpreted `size(filter(toks, _.isInCollection(...)))` lambda HOF.
+    * `\z` (true end of input), NOT `$`: Java's `$` also matches before a
+    * FINAL line terminator, which would count a trailing "the\n" that
+    * token-equality (and hence the DuckDB oracles) does not.
     */
   val stopwordCountPattern: String =
-    enStopwords.mkString("(?:^| )(?:", "|", ")(?= |$)")
+    enStopwords.mkString("(?:^| )(?:", "|", ")(?= |\\z)")
 }

@@ -266,9 +266,11 @@ class StreamingSpec extends SparkSpec {
       val name = freshTable()
       // a ProcessingTime-mode stateful query self-schedules micro-batches
       // continuously (TTL/timer servicing), so the no-new-data signal that
-      // processAllAvailable blocks on never fires — POLL the sink instead
+      // processAllAvailable blocks on never fires — POLL the sink instead.
+      // TTL is wall-clock: 10 s leaves generous room for the cold RocksDB
+      // first batch between the two accumulating arrivals
       val q = Stateful.runningTotalsTws(df.as[OrderEvent],
-          java.time.Duration.ofSeconds(4))
+          java.time.Duration.ofSeconds(10))
         .toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
       def aliceRows(): Seq[Long] = spark.table(name)
         .filter(col("user") === "alice").collect().map(_.getLong(1)).toSeq
@@ -281,7 +283,7 @@ class StreamingSpec extends SparkSpec {
       assert(pollUntil(aliceRows().size == 1)) // alice: 1 order
       ms.addData(Seq(orders(2)))
       assert(pollUntil(aliceRows().size == 2)) // alice: 2 orders (accumulated)
-      Thread.sleep(5000) // exceed the 4 s TTL
+      Thread.sleep(11000) // exceed the 10 s TTL
       ms.addData(Seq(OrderEvent("o6", "alice", Seq("Pen"), 1.0,
         ts("2024-01-01T00:03:00Z"))))
       assert(pollUntil(aliceRows().size == 3))
@@ -350,11 +352,14 @@ class StreamingSpec extends SparkSpec {
   test("streaming document curation: quality gate + content dedup on a live stream") {
     val t0 = ts("2024-01-01T00:00:00Z")
     val good = "the cat is on the mat and the dog is in the house" // quality-passing
+    // the same-fingerprint docs arrive in LATER batches: within one
+    // micro-batch "first arrival" is not defined (partition order), across
+    // batches it is
     val batch1 = Seq(
       (1L, good, t0),
-      (2L, "zq zq zq zq zq", t0),          // repetitive, no stopwords → gated out
-      (3L, good.toUpperCase + "!!", t0))   // normalizes to doc 1's content → deduped
+      (2L, "zq zq zq zq zq", t0))          // repetitive, no stopwords → gated out
     val batch2 = Seq(
+      (3L, good.toUpperCase + "!!", t0),   // normalizes to doc 1's content → deduped
       (4L, good + " again", t0),           // different content → kept
       (5L, good, t0))                      // same fingerprint, within grace → deduped
     val out = runStream(Seq(batch1, batch2), "append") { df =>

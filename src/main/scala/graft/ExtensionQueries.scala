@@ -340,6 +340,17 @@ object ExtensionQueries {
       },
       "deterministic stratified sampling by language — the training-mixture reweighting primitive, identical routing both engines"),
 
+    Q("x6d_cap_per_source",
+      (s, dir) => graft.ops.Relational.capPerKey(col("source"), col("doc_id"), 10)(
+          docs(s, dir))
+        .select(col("key").as("source"), col("id").as("doc_id")),
+      // the oracle's QUALIFY-rank spelling is the semantics; the Spark plan
+      // is the bounded-aggregate form of the same selection
+      Some("""SELECT source, doc_id FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY source
+             |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) DESC, doc_id) <= 10""".stripMargin),
+      "cap per-source cardinality at 10: deterministic survivors via the bounded top-k aggregate, no per-key window sort"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -128,6 +128,30 @@ object Relational {
   def filteredJoin(right: DataFrame, eq: Column, residual: Column)(left: DataFrame): DataFrame =
     left.join(right, eq).filter(residual)
 
+  /** Cap the number of rows per key at `k`, deterministically — "at most
+    * N documents per source/domain", the standard cardinality-control step
+    * in corpus curation. Survivors are selected by descending 48-bit
+    * md5-prefix of the id (a stable pseudo-random order: the same rows
+    * win on every run and engine, ties broken by lowest id), through the
+    * bounded [[graft.functions.TopKByScore]] aggregate: map-side buffers
+    * hold at most k entries per key, so a key with billions of rows never
+    * funnels through the single-task sort a `Window.partitionBy(key)`
+    * rank would plan. The 48-bit prefix is exact as a double (< 2^53);
+    * prefix collisions fall back to the id tiebreak, which both the
+    * aggregate and the window/QUALIFY formulation share.
+    *
+    * @param id a LONG id column (the aggregate's element type)
+    */
+  def capPerKey(key: Column, id: Column, k: Int)(df: DataFrame): DataFrame = {
+    val score =
+      conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10).cast("double")
+    df.select(key.as("key"), id.as("id"))
+      .groupBy(col("key"))
+      .agg(graft.functions.TopKByScore(k)(score, col("id")).as("hits"))
+      .select(col("key"), explode(col("hits")).as("h"))
+      .select(col("key"), col("h.id").as("id"))
+  }
+
   /** AS-OF (point-in-time) left join: attach to each left row the LATEST
     * right row with the same key whose timestamp is at or before the left
     * row's — the time-series lookup (DuckDB/kdb ASOF JOIN, pandas

@@ -142,6 +142,27 @@ class RelationalSpec extends SparkSpec {
     assert(rowsOf(out.select(col("orderId"))) === Set(Seq("o1")))
   }
 
+  test("capPerKey keeps at most k deterministic survivors per key, equal to the window rank form") {
+    val df = (1L to 40L).map(i => (s"g${i % 3}", i)).toDF("src", "doc")
+    val out = capPerKey(col("src"), col("doc"), 5)(df)
+    val counts = out.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 5L)) // every group capped (all have >5)
+    // small group survives whole
+    val small = capPerKey(col("src"), col("doc"), 5)(
+      Seq(("solo", 1L), ("solo", 2L)).toDF("src", "doc"))
+    assert(small.count() === 2L)
+    // equals the window-rank formulation (same score, same tiebreak)
+    val score = conv(substring(md5(col("doc").cast("string")), 1, 12), 16, 10)
+      .cast("double")
+    val viaWindow = df
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(score.desc, col("doc"))))
+      .filter(col("rn") <= 5)
+      .select(col("src").as("key"), col("doc").as("id"))
+    assert(rowsOf(out) === rowsOf(viaWindow))
+  }
+
   test("asofJoin: latest at-or-before match, inclusive ties, nulls before any right row") {
     val quotes = Seq( // (sym, ts, px, seq)
       ("A", 3L, 1.0, 1L), ("A", 7L, 2.0, 2L),

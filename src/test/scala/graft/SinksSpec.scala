@@ -82,6 +82,49 @@ class SinksSpec extends SparkSpec {
       Set(Seq("o1"), Seq("o2"), Seq("o3")))
   }
 
+  test("stream-stream join state survives a checkpoint restart (flagship J3 durability)") {
+    import graft.streaming.PaymentEvent
+    val oIn = Files.createTempDirectory("graft-j3-orders").toString
+    val pIn = Files.createTempDirectory("graft-j3-payments").toString
+    val out = Files.createTempDirectory("graft-j3-out").toString
+    val ckpt = Files.createTempDirectory("graft-j3-ckpt").toString
+    val oSchema = orders.toDF().schema
+    val payments = Seq(
+      PaymentEvent("o1", "PAID", ts("2024-01-01T00:04:00Z")), // within +5 min of o1
+      PaymentEvent("o3", "PAID", ts("2024-01-01T01:00:00Z"))) // outside → never joins
+    val pSchema = payments.toDF().schema
+
+    def joined() = Sources.fileStream(spark, oIn, oSchema)
+      .withWatermark("ts", "5 minutes")
+      .join(
+        Sources.fileStream(spark, pIn, pSchema)
+          .withColumnRenamed("orderId", "p_orderId")
+          .withColumnRenamed("ts", "pts")
+          .withWatermark("pts", "5 minutes"),
+        expr("orderId = p_orderId AND pts BETWEEN ts - INTERVAL 5 minutes " +
+          "AND ts + INTERVAL 5 minutes"))
+      .select(col("orderId"), col("amount"), col("status"))
+
+    // run 1: ONLY orders arrive — they are buffered in join state, nothing
+    // can be emitted yet
+    orders.toDF().coalesce(1).write.mode("append").parquet(oIn)
+    val q1 = Sinks.toParquet(joined(), out, ckpt).start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(!Files.list(java.nio.file.Paths.get(out)).iterator().hasNext ||
+      spark.read.parquet(out).count() === 0)
+
+    // payments arrive while the query is DOWN; restart from the checkpoint
+    // — the buffered order state must be recovered for the join to fire
+    payments.toDF().coalesce(1).write.mode("append").parquet(pIn)
+    val q2 = Sinks.toParquet(joined(), out, ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val landed = spark.read.parquet(out)
+    assert(rowsOf(landed) === Set(Seq("o1", 4000.0, "PAID"))) // once, exactly
+  }
+
   test("K1 batch sink writes and re-reads parquet") {
     val out = Files.createTempDirectory("graft-batch-out").toString
     Sinks.writeParquet(orders.toDF(), out)

@@ -297,6 +297,51 @@ object Queries {
              |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin),
       "TPC-H Q18-style: IN-subquery over a HAVING aggregate = semi-join against an agg"),
 
+    Q("q10_returned_items",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg((sum(col("rev_cents")).cast("double") / 10000.0).as("revenue"))
+        // custkey tiebreak makes the top-20 cutoff deterministic under ties
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin),
+      "TPC-H Q10-style: returned-item revenue per customer, top-20 via TakeOrderedAndProject"),
+
+    Q("q14_promo_share",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .agg((lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), col("rev_cents"))
+            .otherwise(lit(0L))).cast("double") /
+          sum(col("rev_cents")).cast("double")).as("promo_pct")),
+      Some("""SELECT 100.0 *
+             |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+             |                THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             |                ELSE 0 END) AS DOUBLE)
+             |  / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) AS promo_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin),
+      "TPC-H Q14-style promo revenue share: conditional aggregation in exact integer cents, one month partition-prunable"),
+
     Q("o14_grouping_sets_sql",
       (s, dir) => {
         // the SQL entry path of the engine: the same Catalyst planner,

@@ -56,6 +56,18 @@ object SupersetQueries {
              |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin),
       "set op: EXCEPT"),
 
+    Q("o3c_except_all",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      },
+      // multiset semantics: each occurrence cancels one from the other side
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |EXCEPT ALL
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin),
+      "set op: EXCEPT ALL (bag difference — duplicates preserved per multiplicity)"),
+
     Q("o4_rollup",
       (s, dir) => Tables.customer(s, dir)
         .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))

@@ -144,6 +144,31 @@ object CheckQueries {
       Some("SELECT TRUE AS sims_exact, TRUE AS found_hits, TRUE AS ranks_monotone"),
       "invariant for x3c: ANN sims re-verified via the interpreted twin; ranking well-formed"),
 
+    Q("x3e_pq_check",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cbs = ExtensionQueries.pqCodebooks(s, dir)
+        val ann = Similarity.pqTopK(corpus, queries, cbs, 3)
+        // every emitted sim re-verified: the interpreted HOF cosine of the
+        // query against the independently re-encoded + reconstructed
+        // corpus vector must equal the native-pipeline score
+        ann
+          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+          .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
+          .agg(
+            coalesce(bool_and(abs(col("sim") -
+              Similarity.cosineHof(col("qv"),
+                Similarity.pqReconstruct(
+                  Similarity.pqEncode(col("cvec"), cbs), cbs))) < 1e-6),
+              lit(true)).as("sims_exact"),
+            (count(lit(1)) > 0).as("found_hits"))
+      },
+      Some("SELECT TRUE AS sims_exact, TRUE AS found_hits"),
+      "invariant for x3e: PQ scores re-verified via interpreted re-encode + reconstruct"),
+
     Q("x3d_embdup_check",
       (s, dir) => {
         val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -35,6 +35,21 @@ object ExtensionQueries {
       |       JOIN sz sb ON sb.doc_id = p.b
       |       WHERE CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) >= 0.3)""".stripMargin
 
+  /** Deterministic PQ codebooks for the catalog query: 4 subvectors of
+    * dim 16 over the 64-dim embeddings, each codebook = the matching
+    * slices of vec_id 0..7 (the same planner-side seed-vector role as
+    * x3b's IVF centroids — in production these are k-means output).
+    */
+  private[graft] def pqCodebooks(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Float]]] = {
+    val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "pq codebooks need seed vectors")
+    val sub = seeds.head.length / 4
+    Array.tabulate(4)(j => seeds.map(v => v.slice(j * sub, (j + 1) * sub)))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ================= X1/X2 deduplication =================
@@ -152,6 +167,18 @@ object ExtensionQueries {
       },
       None, // xxhash64-derived hyperplanes are not reproducible in DuckDB SQL
       "X2 random-hyperplane LSH ANN: sign-bit buckets, exact top-k within bucket"),
+
+    Q("x3e_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.pqTopK(corpus, queries, ExtensionQueries.pqCodebooks(s, dir), 3)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      None, // float-argmin cell assignment is not practically reproducible in SQL
+      "X2 PQ ANN: corpus as m small codes, reconstruction-based asymmetric scoring, codegen'd throughout"),
 
     // ================= X3 text analysis =================
 

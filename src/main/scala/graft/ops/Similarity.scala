@@ -162,6 +162,57 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Product quantization: split each vector into `m` contiguous
+    * subvectors and replace each with the index of its nearest codebook
+    * entry (argmax cosine over that subvector's codebook, deterministic
+    * index tiebreak — the same literal-argmax shape as [[ivfTopK]]'s
+    * centroid routing, codegen'd, map-only). At scale this is the memory
+    * play of ANN indexes: a d-float vector becomes m small ints, so a
+    * 100 TB embedding corpus holds its index in RAM.
+    *
+    * @param codebooks codebooks(j) = the entries for subvector j, each of
+    *                  dimension d/m; driver-held literals (k-means output,
+    *                  small by construction — guarded)
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    require(codebooks.nonEmpty && codebooks.forall(cb => cb.nonEmpty && cb.length <= 256),
+      "each subvector codebook must have 1..256 entries")
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      val slice0 = slice(vec, j * sub + 1, sub)
+      val sims = array(cb.map(entry => cosine(slice0, typedlit(entry))): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Reconstruct the quantized vector from its PQ codes: concatenate the
+    * selected codebook entries. Pure codegen'd `element_at` over literal
+    * arrays — the decode step of reconstruction-based ADC scoring.
+    */
+  def pqReconstruct(codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(typedlit(cb), element_at(codes, j + 1) + 1)
+    }: _*)
+
+  /** PQ-based ANN top-k: score each query against the RECONSTRUCTED
+    * corpus vectors (reconstruction-based asymmetric distance — the query
+    * stays exact, the corpus is m bytes/vector), then exact re-rank is the
+    * caller's option. Same broadcast + bounded-aggregate shape as
+    * [[bruteForceTopK]]; the whole scoring pass is generated code over
+    * literal codebooks, no side joins.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      codebooks: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    val coded = corpus.select(col("id"), pqEncode(col("vec"), codebooks).as("codes"))
+    explodeRanked(
+      coded.join(broadcast(queries), col("id") =!= col("qid"))
+        .withColumn("sim", cosine(col("qvec"), pqReconstruct(col("codes"), codebooks)))
+        .groupBy("qid")
+        .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
+  }
+
   /** ANN via random-hyperplane LSH: bucket corpus and queries by
     * [[hyperplaneBucket]] sign bits (vectors with small angles collide),
     * then exact top-k within each query's bucket. Scans ~corpus/2^nBits

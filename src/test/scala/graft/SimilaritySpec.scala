@@ -115,6 +115,42 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getString(2) === "hello world")
   }
 
+  test("PQ: encode picks nearest codebook cells, reconstruction round-trips, ANN ranks by cell") {
+    import graft.ops.Similarity
+    // m=2 subvectors of dim 2; per-subvector codebook = the two unit axes
+    val codebooks: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 0f), Array(0f, 1f)),
+      Array(Array(1f, 0f), Array(0f, 1f)))
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // cells (0, 1) — query's cell
+      (20L, Array(0.1f, 0.9f, 0.9f, 0.1f)), // cells (1, 0) — opposite
+      (30L, Array(1f, 0f, 0f, 1f))          // exactly the (0, 1) centroids
+    ).toDF("id", "vec")
+    val queries = Seq((1L, Array(1f, 0f, 0f, 1f))).toDF("qid", "qvec")
+
+    val codes = corpus.select(col("id"),
+        Similarity.pqEncode(col("vec"), codebooks).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(10L) === Seq(0, 1))
+    assert(codes(20L) === Seq(1, 0))
+    assert(codes(30L) === Seq(0, 1))
+
+    // a vector that IS a concatenation of entries reconstructs exactly
+    val recon = corpus.filter(col("id") === 30L)
+      .select(Similarity.pqReconstruct(
+        Similarity.pqEncode(col("vec"), codebooks), codebooks).as("r"))
+      .collect()(0).getSeq[Float](0)
+    assert(recon === Seq(1f, 0f, 0f, 1f))
+
+    // ANN: same-cell docs score 1.0 against the reconstructed centroids,
+    // the opposite-cell doc scores below — quantized ranking is by cell
+    val top = Similarity.pqTopK(corpus, queries, codebooks, 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.map(_._2).toSeq === Seq(10L, 30L, 20L)) // tie on sim=1 → lower id
+    assert(top.take(2).forall(t => math.abs(t._3 - 1.0) < 1e-9))
+    assert(top.last._3 < 0.1)
+  }
+
   test("l2_normalize yields unit vectors; cosine of normalized = dot; zero vector stays zero") {
     import graft.functions.{DotProduct, L2Normalize}
     val df = Seq(

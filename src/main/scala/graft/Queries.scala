@@ -297,6 +297,25 @@ object Queries {
              |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin),
       "TPC-H Q18-style: IN-subquery over a HAVING aggregate = semi-join against an agg"),
 
+    Q("q6_forecast_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          round(col("l_discount") * 100).cast("long").between(5L, 7L) &&
+          col("l_quantity") < 24)
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).cast("double") / 10000.0)
+          .as("revenue")),
+      // discount compared in exact integer hundredths — a raw double
+      // BETWEEN 0.05 AND 0.07 is representation-dependent at the edges
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |                * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+             |  AND l_quantity < 24""".stripMargin),
+      "TPC-H Q6-style forecast revenue: pure scan + filter + aggregate, fully pushed down"),
+
     Q("q10_returned_items",
       (s, dir) => Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))

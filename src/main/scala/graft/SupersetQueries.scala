@@ -271,6 +271,32 @@ object SupersetQueries {
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "pivot with an explicit value list (static schema, no extra distinct scan) = conditional aggregation"),
 
+    Q("o17_range_frame",
+      (s, dir) => {
+        // trailing 30-day revenue per customer at each order — the RANGE
+        // frame (value-based, not row-count) that powers rolling
+        // feature-engineering; ordered by epoch DAYS so the frame bound is
+        // an exact integer interval in both engines
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("days"))
+          .rangeBetween(-30, 0)
+        Tables.orders(s, dir)
+          .withColumn("days", datediff(col("o_orderdate"), lit("1990-01-01").cast("date")).cast("long"))
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("cents")).over(w).cast("long").as("trail30_cents"),
+            count(lit(1)).over(w).as("trail30_n"))
+      },
+      // CAST the window sum (HUGEINT widening, the o12 lesson)
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    OVER (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+             |          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents,
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+             |          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trail30_n
+             |FROM orders""".stripMargin),
+      "RANGE window frame: trailing 30-day revenue per customer (value-based frame, exact integer day offsets)"),
+
     Q("o13_branch_merge",
       (s, dir) => {
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))

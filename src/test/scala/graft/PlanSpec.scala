@@ -69,6 +69,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"x2_ngram_jaccard plans a Window:\n$p")
   }
 
+  test("q6 pushes the sargable predicates (shipdate, quantity) to the parquet scan") {
+    // the PushedFilters render truncates past ~100 chars; assert the
+    // visible prefix (both sargable columns reach the scan)
+    val p = plan(q("q6_forecast_revenue"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_shipdate"), p)
+  }
+
   test("o15 as-of join plans a merge-scan shape: no range join, no pair amplification") {
     val p = plan(q("o15_asof_join"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)

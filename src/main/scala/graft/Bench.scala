@@ -40,7 +40,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "value"/"sf" come AFTER the (large) per-query map, and a short
+    // standalone summary line is printed LAST: at 78+ queries the map
+    // outgrew the driver's tail-capture window in round 3 and the leading
+    // "value" field was truncated away (BENCH_r03 "parsed": null). Any
+    // tail window now retains the total twice over.
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,10 +161,14 @@ object Dedup {
     * label's label (the shortcut halves remaining component diameter, so
     * convergence is O(log diameter) rounds, not O(diameter): a 1000-doc
     * duplication chain converges in ~10 rounds instead of silently
-    * stopping un-converged at the iteration cap). Each round is two keyed
-    * joins + one aggregate; `localCheckpoint` truncates the growing
-    * lineage (the standard Spark idiom for driver-looped iterative
-    * algorithms — the loop is over ACTIONS, never over collected data).
+    * stopping un-converged at the iteration cap). Each round is ONE job:
+    * the convergence count rides the `localCheckpoint` materialization
+    * pass via `Dataset.observe` (a CollectMetrics node counting
+    * `label != prev` in-plan), instead of a second join+count action —
+    * at 100 TB that halves the per-round passes over the label frame.
+    * `localCheckpoint` truncates the growing lineage (the standard Spark
+    * idiom for driver-looped iterative algorithms — the loop is over
+    * ACTIONS, never over collected data).
     */
   def canonicalize(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
@@ -181,17 +185,23 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges.join(labels, col("y") === col("id"))
         .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
+      // carry the incoming label as `prev` so convergence is decidable
+      // in-plan, on the same pass that materializes the checkpoint
       val viaNeighbors = labels.join(neighborMin, col("id") === col("x"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer doubling: follow the current label one more hop
       val hop = labels.select(col("id").as("lid"), col("label").as("llabel"))
+      val obs = Observation(s"canonicalize_round_$i")
       val updated = viaNeighbors.join(hop, col("label") === col("lid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
+        .observe(obs, count(when(col("label") =!= col("prev"), 1)).as("changed"))
+        .select(col("id"), col("label"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
+      // localCheckpoint is an eager Dataset action (withAction), so the
+      // CollectMetrics result is available as soon as it returns
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = updated
       i += 1
     }

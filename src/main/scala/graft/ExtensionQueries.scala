@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Texts}
+import graft.functions.L2Normalize
+import graft.ops.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis, Texts}
 
 /** Extension operators (SURVEY.md §2.6 X1-X4 + the large-scale training-data
   * pipeline surface): deduplication, similarity search, text analysis,
@@ -49,6 +50,22 @@ object ExtensionQueries {
     val sub = seeds.head.length / 4
     Array.tabulate(4)(j => seeds.map(v => v.slice(j * sub, (j + 1) * sub)))
   }
+
+  /** One trained k-means model per sf dir: an ANN index is trained once
+    * and then served by many queries, so the catalog mirrors that — the
+    * `x7_kmeans_train` entry pays the full training cost every call (it IS
+    * the trainer benchmark), while the trained-index consumers (`x3f_*`,
+    * the check queries) share this memo. Training is deterministic
+    * (md5-seeded, fixed iteration count/tolerance), so memoization does
+    * not change any result.
+    */
+  private val kmeansMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Clustering.KMeansModel]()
+  private[graft] def trainedModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): Clustering.KMeansModel =
+    kmeansMemo.computeIfAbsent(dir, _ =>
+      Clustering.trainKMeans(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), k = 8, maxIter = 10))
 
   val all: Seq[Q] = Seq(
 
@@ -179,6 +196,42 @@ object ExtensionQueries {
       },
       None, // float-argmin cell assignment is not practically reproducible in SQL
       "X2 PQ ANN: corpus as m small codes, reconstruction-based asymmetric scoring, codegen'd throughout"),
+
+    Q("x7_kmeans_train",
+      (s, dir) => {
+        // fresh training every call — this entry benchmarks the TRAINER
+        val m = Clustering.trainKMeans(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), k = 8, maxIter = 10)
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), L2Normalize(col("embedding")).as("unit"))
+          .withColumn("sims", Clustering.simsToCenters(col("unit"), m.centers))
+          .select(col("vec_id"),
+            (array_position(col("sims"), array_max(col("sims"))) - 1)
+              .cast("int").as("cid"),
+            array_max(col("sims")).as("bsim"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("size"), round(avg(col("bsim")), 3).as("avg_sim"))
+      },
+      None, // Lloyd's iterations are not reproducible in one DuckDB SQL;
+            // invariants oracle-checked by x7_kmeans_check
+      "X2 distributed spherical k-means trainer (Lloyd's rounds as one-job " +
+        "groupBy-aggregates, driver-held centers, codegen'd literal argmax) " +
+        "— per-cluster size and mean cosine of the trained index"),
+
+    Q("x3f_ann_ivf_trained",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val centroids = Clustering.centroidsDf(s, trainedModel(s, dir))
+        Similarity.ivfTopK(corpus, queries, centroids, 3)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      None, // centroids come from in-engine k-means (not SQL-reproducible);
+            // sims re-verified by x3f_ann_check
+      "X2 IVF ANN over TRAINED k-means centroids — end-to-end in-engine " +
+        "index build + serve (x3b stays as the seeded deterministic twin)"),
 
     // ================= X3 text analysis =================
 

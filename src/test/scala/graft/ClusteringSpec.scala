@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Clustering, Similarity}
+
+/** [[graft.ops.Clustering]] — the distributed spherical k-means trainer. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three well-separated direction clusters in 4-d: members are the axis
+    * direction plus a small deterministic wobble in another coordinate.
+    */
+  private def clustered() = {
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = for {
+      c <- base.indices
+      i <- 0 until 20
+    } yield {
+      val v = base(c).clone()
+      v((c + 1) % 4) = 0.05f * (i % 5)
+      ((c * 20 + i).toLong, v)
+    }
+    rows.toDF("id", "vec")
+  }
+
+  test("k-means recovers well-separated clusters; objective non-decreasing") {
+    val m = Clustering.trainKMeans(clustered(), col("id"), col("vec"), k = 3, maxIter = 10)
+    assert(m.centers.length == 3)
+    assert(m.rounds >= 1 && m.rounds <= 10)
+    // centers unit-norm
+    m.centers.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // spherical k-means objective (mean cosine to assigned center) is
+    // non-decreasing across Lloyd's rounds
+    m.objective.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-9, s"objective decreased: $a -> $b")
+      case _         => ()
+    }
+    // converged: each trained center is dominated by one axis (the
+    // clusters are separated by ~90 degrees, k-means cannot mix them)
+    val domAxes = m.centers.map(c => c.indexOf(c.max)).toSet
+    assert(domAxes.size == 3, s"centers collapsed: ${m.centers.map(_.mkString(",")).mkString(" | ")}")
+    // final objective is high: every member is within ~14 degrees of its axis
+    assert(m.objective.last > 0.97, s"objective too low: ${m.objective}")
+  }
+
+  test("assignTo groups members with their own cluster's center") {
+    val df = clustered()
+    val m = Clustering.trainKMeans(df, col("id"), col("vec"), k = 3, maxIter = 10)
+    val assigned = df
+      .select(col("id"), graft.functions.L2Normalize(col("vec")).as("unit"))
+      .select(col("id"), Clustering.assignTo(col("unit"), m.centers).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // all 20 members of a source cluster land in the same trained cluster
+    val bySource = assigned.groupBy { case (id, _) => id / 20 }
+    bySource.values.foreach { members =>
+      assert(members.map(_._2).toSet.size == 1, s"cluster split: ${members.toSeq}")
+    }
+    // and the three source clusters map to three DISTINCT trained ids
+    assert(bySource.values.map(_.head._2).toSet.size == 3)
+  }
+
+  test("trained centroids drop into ivfTopK and return verified hits") {
+    val df = clustered()
+    val m = Clustering.trainKMeans(df, col("id"), col("vec"), k = 3, maxIter = 10)
+    val corpus = df.select(col("id"), col("vec"))
+    val queries = df.filter(col("id") < 2).select(col("id").as("qid"), col("vec").as("qvec"))
+    val hits = Similarity.ivfTopK(corpus, queries, Clustering.centroidsDf(spark, m), 3)
+    val rows = hits.collect()
+    assert(rows.nonEmpty)
+    // every hit comes from the query's own source cluster (id / 20 equal):
+    // the trained index routes queries to the cluster they belong to
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id") / 20 == r.getAs[Long]("qid") / 20, r.toString)
+    }
+  }
+
+  test("seeding and training are deterministic across invocations") {
+    val a = Clustering.trainKMeans(clustered(), col("id"), col("vec"), k = 3, maxIter = 5)
+    val b = Clustering.trainKMeans(clustered(), col("id"), col("vec"), k = 3, maxIter = 5)
+    assert(a.centers.map(_.toSeq).toSeq == b.centers.map(_.toSeq).toSeq)
+    assert(a.objective == b.objective)
+  }
+
+  test("k larger than distinct vectors degrades gracefully") {
+    val tiny = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("id", "vec")
+    val m = Clustering.trainKMeans(tiny, col("id"), col("vec"), k = 5, maxIter = 3)
+    assert(m.centers.length == 2) // capped at corpus size
+  }
+}

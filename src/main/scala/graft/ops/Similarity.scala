@@ -74,7 +74,7 @@ object Similarity {
     * — the standard recall/cost trade of IVF indexes.
     *
     * The centroid table is collected to the driver (IVF centers are k-means
-    * output — inherently small; guarded at 65536) and unrolled into a
+    * output — inherently small; guarded at 4096) and unrolled into a
     * codegen'd argmax over literal vectors, so corpus bucket assignment is
     * a map-only projection: zero shuffle, zero corpus movement. Round 1
     * computed the same assignment as a corpus×centroids cross join plus a
@@ -89,8 +89,14 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    require(centers.nonEmpty && centers.length <= 65536,
-      s"IVF centroid count must be in [1, 65536], got ${centers.length}")
+    // 4096, not "as many as fit on the driver": each centroid unrolls into
+    // literal vectors inside ONE generated argmax expression, and janino's
+    // 64 KB method / constant-pool limits give out at O(thousands) of
+    // centers long before driver memory does. Above this bound the right
+    // plan is a broadcast-join assignment (centroids as a broadcast dim +
+    // min_by aggregate), not a bigger literal unroll.
+    require(centers.nonEmpty && centers.length <= 4096,
+      s"IVF centroid count must be in [1, 4096], got ${centers.length}")
 
     /** Codegen'd argmax over the per-centroid similarity array:
       * `array_position` returns the FIRST index of the max, so ties pick

@@ -91,4 +91,44 @@ class PlanSpec extends SparkSpec {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
       s"x6 plans more than one exchange (+reuse):\n$p")
   }
+
+  /** AQE join strategy is decided at RUNTIME from observed stage sizes, so
+    * these assertions execute the query at sf0.1 first and then read the
+    * FINAL adaptive plan — the plan a cluster actually runs, not the
+    * pre-execution guess.
+    */
+  private def finalPlan(name: String): String = {
+    val df = Queries.queries(name)(spark, "/root/testdata/sf0.1")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"$name did not finalize under AQE:\n$p")
+    p
+  }
+
+  test("q3 at sf0.1: BUILDING-filtered customer side broadcasts, no sort-merge join") {
+    val p = finalPlan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"q3 fell back to SMJ on a filtered dim:\n$p")
+    // the segment filter reached the customer scan that feeds the broadcast
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q5 at sf0.1: the six-table chain planned as broadcasts, no sort-merge join") {
+    val p = finalPlan("q5_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"q5 fell back to SMJ:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("q1 at sf0.1: partial aggregation runs below the exchange (map-side combine)") {
+    val p = finalPlan("q1_pricing_summary")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val partial = p.indexOf("partial_sum")
+    assert(exchange >= 0 && partial >= 0, p)
+    // tree prints top-down: final agg, then the exchange, then the partial
+    // agg below it — partial_sum must appear AFTER the exchange line
+    assert(partial > exchange, s"q1 partial agg is not below the exchange:\n$p")
+  }
 }

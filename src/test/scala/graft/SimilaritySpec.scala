@@ -192,4 +192,15 @@ class SimilaritySpec extends SparkSpec {
     val sims = rows.map(_.getDouble(3)).toSeq
     assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b })
   }
+
+  test("ivfTopK rejects centroid sets beyond the janino-realistic 4096 bound") {
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val tooMany = spark.range(4097)
+      .select(col("id").as("cid"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f)).as("cvec"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(vecs, queries, tooMany, 3)
+    }
+    assert(err.getMessage.contains("4096"))
+  }
 }

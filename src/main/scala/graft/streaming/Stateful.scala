@@ -4,8 +4,8 @@ import java.sql.Timestamp
 import java.time.Duration
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running totals: the accumulator for [[Stateful.runningTotals]]. */
 final case class UserTotals(user: String, orders: Long, products: Long, amount: Double)
@@ -209,6 +209,104 @@ object Stateful {
     orders.groupByKey(_.user)
       .transformWithState(new RunningTotalsProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  /** A session closed by [[SessionCloseProcessor]]: `[start, end)` with
+    * `end = last event + gap` — exactly the interval Spark's own
+    * `session_window(ts, gap)` assigns, so the batch session-window query
+    * is the fixpoint oracle for the emitted stream.
+    */
+  final case class ClosedSession(user: String, start: Timestamp, end: Timestamp,
+      cnt: Long)
+
+  /** Internal accumulator for the open session of one key. */
+  final case class OpenSession(user: String, startMs: Long, lastMs: Long, cnt: Long)
+
+  /** Session-close emission via EVENT-TIME TIMERS — the
+    * `transformWithState` timer surface (`registerTimer` /
+    * `handleExpiredTimer`) that declarative TTL cannot express: TTL drops
+    * idle state silently, while a session close must EMIT a record when
+    * the watermark passes `last event + gap`. This is the event-driven
+    * output shape of CDC session analytics (emit the finished session
+    * exactly once, as soon as it is provably finished).
+    *
+    * Mechanics: rows merge into the per-key open session in event-time
+    * order, emitting any session an in-batch gap already closes; after
+    * each batch the key's single timer is re-armed to `last + gap`
+    * (previous timers deleted — idle-time counts from last activity).
+    * When the watermark reaches the timer, `handleExpiredTimer` emits the
+    * closed session and clears the state. The guard against a stale timer
+    * racing a just-extended session (expiry < current `last + gap`)
+    * drops the stale firing instead of truncating the session.
+    *
+    * Merge rule is strictly-less (`ts < last + gap` extends; `ts = last +
+    * gap` starts a new session) — byte-identical to `session_window`'s
+    * `[start, last + gap)` non-overlap semantics, which the streaming
+    * test asserts against the batch query.
+    */
+  final class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[String, OrderEvent, ClosedSession] {
+    @transient private var sess: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[OpenSession]("session",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def closed(s: OpenSession): ClosedSession =
+      ClosedSession(s.user, new Timestamp(s.startMs),
+        new Timestamp(s.lastMs + gapMs), s.cnt)
+
+    override def handleInputRows(user: String, rows: Iterator[OrderEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val out = Seq.newBuilder[ClosedSession]
+      var cur = if (sess.exists()) sess.get() else null
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        if (cur == null) cur = OpenSession(user, t, t, 1L)
+        else if (t < cur.lastMs + gapMs)
+          cur = OpenSession(user, cur.startMs, math.max(cur.lastMs, t), cur.cnt + 1)
+        else { // in-batch gap: the previous session is already closed
+          out += closed(cur)
+          cur = OpenSession(user, t, t, 1L)
+        }
+      }
+      if (cur != null) {
+        sess.update(cur)
+        // one live timer per key, armed at the session's current close time
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(cur.lastMs + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (sess.exists()) {
+        val cur = sess.get()
+        if (expiredTimerInfo.getExpiryTimeInMs() >= cur.lastMs + gapMs) {
+          sess.clear()
+          return Iterator.single(closed(cur))
+        }
+        // stale timer from before an in-batch extension: ignore
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Stream of CLOSED sessions per user, emitted exactly once each when
+    * the event-time watermark proves no further event can extend them.
+    * Batch fixpoint: `groupBy(session_window(ts, gap), user).count` over
+    * the same events (the o7 query shape).
+    */
+  def sessionClose(events: Dataset[OrderEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .as[OrderEvent]
+      .groupByKey(_.user)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Batch reference fold for [[runningTotals]] — same arithmetic, same

@@ -124,6 +124,48 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === rowsOf(sessions(evs.toDF())))
   }
 
+  test("event-time timers emit closed sessions matching the batch session_window fixpoint") {
+    import graft.streaming.Stateful
+    // gap = 5 s. alice: 0s,2s (one session) then 20s (a new one — the
+    // in-batch gap closes the first immediately); bob: 1s. Later batches
+    // advance the watermark so the armed timers fire one by one.
+    val evs = Seq(
+      OrderEvent("a1", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:00Z")),
+      OrderEvent("a2", "alice", Seq("b"), 1.0, ts("2024-01-01T00:00:02Z")),
+      OrderEvent("a3", "alice", Seq("c"), 1.0, ts("2024-01-01T00:00:20Z")),
+      OrderEvent("b1", "bob", Seq("d"), 1.0, ts("2024-01-01T00:00:01Z")))
+    val carol = OrderEvent("c1", "carol", Seq("e"), 1.0, ts("2024-01-01T00:01:40Z"))
+    val dave = OrderEvent("d1", "dave", Seq("f"), 1.0, ts("2024-01-01T00:03:20Z"))
+    val erin = OrderEvent("e1", "erin", Seq("g"), 1.0, ts("2024-01-01T00:06:40Z"))
+    // transformWithState requires the RocksDB provider (multiple column
+    // families back the timer registry)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      runStream(Seq(evs, Seq(carol), Seq(dave), Seq(erin)), "append") { df =>
+        Stateful.sessionClose(df.as[OrderEvent], gapMs = 5000L).toDF()
+      }.select(col("user"), col("start").cast("long").as("s"),
+        col("end").cast("long").as("e"), col("cnt"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // erin's session stays open (the watermark stops at her event, never
+    // passing her close time): emitted rows are exactly the PROVABLY
+    // closed sessions
+    val batchFixpoint = Seq(evs, Seq(carol), Seq(dave)).flatten.toDF()
+      .groupBy(session_window(col("ts"), "5 seconds"), col("user"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user"), col("session_window.start").cast("long").as("s"),
+        col("session_window.end").cast("long").as("e"), col("cnt"))
+    assert(rowsOf(out) === rowsOf(batchFixpoint))
+    assert(out.count() === 5) // alice x2, bob, carol, dave — each exactly once
+  }
+
   test("flagship paidOrders: streaming append fixpoint equals the batch application (KSA:155-189)") {
     val profiles = Seq(("alice", "gold"), ("bob", "basic"), ("carol", "gold"))
       .toDF("user", "profile")

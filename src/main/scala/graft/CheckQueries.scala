@@ -254,6 +254,37 @@ object CheckQueries {
         verified.crossJoin(mono)
       },
       Some("SELECT TRUE AS sims_exact, TRUE AS found_hits, TRUE AS ranks_monotone"),
-      "invariant for x3f: trained-IVF sims re-verified via the interpreted twin; ranking well-formed")
+      "invariant for x3f: trained-IVF sims re-verified via the interpreted twin; ranking well-formed"),
+
+    Q("x3g_pq_check",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cbs = ExtensionQueries.trainedPqCodebooks(s, dir)
+        // trained codebooks are well-formed: every entry unit-norm (the
+        // spherical trainer's contract), correct shape
+        val shapeOk = cbs.length == 4 && cbs.forall(cb =>
+          cb.nonEmpty && cb.forall(en => en.length == 16 &&
+            math.abs(math.sqrt(en.map(x => x.toDouble * x).sum) - 1.0) < 1e-6))
+        val ann = Similarity.pqTopK(corpus, queries, cbs, 3)
+        // every emitted sim re-verified through interpreted re-encode +
+        // reconstruct, as in x3e_pq_check but against the TRAINED books
+        ann
+          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+          .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
+          .agg(
+            coalesce(bool_and(abs(col("sim") -
+              Similarity.cosineHof(col("qv"),
+                Similarity.pqReconstruct(
+                  Similarity.pqEncode(col("cvec"), cbs), cbs))) < 1e-6),
+              lit(true)).as("sims_exact"),
+            (count(lit(1)) > 0).as("found_hits"))
+          .withColumn("codebooks_wellformed", lit(shapeOk))
+      },
+      Some("SELECT TRUE AS sims_exact, TRUE AS found_hits, TRUE AS codebooks_wellformed"),
+      "invariant for x3g: trained-PQ scores re-verified via interpreted " +
+        "re-encode + reconstruct; codebook entries unit-norm")
   )
 }

@@ -67,6 +67,19 @@ object ExtensionQueries {
       Clustering.trainKMeans(Tables.embeddings(s, dir),
         col("vec_id"), col("embedding"), k = 8, maxIter = 10))
 
+  /** Trained PQ codebooks, memoized like [[trainedModel]] (train once,
+    * serve many): 4 subvectors of dim 16, 16 entries each, spherical
+    * k-means per slice — the in-engine replacement for the seed-slice
+    * [[pqCodebooks]] (which stays as the deterministic twin for x3e).
+    */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
+  private[graft] def trainedPqCodebooks(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Float]]] =
+    pqMemo.computeIfAbsent(dir, _ =>
+      Clustering.trainPqCodebooks(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), m = 4, k = 16, dim = 64, maxIter = 5))
+
   val all: Seq[Q] = Seq(
 
     // ================= X1/X2 deduplication =================
@@ -173,6 +186,38 @@ object ExtensionQueries {
              |WHERE rank <= 3""".stripMargin),
       "X2 IVF-style ANN: route query to nearest centroid, search only that bucket"),
 
+    Q("x3b2_ann_ivf_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.ivfProbeTopK(corpus, queries, centroids, 3, nprobe = 2)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             |va AS (SELECT id, vec, cid AS bucket FROM (
+             |  SELECT v.id, v.vec, c.cid,
+             |         row_number() OVER (PARTITION BY v.id
+             |                            ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
+             |  FROM v CROSS JOIN c) WHERE rn = 1),
+             |qp AS (SELECT id AS qid, vec AS qvec, cid AS qbucket FROM (
+             |  SELECT v.id, v.vec, c.cid,
+             |         row_number() OVER (PARTITION BY v.id
+             |                            ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
+             |  FROM v CROSS JOIN c WHERE v.id < 5) WHERE rn <= 2)
+             |SELECT qid, rank, id, round(sim, 4) AS sim FROM (
+             |  SELECT qp.qid, va.id, list_cosine_similarity(qp.qvec, va.vec) AS sim,
+             |         row_number() OVER (PARTITION BY qp.qid
+             |                            ORDER BY list_cosine_similarity(qp.qvec, va.vec) DESC, va.id) AS rank
+             |  FROM qp JOIN va ON va.bucket = qp.qbucket AND va.id <> qp.qid)
+             |WHERE rank <= 3""".stripMargin),
+      "X2 multi-probe IVF ANN (nprobe=2): query searches its 2 nearest " +
+        "centroid buckets — the recall knob, still equi-join-shaped"),
+
     Q("x3c_ann_hyperplane",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -232,6 +277,20 @@ object ExtensionQueries {
             // sims re-verified by x3f_ann_check
       "X2 IVF ANN over TRAINED k-means centroids — end-to-end in-engine " +
         "index build + serve (x3b stays as the seeded deterministic twin)"),
+
+    Q("x3g_ann_pq_trained",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.pqTopK(corpus, queries, trainedPqCodebooks(s, dir), 3)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      None, // codebooks come from in-engine k-means (not SQL-reproducible);
+            // re-verified by x3g_pq_check
+      "X2 PQ ANN over TRAINED codebooks (per-slice spherical k-means) — " +
+        "the full in-engine quantized-index build + serve"),
 
     // ================= X3 text analysis =================
 

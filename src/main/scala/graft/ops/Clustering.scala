@@ -9,13 +9,19 @@ import graft.functions.{DotProduct, L2Normalize}
   * as inputs ("in production these are k-means output"); this produces them
   * IN-ENGINE, so a user can index a raw embedding corpus end to end.
   *
-  * Spherical k-means (Lloyd's iterations on the unit hypersphere): vectors
-  * are L2-normalized once, assignment is argmax DOT against the current
-  * centers (= argmax cosine — exactly the routing [[Similarity.ivfTopK]]
-  * uses, so trained centers drop straight in), and the update step is the
-  * per-cluster normalized mean. The objective (mean cosine of each vector
-  * to its assigned center) is non-decreasing across rounds — a testable
-  * invariant (see CheckQueries `x7_kmeans_check`).
+  * Two geometries, one Lloyd's core:
+  *  - SPHERICAL (cosine): vectors L2-normalized once, assignment is argmax
+  *    DOT against the current centers (= argmax cosine — exactly the
+  *    routing [[Similarity.ivfTopK]] uses, so trained centers drop straight
+  *    in), update is the per-cluster normalized mean. Objective = mean
+  *    cosine to assigned center, NON-DECREASING across rounds.
+  *  - EUCLIDEAN (classic k-means): assignment is argmin squared L2,
+  *    computed as argmax of `dot(x, c) - |c|^2/2` (the |x|^2 term is
+  *    constant per row and drops out of the argmax), update is the plain
+  *    per-cluster mean. Objective = mean squared distance, NON-INCREASING.
+  *
+  * Both invariants are testable and tested (ClusteringSpec; CheckQueries
+  * `x7_kmeans_check` drives the spherical one through the driver's oracle).
   *
   * Scale shape (the same idiom as Spark MLlib's own KMeans, re-expressed
   * declaratively): centers are DRIVER-HELD (k x dim doubles — tiny by
@@ -25,21 +31,25 @@ import graft.functions.{DotProduct, L2Normalize}
   *   `posexplode` + hash-aggregate on (bucket, dim) — map-side partial
   *   aggregation caps the shuffle at k*dim rows PER MAPPER regardless of
   *   corpus size — and a k*dim-row collect updates the centers.
-  * The normalized corpus is `localCheckpoint`ed once so every round reads
+  * The prepared corpus is `localCheckpoint`ed once so every round reads
   * a materialized frame with a constant-depth plan; the driver loop is
   * over ACTIONS (one per round), never over collected corpus data.
   */
 object Clustering {
 
-  /** @param centers   unit-norm center vectors; cluster id = array index
-    * @param objective per-round mean cosine-to-assigned-center (measured
-    *                  BEFORE that round's center update; non-decreasing)
+  /** @param centers   center vectors (unit-norm iff spherical); cluster id
+    *                  = array index
+    * @param objective per-round objective, measured BEFORE that round's
+    *                  center update: mean cosine (spherical, non-decreasing)
+    *                  or mean squared distance (euclidean, non-increasing)
     * @param rounds    Lloyd's rounds actually run (<= maxIter)
+    * @param euclidean which geometry trained this model
     */
   final case class KMeansModel(
       centers: Array[Array[Double]],
       objective: Seq[Double],
-      rounds: Int)
+      rounds: Int,
+      euclidean: Boolean = false)
 
   /** The trained centers as a (cid, cvec) frame in exactly the shape
     * [[Similarity.ivfTopK]] expects its `centroids` input.
@@ -54,18 +64,36 @@ object Clustering {
   /** Per-center dot-product array against literal centers — codegen'd
     * ([[graft.functions.DotProduct]]); for unit inputs dot == cosine.
     */
-  private[graft] def simsToCenters(unit: Column, centers: Array[Array[Double]]): Column =
-    array(centers.map(c => DotProduct(unit, typedlit(c))): _*)
+  private[graft] def simsToCenters(vec: Column, centers: Array[Array[Double]]): Column =
+    array(centers.map(c => DotProduct(vec, typedlit(c))): _*)
 
-  /** 0-based id of the nearest center (argmax dot, first-index = lowest-id
-    * tiebreak — the same deterministic rule as ivfTopK's routing).
+  /** Per-center Euclidean ranking scores `dot(x,c) - |c|^2/2`: argmax of
+    * these = argmin of squared distance (|x|^2 is row-constant).
     */
-  def assignTo(unit: Column, centers: Array[Array[Double]]): Column = {
-    val sims = simsToCenters(unit, centers)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
+  private[graft] def euclideanScores(vec: Column, centers: Array[Array[Double]]): Column =
+    array(centers.map { c =>
+      val half = c.map(x => x * x).sum / 2.0
+      DotProduct(vec, typedlit(c)) - lit(half)
+    }: _*)
+
+  /** 0-based id of the nearest center under the model's geometry (first-max
+    * tiebreak = lowest cid — the same deterministic rule as ivfTopK's
+    * routing). Spherical models expect a UNIT vector input.
+    */
+  def assignTo(vec: Column, model: KMeansModel): Column = {
+    val scores = if (model.euclidean) euclideanScores(vec, model.centers)
+                 else simsToCenters(vec, model.centers)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
-  /** Train spherical k-means over `vecCol`.
+  /** Spherical-model argmax over raw centers (back-compat form used by the
+    * catalog's check queries).
+    */
+  def assignTo(unit: Column, centers: Array[Array[Double]]): Column =
+    assignTo(unit, KMeansModel(centers, Nil, 0))
+
+  /** Train k-means over `vecCol`; see the object scaladoc for the two
+    * geometries and the per-round job shape.
     *
     * Deterministic seeding: the k vectors whose ids sort first by
     * `md5(id)` — an engine/run/retry-reproducible pseudo-random sample
@@ -76,19 +104,25 @@ object Clustering {
     * codegen'd literal argmax, and janino's constant-pool/method limits
     * make O(thousands) the practical bound (same guard rationale as
     * [[Similarity.ivfTopK]]).
+    *
+    * @param tol convergence threshold on center movement between rounds:
+    *            max over centers of `1 - dot(old,new)` (spherical) or of
+    *            squared displacement (euclidean)
     */
   def trainKMeans(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
-      maxIter: Int = 10, tol: Double = 1e-6): KMeansModel = {
+      maxIter: Int = 10, tol: Double = 1e-6, euclidean: Boolean = false): KMeansModel = {
     require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val unitized = df
-      .select(idCol.as("id"), L2Normalize(vecCol).as("unit"))
+    val feature =
+      if (euclidean) vecCol.cast("array<double>") else L2Normalize(vecCol)
+    val prepared = df
+      .select(idCol.as("id"), feature.as("x"))
       .localCheckpoint()
 
-    var centers: Array[Array[Double]] = unitized
+    var centers: Array[Array[Double]] = prepared
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(k)
-      .select(col("unit"))
+      .select(col("x"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(centers.nonEmpty, "k-means needs a non-empty corpus")
@@ -101,14 +135,21 @@ object Clustering {
     while (round < maxIter && moved > tol) {
       // ONE job: assign (map-only literal argmax), explode dims, partial
       // hash-aggregate to (bucket, pos) cells, collect k*dim rows.
-      val stats = unitized
-        .withColumn("sims", simsToCenters(col("unit"), centers))
+      val scores = if (euclidean) euclideanScores(col("x"), centers)
+                   else simsToCenters(col("x"), centers)
+      // per-row objective contribution: best cosine (spherical) or
+      // |x|^2 - 2*bestScore = squared distance to the chosen center
+      val contrib = if (euclidean)
+        DotProduct(col("x"), col("x")) - lit(2.0) * array_max(col("scores"))
+      else array_max(col("scores"))
+      val stats = prepared
+        .withColumn("scores", scores)
         .withColumn("bucket",
-          (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
-        .withColumn("bsim", array_max(col("sims")))
-        .select(col("bucket"), col("bsim"), posexplode(col("unit")))
+          (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+        .withColumn("contrib", contrib)
+        .select(col("bucket"), col("contrib"), posexplode(col("x")))
         .groupBy(col("bucket"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"), sum(col("bsim")).as("o"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"), sum(col("contrib")).as("o"))
         .collect()
 
       val sums = Array.fill(kk, dim)(0.0)
@@ -131,16 +172,45 @@ object Clustering {
         if (counts(b) == 0L) centers(b) // empty cluster: keep its center
         else {
           val mean = sums(b).map(_ / counts(b))
-          val nrm = math.sqrt(mean.map(x => x * x).sum)
-          if (nrm > 0) mean.map(_ / nrm) else centers(b)
+          if (euclidean) mean
+          else {
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm > 0) mean.map(_ / nrm) else centers(b)
+          }
         }
       }
       moved = (0 until kk).map { b =>
-        1.0 - centers(b).zip(next(b)).map { case (a, c) => a * c }.sum
+        if (euclidean)
+          centers(b).zip(next(b)).map { case (a, c) => (a - c) * (a - c) }.sum
+        else
+          1.0 - centers(b).zip(next(b)).map { case (a, c) => a * c }.sum
       }.max
       centers = next
       round += 1
     }
-    KMeansModel(centers, objective.toSeq, round)
+    KMeansModel(centers, objective.toSeq, round, euclidean)
+  }
+
+  /** Train PQ codebooks in-engine: one independent k-means per contiguous
+    * subvector slice, in the exact `codebooks(j)(entry)(component)` shape
+    * [[Similarity.pqEncode]]/[[Similarity.pqTopK]] consume. SPHERICAL
+    * geometry, deliberately: pqEncode's cell assignment is argmax cosine,
+    * so training the codebooks under the same geometry keeps
+    * trainer and encoder consistent (Euclidean-trained entries would be
+    * assigned by a rule they weren't optimized for).
+    *
+    * m driver-looped trainings of a tiny model each — the loop is over
+    * training RUNS (each internally the one-job-per-round shape above),
+    * never over corpus data.
+    */
+  def trainPqCodebooks(df: DataFrame, idCol: Column, vecCol: Column,
+      m: Int, k: Int, dim: Int, maxIter: Int = 5): Array[Array[Array[Float]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val model = trainKMeans(df, idCol,
+        slice(vecCol, j * sub + 1, sub), k, maxIter)
+      model.centers.map(_.map(_.toFloat))
+    }
   }
 }

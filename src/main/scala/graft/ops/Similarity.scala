@@ -83,20 +83,28 @@ object Similarity {
     * @param centroids (cid, cvec) — small; in a real pipeline these come
     *                  from k-means, here any deterministic seed set works
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val centers: Array[(Long, Array[Float])] = centroids
+  /** Collect and guard the (small, k-means-output) centroid table for
+    * literal-unrolled codegen. 4096, not "as many as fit on the driver":
+    * each centroid unrolls into literal vectors inside ONE generated
+    * argmax expression, and janino's 64 KB method / constant-pool limits
+    * give out at O(thousands) of centers long before driver memory does.
+    * Above this bound the right plan is a broadcast-join assignment
+    * (centroids as a broadcast dim + max_by aggregate), not a bigger
+    * literal unroll.
+    */
+  private def collectCenters(centroids: DataFrame): Array[(Long, Array[Float])] = {
+    val centers = centroids
       .select(col("cid").cast("long"), col("cvec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    // 4096, not "as many as fit on the driver": each centroid unrolls into
-    // literal vectors inside ONE generated argmax expression, and janino's
-    // 64 KB method / constant-pool limits give out at O(thousands) of
-    // centers long before driver memory does. Above this bound the right
-    // plan is a broadcast-join assignment (centroids as a broadcast dim +
-    // min_by aggregate), not a bigger literal unroll.
     require(centers.nonEmpty && centers.length <= 4096,
       s"IVF centroid count must be in [1, 4096], got ${centers.length}")
+    centers
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val centers = collectCenters(centroids)
 
     /** Codegen'd argmax over the per-centroid similarity array:
       * `array_position` returns the FIRST index of the max, so ties pick
@@ -113,6 +121,53 @@ object Similarity {
 
     val corpusB = corpus.withColumn("bucket", nearestCid(col("vec")))
     val queriesB = queries.withColumn("qbucket", nearestCid(col("qvec")))
+    explodeRanked(
+      corpusB.join(broadcast(queriesB),
+          col("bucket") === col("qbucket") && col("id") =!= col("qid"))
+        .withColumn("sim", cosine(col("qvec"), col("vec")))
+        .groupBy("qid")
+        .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
+  }
+
+  /** Multi-probe IVF ANN: like [[ivfTopK]], but each query searches its
+    * `nprobe` NEAREST centroid buckets instead of only the single nearest —
+    * the standard IVF recall knob (a query near a Voronoi boundary finds
+    * neighbors that fell just across it) at `nprobe/nlist` of the corpus
+    * scanned per query.
+    *
+    * Plan shape: corpus bucket assignment is the same map-only codegen'd
+    * literal argmax; the query side ranks all centroids in ONE generated
+    * sort over a literal-built (score, cid) struct array, slices the top
+    * `nprobe`, and EXPLODES them (nprobe rows per query — still tiny, still
+    * broadcast), so the probe fan-out stays an equi-join on the bucket id:
+    * no `array_contains` theta-join, no nested-loop fallback. Each corpus
+    * vector lives in exactly one bucket, so no candidate dedup is needed.
+    */
+  def ivfProbeTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val centers = collectCenters(centroids)
+    require(nprobe >= 1 && nprobe <= centers.length,
+      s"nprobe must be in [1, ${centers.length}], got $nprobe")
+
+    def nearestCid(vec: Column): Column = {
+      val sims = array(centers.map { case (_, cvec) => cosine(vec, typedlit(cvec)) }: _*)
+      val pos = array_position(sims, array_max(sims)).cast("int")
+      element_at(typedlit(centers.map(_._1)), pos)
+    }
+    // (-sim, cid) structs sort ascending = sim DESC with cid ASC tiebreak,
+    // matching ivfTopK's deterministic routing rule
+    def probeCids(vec: Column): Column = {
+      val entries = array(centers.map { case (cid, cvec) =>
+        struct((-cosine(vec, typedlit(cvec))).as("negs"), lit(cid).as("c"))
+      }: _*)
+      slice(sort_array(entries), 1, nprobe)
+    }
+
+    val corpusB = corpus.withColumn("bucket", nearestCid(col("vec")))
+    val queriesB = queries
+      .select(col("qid"), col("qvec"),
+        explode(probeCids(col("qvec"))).as("probe"))
+      .select(col("qid"), col("qvec"), col("probe.c").as("qbucket"))
     explodeRanked(
       corpusB.join(broadcast(queriesB),
           col("bucket") === col("qbucket") && col("id") =!= col("qid"))

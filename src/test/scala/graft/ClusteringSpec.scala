@@ -90,4 +90,65 @@ class ClusteringSpec extends SparkSpec {
     val m = Clustering.trainKMeans(tiny, col("id"), col("vec"), k = 5, maxIter = 3)
     assert(m.centers.length == 2) // capped at corpus size
   }
+
+  /** Two tight blobs at (0,0) and (10,10) — separated by POSITION, not
+    * direction (both sit on the same ray from the origin as their members
+    * wobble), so Euclidean geometry must find them.
+    */
+  private def blobs() = {
+    val rows = for {
+      c <- 0 to 1
+      i <- 0 until 20
+    } yield {
+      val base = c * 10.0f
+      ((c * 20 + i).toLong,
+        Array(base + 0.1f * (i % 5), base + 0.1f * ((i / 5) % 4)))
+    }
+    rows.toDF("id", "vec")
+  }
+
+  test("euclidean k-means: objective (mean sq distance) non-increasing, blobs recovered") {
+    val m = Clustering.trainKMeans(blobs(), col("id"), col("vec"), k = 2,
+      maxIter = 10, euclidean = true)
+    assert(m.euclidean)
+    m.objective.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"objective increased: $a -> $b")
+      case _         => ()
+    }
+    // converged centers are the blob means: one near (0.2, 0.15), one near
+    // (10.2, 10.15); mean squared distance within a blob is < 0.1
+    assert(m.objective.last < 0.1, s"objective too high: ${m.objective}")
+    val sorted = m.centers.sortBy(_.head)
+    assert(math.abs(sorted(0)(0) - 0.2) < 0.05 && math.abs(sorted(1)(0) - 10.2) < 0.05,
+      sorted.map(_.mkString(",")).mkString(" | "))
+    // assignment splits the blobs exactly
+    val assigned = blobs()
+      .select(col("id"), Clustering.assignTo(col("vec").cast("array<double>"), m).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(assigned.groupBy(_._1 / 20).values.forall(_.map(_._2).toSet.size == 1))
+    assert(assigned.map(_._2).toSet.size == 2)
+  }
+
+  test("trainPqCodebooks: m per-slice codebooks in pqEncode's shape, entries unit-norm") {
+    // every 2-dim slice non-zero (spherical per-slice training is
+    // degenerate on zero subvectors, as for any cosine method)
+    val df = (0 until 40).map { i =>
+      (i.toLong, Array(1f + 0.1f * (i % 5), 0.3f + 0.05f * (i % 3),
+        0.5f + 0.1f * (i % 4), 1f - 0.05f * (i % 6)))
+    }.toDF("id", "vec")
+    val cbs = Clustering.trainPqCodebooks(df, col("id"), col("vec"),
+      m = 2, k = 2, dim = 4, maxIter = 3)
+    assert(cbs.length == 2)
+    cbs.foreach { cb =>
+      assert(cb.nonEmpty && cb.forall(_.length == 2)) // sub = dim/m = 2
+      cb.foreach { en =>
+        assert(math.abs(math.sqrt(en.map(x => x.toDouble * x).sum) - 1.0) < 1e-6)
+      }
+    }
+    // and they feed pqTopK end to end
+    val corpus = df.select(col("id"), col("vec"))
+    val queries = df.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    assert(Similarity.pqTopK(corpus, queries, cbs, 3).count() > 0)
+  }
 }

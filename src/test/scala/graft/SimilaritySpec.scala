@@ -193,6 +193,28 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b })
   }
 
+  test("ivfProbeTopK with nprobe = nlist searches everything: equals brute force") {
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("cid", "cvec")
+    val probed = Similarity.ivfProbeTopK(vecs, queries, centroids, 3, nprobe = 2)
+    val brute = Similarity.bruteForceTopK(vecs, queries, 3)
+    assert(rowsOf(probed) === rowsOf(brute))
+  }
+
+  test("ivfProbeTopK recall grows with nprobe (nprobe=1 reduces to ivfTopK)") {
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("cid", "cvec")
+    val one = Similarity.ivfProbeTopK(vecs, queries, centroids, 3, nprobe = 1)
+    val ivf = Similarity.ivfTopK(vecs, queries, centroids, 3)
+    assert(rowsOf(one) === rowsOf(ivf))
+    val two = Similarity.ivfProbeTopK(vecs, queries, centroids, 3, nprobe = 2)
+    assert(two.count() >= one.count())
+  }
+
   test("ivfTopK rejects centroid sets beyond the janino-realistic 4096 bound") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
     val tooMany = spark.range(4097)

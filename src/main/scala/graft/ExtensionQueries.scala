@@ -122,6 +122,30 @@ object ExtensionQueries {
               |GROUP BY d.doc_id""".stripMargin),
       "X1/X2 duplicate-cluster canonicalization: connected components by min-label propagation"),
 
+    Q("x8_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        // doc_id < 50 plays the benchmark/eval set; the rest is the corpus
+        Dedup.decontaminate(col("doc_id"), col("text"), 8)(
+            d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      // mirror of Texts.explodedShingles at n=8: 1-indexed starts
+      // 1..len-7, space-joined; docs shorter than 8 tokens have no
+      // shingles and are trivially clean
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |         unnest([array_to_string(toks[i:i+7], ' ')
+             |                 for i in range(1, len(toks) - 6)]) AS s
+             |       FROM toks WHERE len(toks) >= 8),
+             |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+             |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bs USING (s)
+             |        WHERE sh.doc_id >= 50)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
+      "X1/X2 benchmark decontamination: drop corpus docs sharing any 8-token " +
+        "shingle with the eval set (broadcast semi-join, corpus never shuffled)"),
+
     Q("x2b_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(docs(s, dir)),
       None, // xxhash64-based signatures are not reproducible in DuckDB SQL
@@ -241,6 +265,23 @@ object ExtensionQueries {
       },
       None, // float-argmin cell assignment is not practically reproducible in SQL
       "X2 PQ ANN: corpus as m small codes, reconstruction-based asymmetric scoring, codegen'd throughout"),
+
+    Q("x6e_pack_sequences",
+      (s, dir) => TextAnalysis.packSequences(col("doc_id"), col("text"),
+        col("source"), 2048)(docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         md5(CAST(doc_id AS VARCHAR)) AS ord
+             |       FROM documents),
+             |o AS (SELECT doc_id, source, n_tokens,
+             |        CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+             |      FROM t)
+             |SELECT doc_id, source AS part, n_tokens, start_offset,
+             |       CAST(floor(start_offset / 2048) AS BIGINT) AS bin
+             |FROM o""".stripMargin),
+      "X3 sequence packing: concat-and-chunk manifest (md5-deterministic " +
+        "order, per-part running offsets, context-window bin)"),
 
     Q("x7_kmeans_train",
       (s, dir) => {

@@ -93,6 +93,32 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION — the cross-set variant of near-dup removal
+    * every LLM training pipeline runs before training: drop from `docs`
+    * any document sharing at least one n-token shingle with the
+    * `benchmark` set (eval questions, test splits), so the training corpus
+    * cannot leak evaluation data.
+    *
+    * Plan shape: benchmark shingles are DISTINCT and small by construction
+    * (benchmarks are thousands of docs, the corpus is billions) — they
+    * broadcast under AQE, so the corpus-side shingle explode is scanned
+    * map-only into a semi join; contaminated ids then reduce to a small
+    * distinct set that anti-joins back against the full rows. The corpus
+    * is never shuffled on the shingle axis: the only wide ops are over
+    * (small) Σ benchmark-matching ids. Docs shorter than n tokens have no
+    * shingles and are trivially clean.
+    */
+  def decontaminate(id: Column, text: Column, n: Int)(
+      docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchShingles = Texts.explodedShingles(benchmark, id, text, n)
+      .select(col("s")).distinct()
+    val contaminated = Texts.explodedShingles(docs, id, text, n)
+      .join(benchShingles, Seq("s"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumnRenamed("id", "__contaminated_id")
+    docs.join(contaminated, id === col("__contaminated_id"), "left_anti")
+  }
+
   /** X2 MinHash+LSH near-dup candidates, verified with exact Jaccard.
     *
     * exploded shingles → ONE hash-groupBy computing all `numBands *

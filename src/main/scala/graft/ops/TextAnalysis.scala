@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** X3 text-analysis operators for training-data curation: token statistics,
@@ -241,5 +242,37 @@ object TextAnalysis {
         explode(sequence(lit(1), size(col("toks")) - (window - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(window)))).as("window_fp"))
+  }
+
+  /** SEQUENCE PACKING — the concat-and-chunk layout GPT-style pretraining
+    * uses: documents are laid out back-to-back into one token stream per
+    * `part` (source, shard, ...), and each document's context-window bin is
+    * `floor(start_offset / windowTokens)`. Emits (doc_id, part, n_tokens,
+    * start_offset, bin) — the manifest a loader needs to materialize packed
+    * examples without re-scanning text.
+    *
+    * Order within a part is md5-deterministic (the engine's reproducible
+    * shuffle idiom — same layout across engines, runs and retries), so the
+    * packing is an auditable function of the data alone.
+    *
+    * Scale: ONE window per part (running token total) — partitioned by
+    * `part`, so parts pack in parallel and nothing global-sorts; this is
+    * the one operator family where a window is the right tool, because a
+    * running offset is inherently sequential within its stream. A skewed
+    * giant part should be pre-split into shard parts by the caller (the
+    * md5 order makes any sharding deterministic too).
+    */
+  def packSequences(id: Column, text: Column, part: Column, windowTokens: Int)(
+      df: DataFrame): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(id.as("doc_id"), part.as("part"),
+        size(Texts.tokens(text)).cast("long").as("n_tokens"),
+        md5(id.cast("string")).as("__ord"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("part"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / windowTokens).as("bin"))
   }
 }

@@ -122,4 +122,25 @@ class DedupSpec extends SparkSpec {
     val out = df.select(Dedup.hamming(col("a"), col("b")).as("h"))
     assert(rowsOf(out) === Set(Seq(0L), Seq(1L), Seq(64L)))
   }
+
+  test("decontaminate drops docs sharing an n-gram with the benchmark, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shares "c d e" with the benchmark → dropped
+      (2L, "x y z w v"),   // clean → kept
+      (3L, "c d")          // 2 tokens < n: no shingles, trivially clean
+    ).toDF("id", "text")
+    val bench = Seq((100L, "c d e f g")).toDF("id", "text")
+    val out = Dedup.decontaminate(col("id"), col("text"), 3)(corpus, bench)
+    assert(rowsOf(out.select(col("id"))) === Set(Seq(2L), Seq(3L)))
+    // all original columns survive the anti join
+    assert(out.columns.toSeq === Seq("id", "text"))
+  }
+
+  test("decontaminate with an empty benchmark keeps everything") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c")).toDF("id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.decontaminate(col("id"), col("text"), 3)(corpus, bench).count() === 1)
+  }
 }

@@ -163,4 +163,37 @@ class TextAnalysisSpec extends SparkSpec {
     val out = df.select(Texts.bpeishTokens(col("text")).as("t")).collect()(0).getSeq[String](0)
     assert(out === Seq("ab1", "c", "-", "d", ",", "e", "!"))
   }
+
+  test("packSequences: per-part running offsets with no gaps, bins chunk by window") {
+    val df = Seq(
+      (1L, "a b c", "s1"),        // 3 tokens
+      (2L, "d e f g", "s1"),      // 4
+      (3L, "h i", "s1"),          // 2
+      (10L, "x y z w v u", "s2")  // 6, alone in its part
+    ).toDF("id", "text", "src")
+    val out = TextAnalysis.packSequences(col("id"), col("text"), col("src"), 5)(df)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // within each part: offsets start at 0 and advance by exactly the
+    // previous doc's token count (back-to-back layout, no gaps/overlaps)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach {
+        case Array((_, n, off, _), (_, _, off2, _)) => assert(off2 === off + n)
+        case _ => ()
+      }
+      // bin is the context-window chunk of the start offset
+      sorted.foreach { case (_, _, off, bin) => assert(bin === off / 5) }
+    }
+    // s1 packs 9 tokens over bins {0, 1}; s2 packs independently from 0
+    assert(out.filter(_._1 == "s2").map(_._3).toSeq === Seq(0L))
+  }
+
+  test("packSequences is deterministic across invocations (md5 order, no RNG)") {
+    val df = (0 until 30).map(i => (i.toLong, ("t " * (i % 7 + 1)).trim, s"s${i % 3}"))
+      .toDF("id", "text", "src")
+    val a = TextAnalysis.packSequences(col("id"), col("text"), col("src"), 8)(df)
+    val b = TextAnalysis.packSequences(col("id"), col("text"), col("src"), 8)(df)
+    assert(rowsOf(a) === rowsOf(b))
+  }
 }

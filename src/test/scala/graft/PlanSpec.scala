@@ -92,6 +92,23 @@ class PlanSpec extends SparkSpec {
       s"x6 plans more than one exchange (+reuse):\n$p")
   }
 
+  test("x8 decontamination never shuffles the corpus: both joins broadcast") {
+    val p = plan(q("x8_decontaminate"))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    // every join operator in the plan is a broadcast hash join (each
+    // "BroadcastHashJoin" token accounts for exactly one "Join" token)
+    assert(p.sliding("Join".length).count(_ == "Join") ==
+      p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin"),
+      s"x8 plans a non-broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x6e packing plans one part-keyed exchange (parts pack in parallel, no global sort)") {
+    val p = plan(q("x6e_pack_sequences"))
+    assert(p.contains("hashpartitioning(part"), p)
+    assert(!p.contains("rangepartitioning"), s"x6e global-sorts:\n$p")
+  }
+
   /** AQE join strategy is decided at RUNTIME from observed stage sizes, so
     * these assertions execute the query at sf0.1 first and then read the
     * FINAL adaptive plan — the plan a cluster actually runs, not the

@@ -283,6 +283,25 @@ object ExtensionQueries {
       "X3 sequence packing: concat-and-chunk manifest (md5-deterministic " +
         "order, per-part running offsets, context-window bin)"),
 
+    Q("x6f_repeat_mixture",
+      (s, dir) => TextAnalysis.repeatByWeight(col("doc_id"), col("source"),
+        Map("src0" -> 2.3, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 3.0))(docs(s, dir)),
+      Some {
+        val t = TextAnalysis.rateThresholdHex _
+        s"""WITH c AS (SELECT doc_id, source,
+           |  CASE source
+           |    WHEN 'src0' THEN CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':epoch') < '${t(0.3)}' THEN 3 ELSE 2 END
+           |    WHEN 'src1' THEN 1
+           |    WHEN 'src2' THEN CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':epoch') < '${t(0.5)}' THEN 1 ELSE 0 END
+           |    WHEN 'src3' THEN 3
+           |    ELSE 0 END AS n_copies
+           |  FROM documents)
+           |SELECT doc_id, source AS part, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+           |FROM c WHERE n_copies >= 1""".stripMargin
+      },
+      "X3 fractional epoch weighting: mixture spec -> physical training list " +
+        "(floor(w) copies + md5-salted extra epoch), map-only"),
+
     Q("x7_kmeans_train",
       (s, dir) => {
         // fresh training every call — this entry benchmarks the TRAINER

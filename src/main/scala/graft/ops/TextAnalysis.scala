@@ -244,6 +244,48 @@ object TextAnalysis {
         md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(window)))).as("window_fp"))
   }
 
+  /** Fractional EPOCH WEIGHTING — the other half of mixture construction
+    * (where [[stratifiedSample]] down-samples, this UP-samples): a stratum
+    * with weight 2.3 contributes every document twice, plus a
+    * deterministic 30% of documents a third time. `floor(w)` copies
+    * always, one more iff `md5(key || ":epoch")` falls under the
+    * fractional threshold — salted so the extra-epoch choice is
+    * independent of [[deterministicSample]]'s keep/drop on the same key.
+    * Strata absent from `weights` get 0 copies (allowlist, like the
+    * sampling mixture). Returns the copy COUNT; [[repeatByWeight]]
+    * explodes it.
+    */
+  def epochsByWeight(key: Column, stratum: Column,
+      weights: Map[String, Double]): Column = {
+    require(weights.nonEmpty, "epochsByWeight requires at least one stratum weight")
+    require(weights.values.forall(w => w >= 0 && w <= 100),
+      s"weights must be in [0, 100], got $weights")
+    val digest = md5(concat(key.cast("string"), lit(":epoch")))
+    weights.toSeq.sortBy(_._1).foldLeft(lit(0): Column) { case (acc, (s, w)) =>
+      val whole = math.floor(w).toInt
+      val frac = w - whole
+      val copies =
+        if (frac < 1.0 / 0x1000000) lit(whole) // below md5-threshold resolution
+        else when(digest < rateThresholdHex(frac), lit(whole + 1)).otherwise(lit(whole))
+      when(stratum === s, copies).otherwise(acc)
+    }
+  }
+
+  /** Materialized epoch repetition: one output row per (document, copy),
+    * `copy` in 1..n. Map-only (the weights ship as literals, the explode
+    * is a generated-code sequence) — no join against a weights table, no
+    * shuffle; rows with 0 copies vanish. This is the operator that turns a
+    * mixture SPEC into the physical training list.
+    */
+  def repeatByWeight(id: Column, stratum: Column,
+      weights: Map[String, Double])(df: DataFrame): DataFrame = {
+    val n = epochsByWeight(id, stratum, weights)
+    df.select(id.as("doc_id"), stratum.as("part"), n.as("n_copies"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("part"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+  }
+
   /** SEQUENCE PACKING — the concat-and-chunk layout GPT-style pretraining
     * uses: documents are laid out back-to-back into one token stream per
     * `part` (source, shard, ...), and each document's context-window bin is

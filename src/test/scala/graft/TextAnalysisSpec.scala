@@ -164,6 +164,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq("ab1", "c", "-", "d", ",", "e", "!"))
   }
 
+  test("repeatByWeight: floor copies always, salted extra epoch near the fractional rate") {
+    val df = (0 until 2000).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "src")
+    val out = TextAnalysis.repeatByWeight(col("id"), col("src"),
+      Map("s0" -> 2.5, "s1" -> 0.25))(df)
+    val byDoc = out.groupBy("doc_id", "part").count().collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // s0 docs appear 2 or 3 times; s1 docs 0 or 1 (absent rows = 0 copies)
+    assert(byDoc.filter(_._1 == "s0").forall(c => c._2 == 2L || c._2 == 3L))
+    assert(byDoc.filter(_._1 == "s1").forall(_._2 == 1L))
+    // realized rates near the fractional weights (md5 is uniform; 1000
+    // draws per stratum put 3-sigma well inside these bounds)
+    val s0Extra = byDoc.count(c => c._1 == "s0" && c._2 == 3L).toDouble / 1000
+    assert(s0Extra > 0.4 && s0Extra < 0.6, s"s0 extra-epoch rate $s0Extra")
+    val s1Kept = byDoc.count(_._1 == "s1").toDouble / 1000
+    assert(s1Kept > 0.17 && s1Kept < 0.33, s"s1 keep rate $s1Kept")
+    // copy index is 1..n per doc
+    val copies = out.filter(col("part") === "s0" && col("doc_id") === 0)
+      .select(col("copy")).collect().map(_.getInt(0)).sorted
+    assert(copies.headOption.contains(1))
+    assert(copies === (1 to copies.length).toArray)
+    // unlisted strata yield nothing
+    val none = TextAnalysis.repeatByWeight(col("id"), col("src"),
+      Map("other" -> 2.0))(df)
+    assert(none.count() === 0)
+  }
+
   test("packSequences: per-part running offsets with no gaps, bins chunk by window") {
     val df = Seq(
       (1L, "a b c", "s1"),        // 3 tokens

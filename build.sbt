@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to LoggedOutput, which prefixes every stdout line
+// with "[info] " — that prefix made Bench's one-line JSON record
+// unparseable to any consumer that does a per-line json parse (all four
+// BENCH_r0*.json records came back "parsed": null). StdoutOutput passes
+// the subprocess stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -285,6 +285,37 @@ object CheckQueries {
       },
       Some("SELECT TRUE AS sims_exact, TRUE AS found_hits, TRUE AS codebooks_wellformed"),
       "invariant for x3g: trained-PQ scores re-verified via interpreted " +
-        "re-encode + reconstruct; codebook entries unit-norm")
+        "re-encode + reconstruct; codebook entries unit-norm"),
+
+    Q("x11_semdedup_check",
+      (s, dir) => {
+        val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val res = Similarity.semDedup(corpus,
+          ExtensionQueries.trainedModel(s, dir).centers, 0.35)
+        // all within-cluster (a < b) pairs, cosine recomputed through the
+        // INTERPRETED HOF twin of the codegen'd dot-product the op uses
+        val v = res.join(emb(s, dir), "vec_id")
+          .select(col("vec_id"), col("cid"), col("dropped"), col("embedding"))
+        val pairs = v.as("l")
+          .join(v.as("r"), col("l.cid") === col("r.cid")
+            && col("l.vec_id") < col("r.vec_id"))
+          .select(col("r.vec_id").as("b"), col("r.dropped").as("b_drop"),
+            Similarity.cosineHof(col("l.embedding"), col("r.embedding")).as("cos"))
+        // (a) completeness: every vector with a lower-id cluster-mate above
+        // the radius IS dropped (this also implies survivors are pairwise
+        // far apart); (b) soundness: every dropped vector HAS one
+        val complete = pairs.agg(
+          coalesce(bool_and(!(col("cos") > 0.35) || col("b_drop")), lit(true))
+            .as("drops_complete"))
+        val justified = res.filter(col("dropped")).select(col("vec_id"))
+          .join(pairs.filter(col("cos") > 0.35)
+            .select(col("b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+          .agg((count(lit(1)) === 0).as("drops_justified"))
+        val total = res.agg(count(lit(1)).as("n_total"))
+        total.crossJoin(complete).crossJoin(justified)
+      },
+      Some("SELECT count(*) AS n_total, TRUE AS drops_complete, TRUE AS drops_justified FROM embeddings"),
+      "invariant for x11: the SemDeDup keep/drop rule re-verified pairwise " +
+        "via the interpreted cosine twin — drops complete and justified")
   )
 }

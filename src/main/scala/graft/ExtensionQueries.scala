@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.functions.L2Normalize
-import graft.ops.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis, Texts}
+import graft.ops.{Clustering, Dedup, Multimodal, Search, Similarity, TextAnalysis, Texts}
 
 /** Extension operators (SURVEY.md §2.6 X1-X4 + the large-scale training-data
   * pipeline surface): deduplication, similarity search, text analysis,
@@ -549,6 +549,69 @@ object ExtensionQueries {
              |QUALIFY row_number() OVER (PARTITION BY source
              |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) DESC, doc_id) <= 10""".stripMargin),
       "cap per-source cardinality at 10: deterministic survivors via the bounded top-k aggregate, no per-key window sort"),
+
+    // ============ X5 retrieval / corpus-level curation ============
+
+    Q("x9_bm25_search",
+      (s, dir) => Search.bm25TopK(col("doc_id"), col("text"),
+        Seq("spark", "vector", "hash"), 20)(docs(s, dir)),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             |                 avg(dl) AS avgdl FROM d),
+             |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+             |       WHERE term IN ('spark', 'vector', 'hash')
+             |       GROUP BY doc_id, dl, term),
+             |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY term),
+             |sc AS (SELECT doc_id,
+             |         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+             |           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4)
+             |           AS score
+             |       FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+             |       GROUP BY doc_id)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      "X5 BM25 top-20 retrieval: inverted-index semi-join (postings of query " +
+        "terms only), broadcast df/corpus stats, TakeOrdered top-k"),
+
+    Q("x10_dup_ngrams",
+      (s, dir) => Dedup.dupNgramStats(col("doc_id"), col("text"), 5)(docs(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest([array_to_string(toks[i:i+4], ' ')
+             |                 for i in range(1, len(toks) - 3)]) AS s
+             |       FROM toks WHERE len(toks) >= 5),
+             |dfreq AS (SELECT s, count(*) >= 2 AS in_others FROM sh GROUP BY s)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |       CAST(sum(CASE WHEN in_others THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |       round(CAST(sum(CASE WHEN in_others THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+             |FROM sh JOIN dfreq USING (s) GROUP BY doc_id""".stripMargin),
+      "X1/X2 corpus-duplication profile: per-doc fraction of 5-gram shingles " +
+        "shared with other docs (one shuffle on s, aggregate-then-join, no pair blowup)"),
+
+    Q("x11_semdedup",
+      (s, dir) => Similarity.semDedup(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        trainedModel(s, dir).centers, 0.35),
+      None, // cluster ids come from in-engine k-means (not SQL-reproducible);
+            // the keep/drop rule is re-verified by x11_semdedup_check
+      "X2 SemDeDup: drop vectors with a lower-id cluster-mate above cosine " +
+        "0.35 — per-cluster pairwise only, one reused exchange on cid"),
+
+    Q("x12_unigram_lm",
+      (s, dir) => TextAnalysis.unigramLogProb(col("doc_id"), col("text"))(docs(s, dir)),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |c AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+             |t AS (SELECT CAST(sum(c) AS DOUBLE) AS t_tokens,
+             |             CAST(count(*) AS DOUBLE) AS vocab FROM c)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |       round(avg(ln((CAST(c AS DOUBLE) + 1.0) / (t_tokens + vocab))), 4) AS avg_logp
+             |FROM tok JOIN c USING (term) CROSS JOIN t
+             |GROUP BY doc_id""".stripMargin),
+      "X3 corpus-trained unigram-LM score (CCNet-style perplexity filter " +
+        "stand-in): add-1-smoothed mean token log-prob, count-side pre-aggregated"),
 
     // ================= X4 multimodal =================
 

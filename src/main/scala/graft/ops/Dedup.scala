@@ -119,6 +119,42 @@ object Dedup {
     docs.join(contaminated, id === col("__contaminated_id"), "left_anti")
   }
 
+  /** Cross-document duplicate-n-gram profile (the C4/RefinedWeb-style
+    * corpus-duplication diagnostic): for every document with at least one
+    * n-token shingle, the fraction of its DISTINCT shingles that also
+    * appear in at least one OTHER document. High `dup_frac` docs are
+    * boilerplate/template copies that pairwise dedup (which needs a
+    * matching partner above a global threshold) can miss.
+    *
+    * Emits (doc_id, n_shingles, n_dup, dup_frac) with dup_frac rounded
+    * to 4 decimals (one exact integer division — rounding only for
+    * hash-stability of the double).
+    *
+    * Scale: two hash-aggregates and one equi-join, all on the shingle
+    * axis. `repartition(s)` once — the per-doc distinct, the
+    * shingle-frequency aggregate and the join back all satisfy their
+    * distribution from that single exchange (`HashPartitioning(s)`
+    * satisfies every grouping that includes `s`), so the corpus is
+    * shuffled once. The frequency side aggregates before joining
+    * (map-side combine), so no doc-list blowup on hot shingles: a shingle
+    * in 10M docs contributes ONE (s, in_others) row, not 10M pairs.
+    * Counting "appears in >= 2 docs" needs no self-join at all.
+    */
+  def dupNgramStats(id: Column, text: Column, n: Int)(df: DataFrame): DataFrame = {
+    val sh = Texts.explodedShingles(df, id, text, n)
+      .repartition(col("s"))
+      .dropDuplicates("id", "s")
+    val dfreq = sh.groupBy(col("s"))
+      .agg((count(lit(1)) >= 2).as("in_others"))
+    sh.join(dfreq, "s")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("in_others"), lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("dup_frac"))
+  }
+
   /** X2 MinHash+LSH near-dup candidates, verified with exact Jaccard.
     *
     * exploded shingles → ONE hash-groupBy computing all `numBands *

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, L2Normalize, TopKByScore}
 
 /** Similarity search over embedding columns (`array<float>`):
   * brute-force cosine top-k as the exact baseline, IVF-style partitioned
@@ -221,6 +221,45 @@ object Similarity {
       .select(col("l.id").as("a"), col("r.id").as("b"),
         cosine(col("l.vec"), col("r.vec")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** SEMDEDUP (Abbas et al. 2023-style semantic deduplication): drop a
+    * vector when its k-means cluster contains a LOWER-id vector within
+    * cosine `threshold` — the embedding-space analog of near-dup text
+    * removal, catching paraphrases that lexical dedup can't see. The
+    * min-id keep rule makes the output a pure function of the data: a
+    * vector is dropped iff ANY smaller-id cluster-mate is within the
+    * radius (whether or not that mate itself survives), which also
+    * guarantees survivors are pairwise > threshold apart within every
+    * cluster — the invariant the paired check query re-verifies.
+    *
+    * Emits every corpus row as (vec_id, cid, dropped).
+    *
+    * Scale: this is the reason SemDeDup clusters first — pairwise cosine
+    * happens only WITHIN a cluster, so cost is Σ|cluster|², bounded by
+    * growing k with the corpus (the paper's regime: k ~ sqrt(N) keeps
+    * clusters near-constant). The plan is one repartition(cid) whose
+    * exchange both self-join sides reuse, a codegen'd dot-product filter
+    * on unit vectors, and an aggregate-then-anti-join — no all-pairs path
+    * and nothing driver-side except the (driver-held, trained) centers.
+    */
+  def semDedup(corpus: DataFrame, centers: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val unit = corpus
+      .select(col("id"), L2Normalize(col("vec")).as("unit"))
+      .select(col("id"), col("unit"),
+        Clustering.assignTo(col("unit"), centers).as("cid"))
+      .repartition(col("cid")) // one exchange, reused by both join sides
+    val dropped = unit.as("l")
+      .join(unit.as("r"), col("l.cid") === col("r.cid")
+        && col("l.id") < col("r.id")
+        && DotProduct(col("l.unit"), col("r.unit")) > threshold)
+      .select(col("r.id").as("id")).distinct()
+      .withColumn("__dropped", lit(true))
+    unit.select(col("id").as("vec_id"), col("cid"))
+      .join(dropped.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("__dropped"), lit(false)).as("dropped"))
   }
 
   /** Product quantization: split each vector into `m` contiguous

@@ -198,6 +198,37 @@ object TextAnalysis {
         lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
       .select(col("doc_id"), col("n_ngrams"), col("n_distinct"), col("rep_ratio"))
 
+  /** Corpus-trained unigram language-model score per document: the mean
+    * token log-probability under an add-1-smoothed unigram model fitted on
+    * the corpus itself — the cheap stand-in for the perplexity filter of
+    * CCNet-style curation (docs far below the corpus-typical logprob are
+    * junk; far above are boilerplate). Emits (doc_id, n_tokens, avg_logp)
+    * with avg_logp rounded to 4 decimals (sum-of-doubles addition order is
+    * engine/partitioning-dependent; rounding makes it hash-stable).
+    *
+    * p(t) = (count(t) + 1) / (T + V)  — T total tokens, V vocab size.
+    *
+    * Scale: token counts are a hash-aggregate with map-side combine; the
+    * scoring join (token stream ⋈ term counts) shuffles on `term`, and the
+    * count side arrives pre-aggregated to one row per vocab entry — at
+    * realistic vocab sizes Spark's AQE broadcasts it instead. The corpus
+    * constants (T, V) are a one-row aggregate broadcast into the plan.
+    * Training and scoring in one query is the honest cold-cost benchmark;
+    * a production pipeline persists the count table once per corpus.
+    */
+  def unigramLogProb(id: Column, text: Column)(df: DataFrame): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(Texts.tokens(text)).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).cast("double").as("t_tokens"),
+      count(lit(1)).cast("double").as("vocab"))
+    tok.join(counts, "term")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log((col("c").cast("double") + lit(1.0))
+          / (col("t_tokens") + col("vocab")))), 4).as("avg_logp"))
+  }
+
   /** PII redaction patterns (Java and RE2 compatible — no backreferences,
     * so the same literals run in Spark and the DuckDB oracle): each class
     * is replaced with a stable tag so downstream tokenization stays sane.

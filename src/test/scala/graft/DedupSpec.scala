@@ -143,4 +143,30 @@ class DedupSpec extends SparkSpec {
     val bench = Seq.empty[(Long, String)].toDF("id", "text")
     assert(Dedup.decontaminate(col("id"), col("text"), 3)(corpus, bench).count() === 1)
   }
+
+  test("dupNgramStats: duplicated docs score 1.0, unique doc 0.0, short doc absent") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e f"), // 2 distinct 5-gram shingles, both shared with doc 1
+      (1L, "a b c d e f"),
+      (2L, "u v w x y z"), // 2 shingles, unique
+      (3L, "too short")) // < 5 tokens: no shingles, no row
+      .toDF("doc_id", "text")
+    val out = rowsOf(Dedup.dupNgramStats(col("doc_id"), col("text"), 5)(df))
+    assert(out === Set(
+      Seq(0L, 2L, 2L, 1.0),
+      Seq(1L, 2L, 2L, 1.0),
+      Seq(2L, 2L, 0L, 0.0)))
+  }
+
+  test("dupNgramStats counts a shingle repeated WITHIN one doc as unique to it") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b a b a b"), // shingles {a b, b a} each appear twice in-doc
+      (1L, "c d c d c d"))
+      .toDF("doc_id", "text")
+    val out = rowsOf(Dedup.dupNgramStats(col("doc_id"), col("text"), 2)(df))
+    // in-doc repetition must NOT count as cross-doc duplication
+    assert(out === Set(Seq(0L, 2L, 0L, 0.0), Seq(1L, 2L, 0L, 0.0)))
+  }
 }

@@ -62,6 +62,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x9 BM25 broadcasts the term stats and plans no Window and no cartesian blowup") {
+    val p = plan(q("x9_bm25_search"))
+    assert(p.contains("BroadcastHashJoin"), s"df/corpus stats not broadcast:\n$p")
+    assert(!p.contains("Window"), s"x9 plans a Window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("x10 dup-ngram profile plans hash aggregates only — no Window, no cartesian") {
+    // exchange reuse between the frequency side and the join side is an
+    // AQE runtime decision here (the small side broadcasts at test SF);
+    // the static guarantee is the SHAPE: aggregate-then-join, no Window
+    // buffering hot shingles, no pair blowup
+    val p = plan(q("x10_dup_ngrams"))
+    assert(!p.contains("Window"), s"x10 plans a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("x11 semDedup self-join rides one reused cid exchange, no cartesian") {
+    val p = plan(q("x11_semdedup"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"x11 degenerated to all-pairs:\n$p")
+  }
+
   test("x2 pair pipeline plans no Window: DF cut and sizes are hash aggregates") {
     // A Window over s would sort-buffer every occurrence of a stop-shingle
     // in one task — the skew the DF cut exists to prevent (round-2 verdict).

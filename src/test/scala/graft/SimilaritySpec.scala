@@ -225,4 +225,34 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("4096"))
   }
+
+  test("semDedup drops exactly the vectors with a closer lower-id cluster-mate") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)), // near-dup of 0 → dropped
+      (2L, Array(0.0f, 0.0f, 1.0f)), // alone in cluster 1
+      (3L, Array(0.98f, 0.2f, 0.0f))) // cos to 0/1 < 0.99 → kept
+      .toDF("id", "vec")
+    val centers = Array(Array(1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0))
+    val out = rowsOf(Similarity.semDedup(corpus, centers, 0.99))
+    assert(out === Set(
+      Seq(0L, 0, false),
+      Seq(1L, 0, true),
+      Seq(2L, 1, false),
+      Seq(3L, 0, false)))
+  }
+
+  test("semDedup survivors are pairwise far apart within every cluster") {
+    // a chain 0~1~2 where cos(0,2) < θ: 1 and 2 both have a lower-id mate
+    // above θ (the min-id rule drops by ANY mate, surviving or not), so
+    // only 0 survives — and survivor pairs are trivially below θ
+    val a = Array(1.0f, 0.0f)
+    val b = Array(0.995f, 0.0998f) // cos(a,b) ≈ 0.995
+    val c = Array(0.980f, 0.198f) // cos(b,c) ≈ 0.995, cos(a,c) ≈ 0.980
+    val corpus = Seq((0L, a), (1L, b), (2L, c)).toDF("id", "vec")
+    val centers = Array(Array(1.0, 0.0))
+    val out = Similarity.semDedup(corpus, centers, 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(0L -> false, 1L -> true, 2L -> true))
+  }
 }

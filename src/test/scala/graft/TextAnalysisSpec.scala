@@ -222,4 +222,17 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.packSequences(col("id"), col("text"), col("src"), 8)(df)
     assert(rowsOf(a) === rowsOf(b))
   }
+
+  test("unigramLogProb matches hand-computed add-1 smoothed values") {
+    val df = Seq((0L, "a a"), (1L, "a b")).toDF("id", "text")
+    // counts: a=3, b=1; T=4, V=2 → p(a)=4/6, p(b)=2/6
+    val pa = math.log(4.0 / 6.0)
+    val pb = math.log(2.0 / 6.0)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = rowsOf(TextAnalysis.unigramLogProb(col("id"), col("text"))(df))
+    assert(out === Set(
+      Seq(0L, 2L, r4(pa)),
+      Seq(1L, 2L, r4((pa + pb) / 2.0))))
+  }
 }

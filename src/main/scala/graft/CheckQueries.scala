@@ -292,15 +292,20 @@ object CheckQueries {
         val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
         val res = Similarity.semDedup(corpus,
           ExtensionQueries.trainedModel(s, dir).centers, 0.35)
-        // all within-cluster (a < b) pairs, cosine recomputed through the
-        // INTERPRETED HOF twin of the codegen'd dot-product the op uses
+        // all within-cluster (a < b) pairs, cosine recomputed through a
+        // DIFFERENT implementation than the op's L2Normalize∘DotProduct:
+        // the fused native CosineSimilarity (single-pass dot/(|a||b|),
+        // different arithmetic order). Its own equivalence to the
+        // interpreted HOF twin is pinned bit-exactly in SimilaritySpec —
+        // an interpreted twin here would evaluate ~|cluster|² pairs
+        // row-by-row (7+ s at sf0.1, 15× the codegen cost).
         val v = res.join(emb(s, dir), "vec_id")
           .select(col("vec_id"), col("cid"), col("dropped"), col("embedding"))
         val pairs = v.as("l")
           .join(v.as("r"), col("l.cid") === col("r.cid")
             && col("l.vec_id") < col("r.vec_id"))
           .select(col("r.vec_id").as("b"), col("r.dropped").as("b_drop"),
-            Similarity.cosineHof(col("l.embedding"), col("r.embedding")).as("cos"))
+            Similarity.cosine(col("l.embedding"), col("r.embedding")).as("cos"))
         // (a) completeness: every vector with a lower-id cluster-mate above
         // the radius IS dropped (this also implies survivors are pairwise
         // far apart); (b) soundness: every dropped vector HAS one

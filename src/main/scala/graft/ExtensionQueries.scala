@@ -613,6 +613,60 @@ object ExtensionQueries {
       "X3 corpus-trained unigram-LM score (CCNet-style perplexity filter " +
         "stand-in): add-1-smoothed mean token log-prob, count-side pre-aggregated"),
 
+    Q("x13_hybrid_search",
+      (s, dir) => {
+        val lex = Search.bm25(col("doc_id"), col("text"),
+          Seq("spark", "vector", "hash"))(docs(s, dir))
+        val e = Tables.embeddings(s, dir)
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val sem = e.crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(Similarity.cosine(col("embedding"), col("qvec")), 4).as("score"))
+        Search.rrfFuseTopK(lex, sem, candidates = 50, k = 10)
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+             |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+             |       WHERE term IN ('spark', 'vector', 'hash')
+             |       GROUP BY doc_id, dl, term),
+             |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY term),
+             |sc AS (SELECT doc_id,
+             |         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+             |           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4)
+             |           AS score
+             |       FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id),
+             |lexr AS (SELECT doc_id,
+             |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+             |         FROM sc QUALIFY lex_rank <= 50),
+             |sem AS (SELECT vec_id AS doc_id,
+             |          round(list_cosine_similarity(embedding::DOUBLE[],
+             |            (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS score
+             |        FROM embeddings),
+             |semr AS (SELECT doc_id,
+             |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS sem_rank
+             |         FROM sem QUALIFY sem_rank <= 50),
+             |f AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.sem_rank,
+             |        round(coalesce(CAST(1.0 AS DOUBLE)/(60 + l.lex_rank), 0.0)
+             |              + coalesce(CAST(1.0 AS DOUBLE)/(60 + r.sem_rank), 0.0), 6) AS rrf
+             |      FROM lexr l FULL JOIN semr r ON l.doc_id = r.doc_id)
+             |SELECT doc_id, lex_rank, sem_rank, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
+      "X5 hybrid retrieval: BM25 + embedding-cosine rankings fused by " +
+        "reciprocal-rank fusion over top-50 candidates (ranks, not scores — " +
+        "no calibration; global window only after the TakeOrdered cut)"),
+
+    Q("x14_bpe_merges",
+      (s, dir) => TextAnalysis.mergeCandidates(col("doc_id"), col("text"), 20)(docs(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+             |                      for i in range(1, len(toks))]) AS pair
+             |       FROM toks WHERE len(toks) >= 2)
+             |SELECT pair, count(*) AS cnt FROM sh
+             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+      "X3 BPE merge-candidate mining: top-20 adjacent-token pairs (the " +
+        "counting pass of a tokenizer-training round; hash-agg + TakeOrdered)"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical (inverted-index-style) retrieval over the `documents` table:
@@ -76,5 +77,41 @@ object Search {
     bm25(id, text, queryTerms, k1, b)(df)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Candidate ranks 1..`candidates` of a (doc_id, score) frame, ordered
+    * by (score desc, doc_id). The global row_number window runs AFTER a
+    * TakeOrdered limit, so the single-partition sort it implies touches
+    * `candidates` rows — never the corpus. That is the honest shape of
+    * rank fusion at scale: retrievers cut to top-N first, only the tiny
+    * candidate set is globally ranked.
+    */
+  private def candidateRanks(scored: DataFrame, candidates: Int): DataFrame =
+    scored.orderBy(col("score").desc, col("doc_id")).limit(candidates)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al.):
+    * rrf(d) = Σ_retrievers 1/(kRrf + rank_r(d)), over the top-`candidates`
+    * of a lexical and a semantic (doc_id, score) ranking. RRF fuses on
+    * RANKS, not scores, so BM25 magnitudes and cosine magnitudes need no
+    * calibration — the standard first-stage fusion in modern search.
+    * Emits the top-`k` as (doc_id, lex_rank, sem_rank, rrf) with rrf
+    * rounded to 6 decimals; docs missing from one ranking contribute
+    * nothing for it (full-outer fusion).
+    */
+  def rrfFuseTopK(lexical: DataFrame, semantic: DataFrame,
+      candidates: Int, k: Int, kRrf: Int = 60): DataFrame = {
+    require(candidates >= 1 && k >= 1, "candidates and k must be >= 1")
+    val l = candidateRanks(lexical, candidates).withColumnRenamed("rank", "lex_rank")
+    val s = candidateRanks(semantic, candidates).withColumnRenamed("rank", "sem_rank")
+    l.join(s, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
   }
 }

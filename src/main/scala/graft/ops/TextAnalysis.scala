@@ -229,6 +229,26 @@ object TextAnalysis {
           / (col("t_tokens") + col("vocab")))), 4).as("avg_logp"))
   }
 
+  /** BPE merge-candidate mining — the counting pass of one
+    * byte-pair-encoding training round: the `topN` most frequent adjacent
+    * token pairs across the corpus (ties broken lexicographically, so the
+    * result is deterministic). A real tokenizer trainer repeats this
+    * count-merge loop; each round is exactly this shape.
+    *
+    * Scale: pair extraction is the codegen'd explode pipeline
+    * ([[Texts.explodedShingles]] at n=2), counting is a hash-aggregate
+    * with map-side combine, and topN is TakeOrdered — no global sort,
+    * no window.
+    */
+  def mergeCandidates(id: Column, text: Column, topN: Int)(df: DataFrame): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    Texts.explodedShingles(df, id, text, 2)
+      .groupBy(col("s").as("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** PII redaction patterns (Java and RE2 compatible — no backreferences,
     * so the same literals run in Spark and the DuckDB oracle): each class
     * is replaced with a stable tag so downstream tokenization stays sane.

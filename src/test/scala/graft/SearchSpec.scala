@@ -50,4 +50,30 @@ class SearchSpec extends SparkSpec {
     val all = scores("spark", "hash")
     assert(out(0)._2 == all.values.max)
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuseTopK fuses by rank with full-outer semantics, hand values") {
+    val lex = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0)).toDF("doc_id", "score")
+    val sem = Seq((2L, 0.9), (4L, 0.8)).toDF("doc_id", "score")
+    val out = Search.rrfFuseTopK(lex, sem, candidates = 10, k = 10)
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // lex ranks 1→1, 2→2, 3→3; sem ranks 2→1, 4→2
+    assert(m(2L) == r6(1.0 / 62 + 1.0 / 61))
+    assert(m(1L) == r6(1.0 / 61))
+    assert(m(4L) == r6(1.0 / 62))
+    assert(m(3L) == r6(1.0 / 63))
+    // doc 2 appears in both rankings and must fuse to the top
+    assert(out.collect().head.getLong(0) == 2L)
+  }
+
+  test("rrfFuseTopK applies the candidate cut before fusing") {
+    val lex = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0)).toDF("doc_id", "score")
+    val sem = Seq((3L, 0.9)).toDF("doc_id", "score")
+    val m = Search.rrfFuseTopK(lex, sem, candidates = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 3 is cut from the lexical candidates; only its sem rank counts
+    assert(m(3L) == r6(1.0 / 61))
+  }
 }

@@ -223,6 +223,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rowsOf(a) === rowsOf(b))
   }
 
+  test("mergeCandidates counts adjacent pairs with lexicographic tiebreak") {
+    val df = Seq((0L, "a b a b"), (1L, "b a c")).toDF("id", "text")
+    // pairs: doc0 → "a b","b a","a b"; doc1 → "b a","a c"
+    val out = TextAnalysis.mergeCandidates(col("id"), col("text"), 2)(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("a b", 2L), ("b a", 2L)))
+  }
+
   test("unigramLogProb matches hand-computed add-1 smoothed values") {
     val df = Seq((0L, "a a"), (1L, "a b")).toDF("id", "text")
     // counts: a=3, b=1; T=4, V=2 → p(a)=4/6, p(b)=2/6

@@ -667,6 +667,34 @@ object ExtensionQueries {
       "X3 BPE merge-candidate mining: top-20 adjacent-token pairs (the " +
         "counting pass of a tokenizer-training round; hash-agg + TakeOrdered)"),
 
+    Q("x15_trending",
+      (s, dir) => {
+        // two-level shape: windowed count first (hash-agg, shuffles
+        // (window, type) cells — bounded by |types| per window), THEN a
+        // rank window over the tiny aggregated groups. The no-Window rule
+        // targets per-row windows over raw data; post-aggregation rank
+        // over |event_type| rows per window is the cheap, standard finish.
+        val counted = Tables.events(s, dir)
+          .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_timestamp(col("window.start")).as("window_start"),
+            col("event_type"), col("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("cnt").desc, col("event_type"))
+        counted.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+             |                  event_type, count(*) AS cnt
+             |           FROM events GROUP BY 1, 2)
+             |SELECT window_start, event_type, cnt,
+             |       CAST(row_number() OVER (PARTITION BY window_start
+             |                               ORDER BY cnt DESC, event_type) AS INT) AS rnk
+             |FROM c QUALIFY rnk <= 3""".stripMargin),
+      "X5 trending per tumbling hour: top-3 event types per window — " +
+        "windowed hash-agg first, rank only over the aggregated cells"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -667,6 +667,30 @@ object ExtensionQueries {
       "X3 BPE merge-candidate mining: top-20 adjacent-token pairs (the " +
         "counting pass of a tokenizer-training round; hash-agg + TakeOrdered)"),
 
+    Q("x16_semantic_decon",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        // driver-held eval set (vec_id < 50 plays the benchmark, as in x8) —
+        // the same guarded planner-side role as IVF centers/PQ codebooks
+        val evalVecs = e.filter(col("vec_id") < 50).orderBy(col("vec_id"))
+          .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+        Similarity.semanticDecontaminate(
+          e.filter(col("vec_id") >= 50)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          evalVecs, 0.35)
+          .select(col("id"))
+      },
+      // FP-safe oracle: the nearest corpus-eval cosine sits 2.3e-5 from the
+      // 0.35 threshold at sf0.1 (4.8e-4 at sf0.01) — 10 orders above any
+      // cross-engine double noise
+      Some("""SELECT vec_id AS id FROM embeddings e
+             |WHERE vec_id >= 50 AND NOT EXISTS (
+             |  SELECT 1 FROM embeddings b WHERE b.vec_id < 50
+             |  AND list_cosine_similarity(e.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35)""".stripMargin),
+      "X2 semantic benchmark decontamination: drop corpus vectors within " +
+        "cosine 0.35 of any eval vector — driver-held eval literals, " +
+        "map-only corpus pass, zero shuffle"),
+
     Q("x15_trending",
       (s, dir) => {
         // two-level shape: windowed count first (hash-agg, shuffles

@@ -262,6 +262,29 @@ object Similarity {
         coalesce(col("__dropped"), lit(false)).as("dropped"))
   }
 
+  /** Semantic benchmark DECONTAMINATION — the embedding analog of
+    * [[graft.ops.Dedup.decontaminate]]: drop every corpus vector whose
+    * cosine to ANY eval-set vector exceeds `threshold` (a paraphrased
+    * benchmark item survives lexical decontamination; it does not survive
+    * this). Keeps the corpus rows that are clean.
+    *
+    * Scale: an eval set is small by definition (benchmarks are thousands
+    * of items), so it rides with the planner as driver-held literals —
+    * the corpus pass is MAP-ONLY: a codegen'd greatest-of-cosines filter,
+    * zero shuffle, zero join, nothing collected (the same play as
+    * [[ivfTopK]]'s centroid routing). For an eval set beyond the literal
+    * bound, the fallbacks are a broadcast join + max aggregate, or the
+    * [[embeddingDupPairs]] LSH prefilter; both stay corpus-shuffle-free.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: Array[Array[Float]],
+      threshold: Double): DataFrame = {
+    require(evalVecs.nonEmpty && evalVecs.length <= 1024,
+      s"eval set must have 1..1024 driver-held vectors, got ${evalVecs.length}")
+    val sims = evalVecs.toIndexedSeq.map(v => cosine(col("vec"), typedlit(v)))
+    val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
+    corpus.filter(maxSim <= threshold)
+  }
+
   /** Product quantization: split each vector into `m` contiguous
     * subvectors and replace each with the index of its nearest codebook
     * entry (argmax cosine over that subvector's codebook, deterministic

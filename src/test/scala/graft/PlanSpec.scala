@@ -36,7 +36,8 @@ class PlanSpec extends SparkSpec {
 
   test("map-only extension queries plan zero exchanges") {
     for (name <- Seq("x4_token_stats", "x4b_lang_id", "x4c_quality_score",
-        "x4d_fingerprint", "x4e_bpeish_count", "s1_source_scan")) {
+        "x4d_fingerprint", "x4e_bpeish_count", "s1_source_scan",
+        "x16_semantic_decon")) {
       val p = plan(q(name))
       assert(!p.contains("Exchange"), s"$name plans an Exchange:\n$p")
     }

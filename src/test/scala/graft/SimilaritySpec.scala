@@ -226,6 +226,26 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("4096"))
   }
 
+  test("semanticDecontaminate keeps exactly the vectors far from every eval vector") {
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.14f, 0.0f)), // close to eval A → dropped
+      (11L, Array(0.0f, 0.0f, 1.0f)), // far from both → kept
+      (12L, Array(0.1f, 0.99f, 0.0f))) // close to eval B → dropped
+      .toDF("id", "vec")
+    val evalVecs = Array(Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    val kept = Similarity.semanticDecontaminate(corpus, evalVecs, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L))
+  }
+
+  test("semanticDecontaminate guards the driver-held eval-set bound") {
+    val corpus = Seq((0L, Array(1.0f))).toDF("id", "vec")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, Array.empty, 0.5)
+    }
+    assert(err.getMessage.contains("1..1024"))
+  }
+
   test("semDedup drops exactly the vectors with a closer lower-id cluster-mate") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -93,6 +93,29 @@ object Topologies {
       .dropDuplicatesWithinWatermark("norm_fp")
       .select(col("doc_id"), col("norm_fp"), col("quality"), col("ts"))
 
+  /** Streaming TRENDING: the per-window winner of a windowed count —
+    * CHAINED streaming aggregations (Spark 4 multiple-stateful-operator
+    * support): a watermarked tumbling count per (window, key), then a
+    * second aggregation per window picking the max-count key. The second
+    * groupBy is on the window struct itself, so event-time semantics (and
+    * watermark-driven finalization in append mode) propagate through both
+    * stateful operators. `max(struct(cnt, key))` is the deterministic
+    * argmax: highest count, ties to the lexicographically-last key —
+    * identical in batch and streaming, which the fixpoint test asserts.
+    */
+  def trendingKeys(events: DataFrame, key: Column, tsCol: Column,
+      window: String = "10 seconds", grace: String = "24 hours"): DataFrame =
+    events
+      .select(key.as("key"), tsCol.as("ts"))
+      .withWatermark("ts", grace)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("w"))
+      .agg(max(struct(col("cnt"), col("key"))).as("m"))
+      .select(col("w.start").as("window_start"),
+        col("m.key").as("top_key"), col("m.cnt").as("top_cnt"))
+
   /** X1 streaming exact dedup: drop re-deliveries of the same order id
     * arriving within the watermark horizon — the streaming analog of
     * [[graft.ops.Dedup.exact]]. `dropDuplicatesWithinWatermark` is the only

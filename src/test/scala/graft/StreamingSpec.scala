@@ -103,6 +103,26 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq("alice", base, 2L), Seq("bob", base, 1L)))
   }
 
+  test("chained streaming aggregations: per-window trending key reaches the batch fixpoint") {
+    // windowed count THEN per-window argmax — two stateful operators in
+    // one append-mode query (Spark 4 multiple-stateful-operator support)
+    val evs = Seq(
+      OrderEvent("e1", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:01Z")),
+      OrderEvent("e2", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:03Z")),
+      OrderEvent("e3", "bob", Seq("a"), 1.0, ts("2024-01-01T00:00:05Z")),
+      OrderEvent("e4", "bob", Seq("a"), 1.0, ts("2024-01-01T00:00:12Z")))
+    val flush = OrderEvent("flush", "zz", Seq("x"), 1.0, ts("2024-01-03T00:00:00Z"))
+    def top(df: DataFrame) =
+      Topologies.trendingKeys(df, col("user"), col("ts"), "10 seconds", "1 hour")
+    val out = runStream(Seq(evs.take(2), evs.drop(2), Seq(flush)), "append")(top)
+    val batch = top(evs.toDF())
+    assert(rowsOf(out) === rowsOf(batch))
+    val base = java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:00Z"))
+    val w2 = java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:10Z"))
+    // window 1: alice 2 vs bob 1 → alice; window 2: bob alone
+    assert(rowsOf(out) === Set(Seq(base, "alice", 2L), Seq(w2, "bob", 1L)))
+  }
+
   test("session windows merge in streaming (superset op) and reach the batch fixpoint") {
     // alice: events at 0s, 100s (gap<5m → one session), 500s (new session);
     // flush event advances the watermark far enough to close them all

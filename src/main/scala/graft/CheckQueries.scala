@@ -298,7 +298,11 @@ object CheckQueries {
         // different arithmetic order). Its own equivalence to the
         // interpreted HOF twin is pinned bit-exactly in SimilaritySpec —
         // an interpreted twin here would evaluate ~|cluster|² pairs
-        // row-by-row (7+ s at sf0.1, 15× the codegen cost).
+        // row-by-row (7+ s at sf0.1, 15× the codegen cost). The two
+        // rounding paths straddling the 0.35 threshold is excluded
+        // empirically: the nearest ALL-pairs cosine sits 1.2e-6 from
+        // 0.35 at sf0.1 (2.9e-5 at sf0.01) — nine orders above
+        // cross-implementation double noise (same argument as x16).
         val v = res.join(emb(s, dir), "vec_id")
           .select(col("vec_id"), col("cid"), col("dropped"), col("embedding"))
         val pairs = v.as("l")

@@ -72,6 +72,20 @@ object ExtensionQueries {
     * k-means per slice — the in-engine replacement for the seed-slice
     * [[pqCodebooks]] (which stays as the deterministic twin for x3e).
     */
+  /** Driver-held eval-set embeddings for x16 (vec_id < 50 plays the
+    * benchmark, as in x8) — memoized per sf dir like [[trainedModel]]:
+    * an eval set is loaded once and screened against for the life of the
+    * pipeline, so per-query re-collection would charge every plan build
+    * an extra Spark job. No ordering: max-of-cosines is order-insensitive.
+    */
+  private val evalVecMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  private[graft] def evalVectors(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Float]] =
+    evalVecMemo.computeIfAbsent(dir, _ =>
+      Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray))
+
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
   private[graft] def trainedPqCodebooks(s: org.apache.spark.sql.SparkSession,
@@ -668,18 +682,11 @@ object ExtensionQueries {
         "counting pass of a tokenizer-training round; hash-agg + TakeOrdered)"),
 
     Q("x16_semantic_decon",
-      (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-        // driver-held eval set (vec_id < 50 plays the benchmark, as in x8) —
-        // the same guarded planner-side role as IVF centers/PQ codebooks
-        val evalVecs = e.filter(col("vec_id") < 50).orderBy(col("vec_id"))
-          .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
-        Similarity.semanticDecontaminate(
-          e.filter(col("vec_id") >= 50)
+      (s, dir) => Similarity.semanticDecontaminate(
+          Tables.embeddings(s, dir).filter(col("vec_id") >= 50)
             .select(col("vec_id").as("id"), col("embedding").as("vec")),
-          evalVecs, 0.35)
-          .select(col("id"))
-      },
+          evalVectors(s, dir), 0.35)
+        .select(col("id")),
       // FP-safe oracle: the nearest corpus-eval cosine sits 2.3e-5 from the
       // 0.35 threshold at sf0.1 (4.8e-4 at sf0.01) — 10 orders above any
       // cross-engine double noise

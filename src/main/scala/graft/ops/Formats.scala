@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Source/sink formats beyond parquet: CSV, JSON-lines, ORC — the
   * interchange surface a pipeline needs at its edges (exports to
@@ -16,32 +16,56 @@ import org.apache.spark.sql.types.StructType
   *    that is a second job before the first real one. Schemas are known
   *    at pipeline-build time; passing them makes the read one pass and
   *    the column pruning exact.
-  *  - Malformed-record policy is explicit: PERMISSIVE with a corrupt
-  *    column (the [[Serde]] drop-malformed idiom) is the curation-grade
-  *    default; FAILFAST is for trusted interchange.
+  *  - CSV is written and read RFC 4180 (quotes escaped by DOUBLING, via
+  *    `escape` = `"`): Spark's default backslash escaping corrupts field
+  *    boundaries in every non-Spark consumer (spreadsheets, DuckDB,
+  *    pandas) the moment a field contains a quote.
+  *  - Malformed-record policy is explicit, three-valued: FAILFAST for
+  *    trusted interchange; default PERMISSIVE (bad rows null-filled);
+  *    or pass `corruptCol` to capture each unparseable raw record in a
+  *    named column (the [[Serde]] drop-malformed idiom — filter it
+  *    `isNull` to drop, or route non-null rows to quarantine). Without
+  *    `corruptCol`, a malformed row is indistinguishable from legitimate
+  *    nulls — fine for exports, not for curation-grade ingestion.
   *  - Writers never coalesce: output parallelism = upstream partitioning
   *    (a single-file export is a driver-side convenience, not a
   *    distributed write).
   */
 object Formats {
 
-  /** Read CSV with an explicit schema; header line skipped when present. */
+  private def withPolicy(r: DataFrameReader, schema: StructType,
+      failFast: Boolean, corruptCol: Option[String]): DataFrameReader = {
+    require(!(failFast && corruptCol.nonEmpty),
+      "corruptCol captures bad records; FAILFAST refuses them — pick one")
+    val s = corruptCol.fold(schema)(c => schema.add(c, StringType))
+    val base = r.schema(s).option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+    corruptCol.fold(base)(c => base.option("columnNameOfCorruptRecord", c))
+  }
+
+  /** Read CSV with an explicit schema; header line skipped when present.
+    * With `corruptCol`, the result carries that extra string column
+    * holding the raw line of every malformed record (null when clean).
+    */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, failFast: Boolean = false): DataFrame =
-    spark.read.schema(schema)
+      header: Boolean = true, failFast: Boolean = false,
+      corruptCol: Option[String] = None): DataFrame =
+    withPolicy(spark.read, schema, failFast, corruptCol)
       .option("header", header.toString)
-      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("escape", "\"")
       .csv(path)
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode("overwrite").option("header", header.toString).csv(path)
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("escape", "\"")
+      .csv(path)
 
-  /** Read JSON-lines with an explicit schema (no sampling pass). */
+  /** Read JSON-lines with an explicit schema (no sampling pass); see
+    * [[readCsv]] for the `corruptCol` malformed-record capture.
+    */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
-      failFast: Boolean = false): DataFrame =
-    spark.read.schema(schema)
-      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
-      .json(path)
+      failFast: Boolean = false, corruptCol: Option[String] = None): DataFrame =
+    withPolicy(spark.read, schema, failFast, corruptCol).json(path)
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

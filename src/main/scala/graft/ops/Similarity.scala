@@ -272,14 +272,16 @@ object Similarity {
     * of items), so it rides with the planner as driver-held literals —
     * the corpus pass is MAP-ONLY: a codegen'd greatest-of-cosines filter,
     * zero shuffle, zero join, nothing collected (the same play as
-    * [[ivfTopK]]'s centroid routing). For an eval set beyond the literal
-    * bound, the fallbacks are a broadcast join + max aggregate, or the
-    * [[embeddingDupPairs]] LSH prefilter; both stay corpus-shuffle-free.
+    * [[ivfTopK]]'s centroid routing). The guard is 4096, the same
+    * janino-realistic literal-unroll bound as [[ivfTopK]]; for an eval
+    * set beyond it, the fallbacks are a broadcast join + max aggregate,
+    * or the [[embeddingDupPairs]] LSH prefilter; both stay
+    * corpus-shuffle-free.
     */
   def semanticDecontaminate(corpus: DataFrame, evalVecs: Array[Array[Float]],
       threshold: Double): DataFrame = {
-    require(evalVecs.nonEmpty && evalVecs.length <= 1024,
-      s"eval set must have 1..1024 driver-held vectors, got ${evalVecs.length}")
+    require(evalVecs.nonEmpty && evalVecs.length <= 4096,
+      s"eval set must have 1..4096 driver-held vectors, got ${evalVecs.length}")
     val sims = evalVecs.toIndexedSeq.map(v => cosine(col("vec"), typedlit(v)))
     val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
     corpus.filter(maxSim <= threshold)

@@ -208,25 +208,32 @@ object TextAnalysis {
     *
     * p(t) = (count(t) + 1) / (T + V)  — T total tokens, V vocab size.
     *
-    * Scale: token counts are a hash-aggregate with map-side combine; the
-    * scoring join (token stream ⋈ term counts) shuffles on `term`, and the
-    * count side arrives pre-aggregated to one row per vocab entry — at
-    * realistic vocab sizes Spark's AQE broadcasts it instead. The corpus
+    * Scale: everything is AGGREGATED BEFORE it is joined — the Zipf rule.
+    * The raw token stream collapses to (doc, term, tf) cells first, so
+    * the term-keyed scoring join carries one row per distinct (doc, term)
+    * — a hot term like "the" contributes its DOCUMENT frequency to its
+    * shuffle partition, not its ~5%-of-corpus occurrence count (joining
+    * the raw stream on term would put that 5% in one task). The per-doc
+    * score is then the tf-weighted mean. Vocab-side counts reduce to one
+    * row per term (AQE broadcasts the side when it fits); the corpus
     * constants (T, V) are a one-row aggregate broadcast into the plan.
     * Training and scoring in one query is the honest cold-cost benchmark;
     * a production pipeline persists the count table once per corpus.
     */
   def unigramLogProb(id: Column, text: Column)(df: DataFrame): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(Texts.tokens(text)).as("term"))
-    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val totals = counts.agg(sum(col("c")).cast("double").as("t_tokens"),
       count(lit(1)).cast("double").as("vocab"))
-    tok.join(counts, "term")
+    tf.join(counts, "term")
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log((col("c").cast("double") + lit(1.0))
-          / (col("t_tokens") + col("vocab")))), 4).as("avg_logp"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf").cast("double")
+            * log((col("c").cast("double") + lit(1.0))
+              / (col("t_tokens") + col("vocab"))))
+          / sum(col("tf")).cast("double"), 4).as("avg_logp"))
   }
 
   /** BPE merge-candidate mining — the counting pass of one

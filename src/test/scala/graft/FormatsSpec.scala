@@ -47,6 +47,44 @@ class FormatsSpec extends SparkSpec {
     assert(rowsOf(back) === rowsOf(data))
   }
 
+  test("CSV writes RFC-4180 doubled quotes, not backslash escapes") {
+    val path = tmp("csvrfc")
+    Formats.writeCsv(data.filter(col("id") === 2), path, header = false)
+    val files = new java.io.File(path).listFiles.filter(_.getName.endsWith(".csv"))
+    val lines = files.flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toList)
+    // a non-Spark RFC-4180 consumer (spreadsheet, DuckDB, pandas) expects
+    // the in-field quotes DOUBLED: "...""quoted"" and , both"
+    assert(lines.toSeq === Seq("2,\"\"\"quoted\"\" and , both\",fr"), lines.toSeq)
+  }
+
+  test("JSONL corruptCol captures malformed lines; filtering it drops them") {
+    val path = tmp("jsonlbad")
+    Formats.writeJsonl(data.filter(col("id") < 2), path)
+    // drop a truncated line in as its own file (appending to a Spark part
+    // file would invalidate its hadoop .crc sidecar)
+    val w = new java.io.FileWriter(new java.io.File(path, "malformed.json"))
+    w.write("{\"id\": 99, \"text\": \"trunca")
+    w.close()
+    val back = Formats.readJsonl(spark, path, data.schema, corruptCol = Some("_bad"))
+    assert(back.count() === 3)
+    val clean = back.filter(col("_bad").isNull).drop("_bad")
+    assert(rowsOf(clean) === rowsOf(data.filter(col("id") < 2)))
+    // the bad row carries its raw line for quarantine (Spark disallows
+    // referencing ONLY the corrupt column — keep a data column alongside)
+    val bad = back.filter(col("_bad").isNotNull)
+      .select(col("id"), col("_bad")).collect()
+    assert(bad.length === 1 && bad.head.getString(1).startsWith("{\"id\": 99"))
+  }
+
+  test("corruptCol and FAILFAST are mutually exclusive") {
+    val err = intercept[IllegalArgumentException] {
+      Formats.readJsonl(spark, "/tmp/nowhere", data.schema,
+        failFast = true, corruptCol = Some("_bad"))
+    }
+    assert(err.getMessage.contains("pick one"))
+  }
+
   test("CSV read pushes filters and prunes columns like a columnar-adjacent source") {
     val path = tmp("csvplan")
     Formats.writeCsv(data, path)

@@ -243,7 +243,7 @@ class SimilaritySpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] {
       Similarity.semanticDecontaminate(corpus, Array.empty, 0.5)
     }
-    assert(err.getMessage.contains("1..1024"))
+    assert(err.getMessage.contains("1..4096"))
   }
 
   test("semDedup drops exactly the vectors with a closer lower-id cluster-mate") {

@@ -361,6 +361,84 @@ object Queries {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin),
       "TPC-H Q14-style promo revenue share: conditional aggregation in exact integer cents, one month partition-prunable"),
 
+    Q("q7_nation_volume",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") <= lit("1996-12-31").cast("timestamp"))
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        li.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+            || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .withColumn("l_year", year(col("l_shipdate")))
+          .withColumn("vol_cp",
+            round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("vol_cp")).as("revenue_cp"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(year(l_shipdate) AS INT) AS l_year,
+             |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cp
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             | JOIN orders ON l_orderkey = o_orderkey
+             | JOIN customer ON o_custkey = c_custkey
+             | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+             |GROUP BY 1, 2, 3""".stripMargin),
+      "TPC-H Q7-style bi-national trade volume: five-table chain, both nation " +
+        "dims broadcast, date range pushed to the lineitem scan, exact integer cents"),
+
+    Q("q21_waiting_suppliers",
+      (s, dir) => {
+        // the SQL front door (same planner): EXISTS decorrelates to a semi
+        // join, the correlated NOT EXISTS to an anti join — no driver loop,
+        // no cartesian. "Late" = shipped > 60 days after the order date
+        // (this fixture has no commit/receipt dates).
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT s_name, count(*) AS numwait
+                |FROM supplier_v, lineitem_v l1, orders_v
+                |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+                |  AND o_orderstatus = 'F'
+                |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                |  AND EXISTS (SELECT 1 FROM lineitem_v l2
+                |              WHERE l2.l_orderkey = l1.l_orderkey
+                |                AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+                |                  WHERE l3.l_orderkey = l1.l_orderkey
+                |                    AND l3.l_suppkey <> l1.l_suppkey
+                |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier, lineitem l1, orders
+             |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
+      "TPC-H Q21-style waiting suppliers: sole-late-supplier detection — " +
+        "EXISTS → semi join, correlated NOT EXISTS → anti join, top-10 TakeOrdered"),
+
     Q("o14_grouping_sets_sql",
       (s, dir) => {
         // the SQL entry path of the engine: the same Catalyst planner,

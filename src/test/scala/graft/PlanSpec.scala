@@ -51,6 +51,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q7 broadcasts the nation dims and pushes the ship-date range to the scan") {
+    val p = plan(q("q7_nation_volume"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("PushedFilters"), p)
+  }
+
+  test("q21 decorrelates EXISTS to semi and NOT EXISTS to anti join") {
+    val p = plan(q("q21_waiting_suppliers"))
+    assert(p.contains("LeftSemi"), s"q21 missing semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"q21 missing anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("o1 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(q("o1_topk"))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -726,6 +726,19 @@ object ExtensionQueries {
       "X5 trending per tumbling hour: top-3 event types per window — " +
         "windowed hash-agg first, rank only over the aggregated cells"),
 
+    Q("x17_transitions",
+      (s, dir) => graft.ops.Sequences.transitionCounts(
+        col("user_id"), Seq(col("ts_us"), col("event_id")), col("event_type"))(
+        Tables.events(s, dir)),
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |            lead(event_type) OVER (PARTITION BY user_id
+             |                                   ORDER BY epoch_us(ts), event_id) AS next
+             |          FROM events)
+             |SELECT event_type AS from_state, next AS to_state, count(*) AS cnt
+             |FROM o WHERE next IS NOT NULL GROUP BY 1, 2""".stripMargin),
+      "X5 user-journey transition matrix: per-key ordered lookahead " +
+        "(key-partitioned window, parallel across users), |states|^2 hash-agg"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -95,4 +95,33 @@ class PropertiesSpec extends SparkSpec {
       assert(scores.head === rows.map(_._1).max)
     }
   }
+
+  private val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+
+  test("dupNgramStats: an exact duplicate forces dup_frac 1.0 on both copies") {
+    forAllSamples(Gen.listOfN(3, docGen)) { texts =>
+      // docs 0 and 1 are the same text; doc 2 is independent
+      val df = (Seq(texts.head, texts.head) ++ texts.drop(2))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val out = Dedup.dupNgramStats(col("id"), col("text"), 3)(df)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(out(0L) === 1.0)
+      assert(out(1L) === 1.0)
+    }
+  }
+
+  test("bm25 extra occurrence of a query term never lowers that doc's score") {
+    forAllSamples(docGen) { text =>
+      val base = Seq((0L, text + " qterm"), (1L, "other words entirely"))
+      val boosted = Seq((0L, text + " qterm qterm"), (1L, "other words entirely"))
+      def score(rows: Seq[(Long, String)]): Double =
+        graft.ops.Search.bm25(col("id"), col("text"), Seq("qterm"))(
+          rows.toDF("id", "text"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          .getOrElse(0L, 0.0)
+      // same corpus stats shape, one more tf: monotone non-decreasing
+      // (tf saturation means it can plateau, never drop)
+      assert(score(boosted) >= score(base) - 1e-9)
+    }
+  }
 }

@@ -726,6 +726,28 @@ object ExtensionQueries {
       "X5 trending per tumbling hour: top-3 event types per window — " +
         "windowed hash-agg first, rank only over the aggregated cells"),
 
+    Q("x18_quality_tiers",
+      (s, dir) => TextAnalysis.qualityTiers(col("doc_id"), col("text"))(docs(s, dir)),
+      // quality arithmetic mirrored from the (green) x4c oracle; quartile
+      // thresholds via quantile_cont = Spark's exact `percentile` (the
+      // interpolation conventions agree — proven by o11)
+      Some(s"""WITH sc AS (SELECT doc_id,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |    + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |    + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+              |q AS (SELECT quantile_cont(quality, 0.25) AS q1,
+              |             quantile_cont(quality, 0.5) AS q2,
+              |             quantile_cont(quality, 0.75) AS q3 FROM sc)
+              |SELECT doc_id, round(quality, 4) AS quality,
+              |       CAST(CASE WHEN quality < q1 THEN 0
+              |                 WHEN quality < q2 THEN 1
+              |                 WHEN quality < q3 THEN 2
+              |                 ELSE 3 END AS INT) AS tier
+              |FROM sc CROSS JOIN q""".stripMargin),
+      "X3 quality-tier assignment: in-plan quartile thresholds broadcast " +
+        "into the scoring pass (approx-sketch variant for the 100 TB path)"),
+
     Q("x17_transitions",
       (s, dir) => graft.ops.Sequences.transitionCounts(
         col("user_id"), Seq(col("ts_us"), col("event_id")), col("event_type"))(

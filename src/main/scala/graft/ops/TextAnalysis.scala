@@ -198,6 +198,35 @@ object TextAnalysis {
         lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
       .select(col("doc_id"), col("n_ngrams"), col("n_distinct"), col("rep_ratio"))
 
+  /** Quality-TIER assignment — bucket the corpus into quartiles of the
+    * quality score (the curation move behind "train on the top tier,
+    * downsample the middle, drop the bottom"): tier 0 = below Q1 …
+    * tier 3 = at/above Q3. Thresholds are computed in-plan (one
+    * scalar-aggregate row broadcast into the scoring pass) so the whole
+    * operator is two passes and zero driver round-trips.
+    *
+    * `approx = false` uses the exact `percentile` aggregate —
+    * oracle-reproducible, but its buffer holds per-distinct-value counts
+    * (fine into the millions of distinct scores). At the 100 TB point pass
+    * `approx = true`: `percentile_approx` (KLL-style sketch, bounded
+    * memory, mergeable map-side) — tier boundaries then carry the
+    * sketch's rank-error tolerance, which curation thresholds accept.
+    */
+  def qualityTiers(id: Column, text: Column, approx: Boolean = false)(
+      df: DataFrame): DataFrame = {
+    val scored = df.select(id.as("doc_id"), qualityExpr(text).as("quality"))
+    def pct(p: Double): Column =
+      if (approx) percentile_approx(col("quality"), lit(p), lit(10000))
+      else percentile(col("quality"), lit(p))
+    val qs = scored.agg(pct(0.25).as("q1"), pct(0.5).as("q2"), pct(0.75).as("q3"))
+    scored.crossJoin(broadcast(qs))
+      .select(col("doc_id"), round(col("quality"), 4).as("quality"),
+        when(col("quality") < col("q1"), lit(0))
+          .when(col("quality") < col("q2"), lit(1))
+          .when(col("quality") < col("q3"), lit(2))
+          .otherwise(lit(3)).cast("int").as("tier"))
+  }
+
   /** Corpus-trained unigram language-model score per document: the mean
     * token log-probability under an add-1-smoothed unigram model fitted on
     * the corpus itself — the cheap stand-in for the perplexity filter of

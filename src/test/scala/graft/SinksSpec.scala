@@ -82,6 +82,42 @@ class SinksSpec extends SparkSpec {
       Set(Seq("o1"), Seq("o2"), Seq("o3")))
   }
 
+  test("chained streaming aggregation state survives a checkpoint restart") {
+    // trendingKeys holds TWO stateful operators' state (windowed counts +
+    // per-window argmax); both must recover from the checkpoint for the
+    // fixpoint to match the batch result
+    val in = Files.createTempDirectory("graft-trend-in").toString
+    val out = Files.createTempDirectory("graft-trend-out").toString
+    val ckpt = Files.createTempDirectory("graft-trend-ckpt").toString
+    val evs = Seq(
+      OrderEvent("e1", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:01Z")),
+      OrderEvent("e2", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:03Z")),
+      OrderEvent("e3", "bob", Seq("a"), 1.0, ts("2024-01-01T00:00:05Z")))
+    val flush = Seq(
+      OrderEvent("flush", "zz", Seq("x"), 1.0, ts("2024-01-03T00:00:00Z")))
+    val schema = evs.toDF().schema
+    def top() = Topologies.trendingKeys(
+      Sources.fileStream(spark, in, schema), col("user"), col("ts"),
+      "10 seconds", "1 hour")
+
+    // run 1: events arrive but no watermark flush — counts are buffered
+    evs.toDF().coalesce(1).write.mode("append").parquet(in)
+    val q1 = Sinks.toParquet(top(), out, ckpt).start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // the flush arrives while the query is DOWN; restart must recover both
+    // operators' buffered state to close and emit the window
+    flush.toDF().coalesce(1).write.mode("append").parquet(in)
+    val q2 = Sinks.toParquet(top(), out, ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val base = ts("2024-01-01T00:00:00Z")
+    val landed = spark.read.parquet(out)
+    assert(rowsOf(landed) === Set(Seq(base, "alice", 2L)))
+  }
+
   test("stream-stream join state survives a checkpoint restart (flagship J3 durability)") {
     import graft.streaming.PaymentEvent
     val oIn = Files.createTempDirectory("graft-j3-orders").toString

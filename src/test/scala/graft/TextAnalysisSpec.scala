@@ -231,6 +231,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq(("a b", 2L), ("b a", 2L)))
   }
 
+  test("qualityTiers buckets into quartiles with a total assignment") {
+    val df = (0 until 16)
+      .map(i => (i.toLong, (Seq.fill(i + 1)("w") ++ Seq("the")).mkString(" ")))
+      .toDF("id", "text")
+    val out = TextAnalysis.qualityTiers(col("id"), col("text"))(df)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.length === 16)
+    val byTier = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // every doc gets exactly one tier, all four tiers populated on a
+    // 16-doc spread of distinct scores
+    assert(byTier.keySet === Set(0, 1, 2, 3))
+    assert(byTier.values.sum === 16)
+    // quality decreases with id on this fixture, so tiers must be
+    // non-increasing; the approx (sketch) variant may place the exact
+    // boundary docs one tier off (interpolated vs order-stat threshold)
+    // but must keep the same total, monotone assignment
+    def monotone(ts: Seq[(Long, Int)]): Boolean =
+      ts.sortBy(_._1).map(_._2).sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _         => true
+      }
+    assert(monotone(out.toSeq))
+    val approx = TextAnalysis.qualityTiers(col("id"), col("text"), approx = true)(df)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(approx.length === 16 && monotone(approx.toSeq))
+    assert(approx.map(_._2).toSet === Set(0, 1, 2, 3))
+  }
+
   test("unigramLogProb matches hand-computed add-1 smoothed values") {
     val df = Seq((0L, "a a"), (1L, "a b")).toDF("id", "text")
     // counts: a=3, b=1; T=4, V=2 → p(a)=4/6, p(b)=2/6

@@ -21,4 +21,27 @@ object Layout {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** SMALL-FILE COMPACTION — the table-maintenance pass every streaming
+    * ingest needs: micro-batch sinks land a file per trigger per
+    * partition, and a 100 TB table quickly owns millions of kilobyte
+    * files whose open/footer costs dominate scans. Rewrites `path` to
+    * `ceil(bytes / targetBytes)` files via a round-robin repartition
+    * (no shuffle key — pure size rebalancing). The write lands in a
+    * sibling staging directory first; swap-in is the caller's
+    * (table-format-specific) atomic step, because a direct
+    * overwrite-in-place would read and clobber the same files.
+    * Returns the staging path.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): String = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val staged = s"$path.compacted"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(staged)
+    staged
+  }
 }

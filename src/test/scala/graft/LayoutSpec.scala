@@ -36,4 +36,21 @@ class LayoutSpec extends SparkSpec {
       .select(col("id"), col("part"), col("v")) // partition col is restored
     assert(rowsOf(back) === rowsOf(df))
   }
+
+  test("compact rewrites a many-small-files table into the size-targeted count") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    // 40 partitions → 40 small files
+    Seq.tabulate(2000)(i => (i.toLong, s"row $i payload"))
+      .toDF("id", "payload").repartition(40).write.mode("overwrite").parquet(dir)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) === 40)
+    val bytes = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target half the table per file → 2 files
+    val staged = Layout.compact(spark, dir, math.max(1L, bytes / 2))
+    assert(parquetFiles(staged) <= 3 && parquetFiles(staged) >= 1)
+    // content survives the rewrite exactly
+    assert(rowsOf(spark.read.parquet(staged)) === rowsOf(spark.read.parquet(dir)))
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Guardrails
+
+class GuardrailsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+  private val b = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "w")
+
+  test("assertNoCartesian flags a cross join of two multi-row frames") {
+    val err = intercept[IllegalStateException] {
+      Guardrails.assertNoCartesian(a.crossJoin(b))
+    }
+    assert(err.getMessage.contains("cartesian"))
+  }
+
+  test("assertNoCartesian flags an inner join whose condition optimizes away") {
+    // lit(true) is removed by the optimizer — the guard sees the real shape
+    val err = intercept[IllegalStateException] {
+      Guardrails.assertNoCartesian(a.join(b, lit(true), "inner"))
+    }
+    assert(err.getMessage.contains("cartesian"))
+  }
+
+  test("scalar-aggregate broadcast (the corpus-constants idiom) is exempt") {
+    val stats = b.agg(avg(col("w")).as("avgw"))
+    Guardrails.assertNoCartesian(a.crossJoin(broadcast(stats)))
+    Guardrails.assertNoCartesian(a.crossJoin(stats))
+  }
+
+  test("equi-joins and filtered joins pass") {
+    Guardrails.assertNoCartesian(a.join(b, "id"))
+    Guardrails.assertNoCartesian(a.join(b, a("id") === b("id") && b("w") > 5))
+  }
+
+  test("the catalog's fused-stats queries pass the guard") {
+    // x9/x12/x18 all use crossJoin(broadcast(<scalar agg>)) internally
+    for (name <- Seq("x9_bm25_search", "x12_unigram_lm", "x18_quality_tiers"))
+      Guardrails.assertNoCartesian(
+        Queries.queries(name)(spark, "/root/testdata/sf0.001"))
+  }
+}

@@ -35,6 +35,20 @@ class GuardrailsSpec extends SparkSpec {
     Guardrails.assertNoCartesian(a.join(b, a("id") === b("id") && b("w") > 5))
   }
 
+  test("the extensions check rule fires only under the session flag") {
+    val rules = org.apache.spark.sql.GraftSqlBridge.buildCheckRules(
+      new graft.plans.GraftGuardrails, spark)
+    assert(rules.nonEmpty)
+    val bad = a.crossJoin(b).queryExecution.analyzed
+    spark.conf.set(Guardrails.FlagKey, "false")
+    rules.foreach(_(bad)) // flag off: no-op
+    try {
+      spark.conf.set(Guardrails.FlagKey, "true")
+      val err = intercept[IllegalStateException] { rules.foreach(_(bad)) }
+      assert(err.getMessage.contains("cartesian"))
+    } finally spark.conf.unset(Guardrails.FlagKey)
+  }
+
   test("the catalog's fused-stats queries pass the guard") {
     // x9/x12/x18 all use crossJoin(broadcast(<scalar agg>)) internally
     for (name <- Seq("x9_bm25_search", "x12_unigram_lm", "x18_quality_tiers"))

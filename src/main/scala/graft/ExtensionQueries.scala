@@ -748,6 +748,53 @@ object ExtensionQueries {
       "X3 quality-tier assignment: in-plan quartile thresholds broadcast " +
         "into the scoring pass (approx-sketch variant for the 100 TB path)"),
 
+    Q("x6g_curation_v2",
+      (s, dir) => {
+        // round-5 ops COMPOSED: corpus-relative quality gate (top two
+        // tiers) → cross-doc duplication cut (dup_frac < 0.5, which also
+        // drops sub-shingle docs) → deterministic sequence packing. Each
+        // stage is the catalog operator unchanged — the pipeline is three
+        // joins on doc_id, no re-derivation.
+        val d = docs(s, dir)
+        val tiers = TextAnalysis.qualityTiers(col("doc_id"), col("text"))(d)
+          .filter(col("tier") >= 2).select("doc_id")
+        val nondup = Dedup.dupNgramStats(col("doc_id"), col("text"), 5)(d)
+          .filter(col("dup_frac") < 0.5).select("doc_id")
+        val kept = d.join(tiers, "doc_id").join(nondup, "doc_id")
+        TextAnalysis.packSequences(col("doc_id"), col("text"),
+          col("source"), 2048)(kept)
+      },
+      Some(s"""WITH sc AS (SELECT doc_id,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |    + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |    + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+              |qq AS (SELECT quantile_cont(quality, 0.5) AS q2 FROM sc),
+              |t AS (SELECT doc_id FROM sc CROSS JOIN qq WHERE quality >= q2),
+              |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |sh AS (SELECT DISTINCT doc_id,
+              |         unnest([array_to_string(toks[i:i+4], ' ')
+              |                 for i in range(1, len(toks) - 3)]) AS s
+              |       FROM toks WHERE len(toks) >= 5),
+              |dfreq AS (SELECT s, count(*) >= 2 AS in_others FROM sh GROUP BY s),
+              |dd AS (SELECT doc_id FROM sh JOIN dfreq USING (s) GROUP BY doc_id
+              |       HAVING CAST(sum(CASE WHEN in_others THEN 1 ELSE 0 END) AS DOUBLE)
+              |              / CAST(count(*) AS DOUBLE) < 0.5),
+              |kept AS (SELECT d.doc_id, d.source,
+              |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+              |           md5(CAST(d.doc_id AS VARCHAR)) AS ord
+              |         FROM documents d JOIN t USING (doc_id) JOIN dd USING (doc_id)),
+              |o AS (SELECT doc_id, source, n_tokens,
+              |        CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+              |      FROM kept)
+              |SELECT doc_id, source AS part, n_tokens, start_offset,
+              |       CAST(floor(start_offset / 2048) AS BIGINT) AS bin
+              |FROM o""".stripMargin),
+      "X3 curation v2 — the round-5 ops composed: corpus-relative quality " +
+        "tiering, cross-doc duplication cut, deterministic packing; three " +
+        "doc_id joins, every stage the unchanged catalog operator"),
+
     Q("x17_transitions",
       (s, dir) => graft.ops.Sequences.transitionCounts(
         col("user_id"), Seq(col("ts_us"), col("event_id")), col("event_type"))(

@@ -22,6 +22,26 @@ object Layout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** RANGE-SORTED layout — the second scan-cost lever after directory
+    * partitioning: range-repartition on the sort key, sort within each
+    * partition, write. Every output file then owns a DISJOINT key range,
+    * so parquet min/max statistics let a range/point predicate skip
+    * whole files (and row groups) at planning time — the right layout
+    * for the "one day of one key range" access pattern on a 100 TB fact
+    * table, complementing [[Bucketing]] (join co-location) and hive
+    * partitioning (low-cardinality pruning). Sampling for the range
+    * boundaries is one extra lightweight job (Spark's RangePartitioner).
+    */
+  def writeSorted(df: DataFrame, path: String, numFiles: Int,
+      cols: String*): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(cols.nonEmpty, "need at least one sort column")
+    val key = cols.map(df.col)
+    df.repartitionByRange(numFiles, key: _*)
+      .sortWithinPartitions(key: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** SMALL-FILE COMPACTION — the table-maintenance pass every streaming
     * ingest needs: micro-batch sinks land a file per trigger per
     * partition, and a 100 TB table quickly owns millions of kilobyte

@@ -53,4 +53,25 @@ class LayoutSpec extends SparkSpec {
     // content survives the rewrite exactly
     assert(rowsOf(spark.read.parquet(staged)) === rowsOf(spark.read.parquet(dir)))
   }
+
+  test("writeSorted gives each file a disjoint key range (min/max skipping layout)") {
+    val dir = Files.createTempDirectory("graft-sorted").toString
+    val df = Seq.tabulate(1000)(i => ((i * 7919) % 1000L, s"v$i")).toDF("k", "v")
+    Layout.writeSorted(df, dir, 4, "k")
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length === 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // pairwise disjoint [min, max] intervals => min/max stats prune files
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, sorted.mkString(", "))
+      case _                       => ()
+    }
+    // content intact
+    assert(rowsOf(spark.read.parquet(dir)) === rowsOf(df))
+  }
 }

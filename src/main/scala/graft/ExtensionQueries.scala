@@ -758,8 +758,10 @@ object ExtensionQueries {
         val d = docs(s, dir)
         val tiers = TextAnalysis.qualityTiers(col("doc_id"), col("text"))(d)
           .filter(col("tier") >= 2).select("doc_id")
+        // exact integer form of dup_frac < 0.5 (dup_frac is emitted
+        // rounded; 2*n_dup < n_shingles has no rounding boundary)
         val nondup = Dedup.dupNgramStats(col("doc_id"), col("text"), 5)(d)
-          .filter(col("dup_frac") < 0.5).select("doc_id")
+          .filter(col("n_dup") * 2 < col("n_shingles")).select("doc_id")
         val kept = d.join(tiers, "doc_id").join(nondup, "doc_id")
         TextAnalysis.packSequences(col("doc_id"), col("text"),
           col("source"), 2048)(kept)
@@ -778,8 +780,7 @@ object ExtensionQueries {
               |       FROM toks WHERE len(toks) >= 5),
               |dfreq AS (SELECT s, count(*) >= 2 AS in_others FROM sh GROUP BY s),
               |dd AS (SELECT doc_id FROM sh JOIN dfreq USING (s) GROUP BY doc_id
-              |       HAVING CAST(sum(CASE WHEN in_others THEN 1 ELSE 0 END) AS DOUBLE)
-              |              / CAST(count(*) AS DOUBLE) < 0.5),
+              |       HAVING 2 * sum(CASE WHEN in_others THEN 1 ELSE 0 END) < count(*)),
               |kept AS (SELECT d.doc_id, d.source,
               |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
               |           md5(CAST(d.doc_id AS VARCHAR)) AS ord

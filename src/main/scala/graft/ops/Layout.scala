@@ -57,10 +57,20 @@ object Layout {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a hive-partitioned root would be silently FLATTENED by a plain
+    // rewrite (the inferred partition column becomes a data column and
+    // directory pruning is lost) — compact each leaf partition instead
+    val partitioned = fs.listStatus(src).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path is hive-partitioned; compact each leaf partition directory " +
+        "instead (a flat rewrite would drop the partition layout)")
     val bytes = fs.getContentSummary(src).getLength
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nFilesLong = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    require(nFilesLong <= 10000000L,
+      s"targetBytes=$targetBytes would produce $nFilesLong files — raise the target")
     val staged = s"$path.compacted"
-    spark.read.parquet(path).repartition(nFiles)
+    spark.read.parquet(path).repartition(nFilesLong.toInt)
       .write.mode("overwrite").parquet(staged)
     staged
   }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Dataset, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, OneRowRelation, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate, Join, LocalRelation, LogicalPlan, OneRowRelation, UnaryNode, Unpivot}
 
 /** Plan GUARDRAILS — validation hooks for the mistakes that are merely
   * slow at test scale but fatal at 100 TB. First (and worst): the
@@ -32,20 +32,27 @@ object Guardrails {
   val FlagKey = "spark.graft.failOnCartesian"
 
   /** One statically-known row? (scalar aggregate, possibly under
-    * projections/aliases/hints; literal relations of at most one row)
+    * projections/aliases/hints; literal relations of at most one row;
+    * joins of two scalar sides). Row-MULTIPLYING unary operators
+    * (explode/Generate, Expand, Unpivot) break the bound and stop the
+    * recursion — a one-row child under an explode is not one row.
     */
   private def scalarSide(p: LogicalPlan): Boolean = p match {
-    case a: Aggregate      => a.groupingExpressions.isEmpty
-    case l: LocalRelation  => l.data.lengthCompare(1) <= 0
-    case _: OneRowRelation => true
-    case u: UnaryNode      => scalarSide(u.child)
-    case _                 => false
+    case a: Aggregate                         => a.groupingExpressions.isEmpty
+    case l: LocalRelation                     => l.data.lengthCompare(1) <= 0
+    case _: OneRowRelation                    => true
+    case _: Generate | _: Expand | _: Unpivot => false
+    case j: Join                              => scalarSide(j.left) && scalarSide(j.right)
+    case u: UnaryNode                         => scalarSide(u.child)
+    case _                                    => false
   }
 
   /** Throws `IllegalStateException` if `plan` contains a cross join or a
-    * condition-less inner join between two multi-row sides.
+    * condition-less inner join between two multi-row sides. Subquery
+    * expression plans are visited too — a cartesian hiding inside a
+    * scalar subquery is just as quadratic.
     */
-  def check(plan: LogicalPlan): Unit = plan.foreach {
+  def check(plan: LogicalPlan): Unit = plan.foreachWithSubqueries {
     case j: Join
         if (j.joinType == Cross || (j.joinType == Inner && j.condition.isEmpty))
           && !scalarSide(j.left) && !scalarSide(j.right) =>
@@ -70,7 +77,8 @@ object Guardrails {
 class GraftGuardrails extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectCheckRule { session => plan =>
-      if (session.conf.get(Guardrails.FlagKey, "false") == "true")
+      // case-insensitive: a guardrail must not fail OPEN on "True"/"TRUE"
+      if (session.conf.get(Guardrails.FlagKey, "false").trim.equalsIgnoreCase("true"))
         Guardrails.check(plan)
     }
 }

@@ -30,6 +30,33 @@ class GuardrailsSpec extends SparkSpec {
     Guardrails.assertNoCartesian(a.crossJoin(stats))
   }
 
+  test("an explode over a one-row side is NOT scalar — the blowup is caught") {
+    val oneRow = Seq(Tuple1((0 until 100).toArray)).toDF("arr")
+      .select(explode(col("arr")).as("x"))
+    val err = intercept[IllegalStateException] {
+      Guardrails.assertNoCartesian(a.crossJoin(oneRow))
+    }
+    assert(err.getMessage.contains("cartesian"))
+  }
+
+  test("a join of two scalar aggregates is still one row — exempt") {
+    val s1 = b.agg(avg(col("w")).as("x"))
+    val s2 = b.agg(max(col("w")).as("y"))
+    Guardrails.assertNoCartesian(a.crossJoin(broadcast(s1.crossJoin(s2))))
+  }
+
+  test("a cartesian inside a scalar subquery is caught") {
+    a.createOrReplaceTempView("guard_big")
+    b.createOrReplaceTempView("guard_x")
+    val df = spark.sql(
+      """SELECT * FROM guard_big
+        |WHERE id > (SELECT count(*) FROM guard_x x, guard_x y)""".stripMargin)
+    val err = intercept[IllegalStateException] {
+      Guardrails.assertNoCartesian(df)
+    }
+    assert(err.getMessage.contains("cartesian"))
+  }
+
   test("equi-joins and filtered joins pass") {
     Guardrails.assertNoCartesian(a.join(b, "id"))
     Guardrails.assertNoCartesian(a.join(b, a("id") === b("id") && b("w") > 5))

@@ -74,4 +74,14 @@ class LayoutSpec extends SparkSpec {
     // content intact
     assert(rowsOf(spark.read.parquet(dir)) === rowsOf(df))
   }
+
+  test("compact refuses a hive-partitioned root instead of flattening it") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString
+    val df = Seq.tabulate(20)(i => (i.toLong, s"p${i % 2}")).toDF("id", "part")
+    Layout.writePartitioned(df, dir, "part")
+    val err = intercept[IllegalArgumentException] {
+      Layout.compact(spark, dir, 1L << 20)
+    }
+    assert(err.getMessage.contains("hive-partitioned"))
+  }
 }

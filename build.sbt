@@ -17,6 +17,10 @@ run / fork := true
 // BENCH_r0*.json records came back "parsed": null). StdoutOutput passes
 // the subprocess stdout through raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress the trailing "[success] Total time: ..." logger line, so
+// the bench/verify JSON summary is the LITERAL last line of stdout — even a
+// parse-only-the-last-line consumer recovers it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -163,6 +163,38 @@ object Stateful {
       }
   }
 
+  /** Streaming analog of [[graft.ops.Sequences.transitionCounts]]'s
+    * pair extraction: per key, emit a (from, to) row for every
+    * consecutive state pair, carrying the LAST state across micro-batches
+    * in per-key state (events inside a batch are sorted by event time;
+    * cross-batch order is arrival order, correct once the source is
+    * per-key ordered — the Kafka-partition guarantee this engine's
+    * sources model). Downstream, the same `groupBy(from, to).count`
+    * as the batch op — in update mode — maintains the live transition
+    * matrix. Batch execution (empty initial state, one group pass) gives
+    * the batch op's pairs exactly — the shared-fixpoint test property.
+    */
+  def transitionPairs(events: Dataset[OrderEvent]): Dataset[(String, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[String, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[OrderEvent], state: GroupState[String]) =>
+          val out = Seq.newBuilder[(String, String)]
+          var last = state.getOption.orNull
+          // orderId as the deterministic tiebreak within equal timestamps,
+          // mirroring the batch op's orderCols contract
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.orderId)).foreach { e =>
+            val s = e.products.headOption.getOrElse("")
+            if (last != null) out += ((last, s))
+            last = s
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** The running-totals fold as a Spark 4 `StatefulProcessor`: state is a
     * typed `ValueState` declared in `init` with a DECLARATIVE TTL — the
     * engine expires idle entries itself (lazily, on read/maintenance;

@@ -123,6 +123,28 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq(base, "alice", 2L), Seq(w2, "bob", 1L)))
   }
 
+  test("streaming transition pairs reach the batch transition-counts fixpoint") {
+    val evs = Seq(
+      OrderEvent("e1", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:01Z")),
+      OrderEvent("e2", "alice", Seq("b"), 1.0, ts("2024-01-01T00:00:02Z")),
+      OrderEvent("e3", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:03Z")),
+      OrderEvent("e4", "bob", Seq("b"), 1.0, ts("2024-01-01T00:00:04Z")),
+      OrderEvent("e5", "bob", Seq("b"), 1.0, ts("2024-01-01T00:00:05Z")))
+    // two batches: alice's b→a pair SPANS the boundary — the carried
+    // last-state in per-key state is what stitches it
+    val out = runStream(Seq(evs.take(2), evs.drop(2)), "append")(df =>
+      graft.streaming.Stateful.transitionPairs(df.as[OrderEvent])
+        .toDF("from_state", "to_state"))
+    val counted = out.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("cnt"))
+    val batch = graft.ops.Sequences.transitionCounts(
+      col("user"), Seq(col("ts"), col("orderId")),
+      element_at(col("products"), 1))(evs.toDF())
+    assert(rowsOf(counted) === rowsOf(batch))
+    assert(rowsOf(counted) === Set(
+      Seq("a", "b", 1L), Seq("b", "a", 1L), Seq("b", "b", 1L)))
+  }
+
   test("session windows merge in streaming (superset op) and reach the batch fixpoint") {
     // alice: events at 0s, 100s (gap<5m → one session), 500s (new session);
     // flush event advances the watermark far enough to close them all

@@ -44,9 +44,16 @@ object Sources {
     require(dataSourceAvailable("kafka"),
       "Kafka connector (spark-sql-kafka) is not on the classpath; " +
         "use memoryStream/fileStream in this environment")
+    // Kafka metadata columns are kept only under names the value schema
+    // does not claim: a round-tripped domain event carries its own `ts`
+    // (and possibly `key`) in the JSON value, and a duplicate column
+    // would make every downstream col("ts")/withWatermark ambiguous
+    val meta = Seq(
+      "key" -> col("key").cast("string").as("key"),
+      "ts" -> col("timestamp").as("ts"))
+      .collect { case (n, c) if !valueSchema.fieldNames.contains(n) => c }
     Serde.fromJsonDropMalformed(
-      col("value").cast("string"), valueSchema,
-      keep = Seq(col("key").cast("string").as("key"), col("timestamp").as("ts")))(
+      col("value").cast("string"), valueSchema, keep = meta)(
       spark.readStream
         .format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)

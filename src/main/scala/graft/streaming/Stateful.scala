@@ -44,6 +44,18 @@ final case class EnrichedOrder(orderId: String, user: String, amount: Double,
   */
 object Stateful {
 
+  /** THE running-totals fold — the single definition every generation of
+    * the operator shares (`mapGroupsWithState`, event-time-TTL,
+    * `transformWithState`, and the batch fixpoint oracle), so the oracle
+    * cannot silently drift from the operators it checks.
+    */
+  private[streaming] def foldTotals(user: String, prev: UserTotals,
+      es: IterableOnce[OrderEvent]): UserTotals =
+    es.iterator.foldLeft(prev) { (acc, e) =>
+      UserTotals(user, acc.orders + 1, acc.products + e.products.size,
+        acc.amount + e.amount)
+    }
+
   /** Running (orders, products, amount) totals per user, one state entry
     * per key, updated per micro-batch. Works on batch Datasets too (state
     * starts empty, one group pass) — the shared-fixpoint property the
@@ -56,10 +68,7 @@ object Stateful {
       .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
         (user: String, events: Iterator[OrderEvent], state: GroupState[UserTotals]) =>
           val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L, 0.0))
-          val next = events.foldLeft(prev) { (acc, e) =>
-            UserTotals(user, acc.orders + 1, acc.products + e.products.size,
-              acc.amount + e.amount)
-          }
+          val next = foldTotals(user, prev, events)
           state.update(next)
           next
       }
@@ -102,12 +111,9 @@ object Stateful {
             state.remove()
             Iterator.empty
           } else {
-            val evs = events.toSeq
+            val evs = events.toSeq // the fold AND the deadline both need them
             val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L, 0.0))
-            val next = evs.foldLeft(prev) { (acc, e) =>
-              UserTotals(user, acc.orders + 1, acc.products + e.products.size,
-                acc.amount + e.amount)
-            }
+            val next = foldTotals(user, prev, evs)
             state.update(next)
             // re-arm on every batch that touches the key: idle time counts
             // from LAST activity. Clamped above the current watermark —
@@ -153,7 +159,13 @@ object Stateful {
         (user: String, events: Iterator[CoEvent], state: GroupState[String]) =>
           val out = Seq.newBuilder[EnrichedOrder]
           var profile = state.getOption.orNull
-          events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          // total order: event time, then PROFILE-BEFORE-ORDER on equal
+          // timestamps (the table-update-wins refinement), then orderId —
+          // without the tiebreaks, equal-ts ties keep shuffle arrival
+          // order and the join result varies across runs/retries
+          events.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.isProfile) 0 else 1,
+                Option(e.orderId).getOrElse(""))).foreach { e =>
             if (e.isProfile) profile = e.profile
             else if (profile != null)
               out += EnrichedOrder(e.orderId, user, e.amount, profile, e.ts)
@@ -178,19 +190,24 @@ object Stateful {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user)
-      .flatMapGroupsWithState[String, (String, String)](
+      .flatMapGroupsWithState[(Boolean, String), (String, String)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[OrderEvent], state: GroupState[String]) =>
+        (_: String, rows: Iterator[OrderEvent], state: GroupState[(Boolean, String)]) =>
           val out = Seq.newBuilder[(String, String)]
-          var last = state.getOption.orNull
+          // (initialized, lastState) — lastState may be null (an event
+          // with no products), mirroring the batch op, whose NULL states
+          // occupy a position: the (x, null) pair is dropped, the
+          // (null, y) pair is kept with a null from_state
+          var (have, last) = state.getOption.getOrElse((false, null: String))
           // orderId as the deterministic tiebreak within equal timestamps,
           // mirroring the batch op's orderCols contract
           rows.toSeq.sortBy(e => (e.ts.getTime, e.orderId)).foreach { e =>
-            val s = e.products.headOption.getOrElse("")
-            if (last != null) out += ((last, s))
+            val s = e.products.headOption.orNull
+            if (have && s != null) out += ((last, s))
             last = s
+            have = true
           }
-          if (last != null) state.update(last)
+          if (have) state.update((true, last))
           out.result().iterator
       }
   }
@@ -211,10 +228,7 @@ object Stateful {
     override def handleInputRows(user: String, rows: Iterator[OrderEvent],
         timerValues: TimerValues): Iterator[UserTotals] = {
       val prev = if (totals.exists()) totals.get() else UserTotals(user, 0L, 0L, 0.0)
-      val next = rows.foldLeft(prev) { (acc, e) =>
-        UserTotals(user, acc.orders + 1, acc.products + e.products.size,
-          acc.amount + e.amount)
-      }
+      val next = Stateful.foldTotals(user, prev, rows)
       totals.update(next)
       Iterator.single(next)
     }
@@ -251,7 +265,7 @@ object Stateful {
   final case class ClosedSession(user: String, start: Timestamp, end: Timestamp,
       cnt: Long)
 
-  /** Internal accumulator for the open session of one key. */
+  /** Internal accumulator for one open session of one key. */
   final case class OpenSession(user: String, startMs: Long, lastMs: Long, cnt: Long)
 
   /** Session-close emission via EVENT-TIME TIMERS — the
@@ -262,26 +276,30 @@ object Stateful {
     * output shape of CDC session analytics (emit the finished session
     * exactly once, as soon as it is provably finished).
     *
-    * Mechanics: rows merge into the per-key open session in event-time
-    * order, emitting any session an in-batch gap already closes; after
-    * each batch the key's single timer is re-armed to `last + gap`
-    * (previous timers deleted — idle-time counts from last activity).
-    * When the watermark reaches the timer, `handleExpiredTimer` emits the
-    * closed session and clears the state. The guard against a stale timer
-    * racing a just-extended session (expiry < current `last + gap`)
-    * drops the stale firing instead of truncating the session.
+    * Mechanics: the key holds a LIST of disjoint open sessions. Each
+    * event is the interval `[t, t + gap)`; it merges every open session
+    * it overlaps (possibly bridging two, possibly extending a session's
+    * START backward — an in-order impossibility, but routine under
+    * allowed lateness) or opens a new one. NOTHING is emitted while
+    * handling rows: a session separated by an in-batch gap is not yet
+    * provably closed, because a late-but-in-watermark event can still
+    * land in (or bridge) it — emission happens exclusively in
+    * `handleExpiredTimer`, once the watermark passes a session's
+    * `last + gap` (after which Spark itself drops any row that could
+    * still touch it — that is what makes the emission final). Timers are
+    * re-armed per open session after each batch.
     *
-    * Merge rule is strictly-less (`ts < last + gap` extends; `ts = last +
-    * gap` starts a new session) — byte-identical to `session_window`'s
-    * `[start, last + gap)` non-overlap semantics, which the streaming
-    * test asserts against the batch query.
+    * Merge rule is strictly-less overlap (`[a, a+gap)` and `[b, b+gap)`
+    * merge iff they intersect; touching intervals do NOT) —
+    * byte-identical to `session_window`'s non-overlap semantics, which
+    * the streaming test asserts against the batch query.
     */
   final class SessionCloseProcessor(gapMs: Long)
       extends StatefulProcessor[String, OrderEvent, ClosedSession] {
-    @transient private var sess: ValueState[OpenSession] = _
+    @transient private var sess: org.apache.spark.sql.streaming.ListState[OpenSession] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sess = getHandle.getValueState[OpenSession]("session",
+      sess = getHandle.getListState[OpenSession]("sessions",
         Encoders.product[OpenSession], TTLConfig.NONE)
 
     private def closed(s: OpenSession): ClosedSession =
@@ -290,38 +308,35 @@ object Stateful {
 
     override def handleInputRows(user: String, rows: Iterator[OrderEvent],
         timerValues: TimerValues): Iterator[ClosedSession] = {
-      val out = Seq.newBuilder[ClosedSession]
-      var cur = if (sess.exists()) sess.get() else null
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val open = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+      open ++= sess.get()
+      rows.foreach { e =>
         val t = e.ts.getTime
-        if (cur == null) cur = OpenSession(user, t, t, 1L)
-        else if (t < cur.lastMs + gapMs)
-          cur = OpenSession(user, cur.startMs, math.max(cur.lastMs, t), cur.cnt + 1)
-        else { // in-batch gap: the previous session is already closed
-          out += closed(cur)
-          cur = OpenSession(user, t, t, 1L)
-        }
+        // sessions the event-interval [t, t+gap) strictly overlaps
+        val (touched, rest) = open.partition(s =>
+          t < s.lastMs + gapMs && s.startMs < t + gapMs)
+        val merged =
+          if (touched.isEmpty) OpenSession(user, t, t, 1L)
+          else OpenSession(user,
+            math.min(t, touched.map(_.startMs).min),
+            math.max(t, touched.map(_.lastMs).max),
+            touched.map(_.cnt).sum + 1L)
+        open.clear()
+        open ++= rest += merged
       }
-      if (cur != null) {
-        sess.update(cur)
-        // one live timer per key, armed at the session's current close time
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(cur.lastMs + gapMs)
-      }
-      out.result().iterator
+      sess.put(open.toArray)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      open.foreach(s => getHandle.registerTimer(s.lastMs + gapMs))
+      Iterator.empty
     }
 
     override def handleExpiredTimer(user: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
-      if (sess.exists()) {
-        val cur = sess.get()
-        if (expiredTimerInfo.getExpiryTimeInMs() >= cur.lastMs + gapMs) {
-          sess.clear()
-          return Iterator.single(closed(cur))
-        }
-        // stale timer from before an in-batch extension: ignore
-      }
-      Iterator.empty
+      val expiry = expiredTimerInfo.getExpiryTimeInMs()
+      val all = sess.get().toSeq
+      val (done, still) = all.partition(s => s.lastMs + gapMs <= expiry)
+      if (still.isEmpty) sess.clear() else sess.put(still.toArray)
+      done.sortBy(_.startMs).map(closed).iterator
     }
   }
 
@@ -346,9 +361,6 @@ object Stateful {
     */
   def runningTotalsBatch(spark: SparkSession, orders: Seq[OrderEvent]): Seq[UserTotals] =
     orders.groupBy(_.user).map { case (user, es) =>
-      es.foldLeft(UserTotals(user, 0L, 0L, 0.0)) { (acc, e) =>
-        UserTotals(user, acc.orders + 1, acc.products + e.products.size,
-          acc.amount + e.amount)
-      }
+      foldTotals(user, UserTotals(user, 0L, 0L, 0.0), es)
     }.toSeq
 }

@@ -208,6 +208,51 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 5) // alice x2, bob, carol, dave — each exactly once
   }
 
+  test("late-but-in-watermark events extend sessions backward and are never emitted early") {
+    import graft.streaming.Stateful
+    // gap = 5 s, allowed lateness 2 min. Batch 1 holds two alice sessions
+    // ([0] and [100]); batch 2 delivers LATE events: t=3 extends the
+    // first session, t=97 extends the second BACKWARD — legal because
+    // neither close time has been passed by the watermark. A premature
+    // in-batch emission of [0,5) would be wrong and irrevocable.
+    val batch1 = Seq(
+      OrderEvent("a1", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:00Z")),
+      OrderEvent("a2", "alice", Seq("b"), 1.0, ts("2024-01-01T00:01:40Z")))
+    val late = Seq(
+      OrderEvent("a3", "alice", Seq("c"), 1.0, ts("2024-01-01T00:00:03Z")),
+      OrderEvent("a4", "alice", Seq("d"), 1.0, ts("2024-01-01T00:01:37Z")))
+    val flush = Seq(
+      OrderEvent("zz", "zz", Seq("x"), 1.0, ts("2024-01-01T01:00:00Z")),
+      OrderEvent("z2", "zz", Seq("x"), 1.0, ts("2024-01-01T02:00:00Z")))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      runStream(Seq(batch1, late, flush.take(1), flush.drop(1)), "append") { df =>
+        Stateful.sessionClose(df.as[OrderEvent], gapMs = 5000L,
+          watermarkDelay = "2 minutes").toDF()
+      }.filter(col("user") === "alice")
+        .select(col("user"), col("start").cast("long").as("s"),
+          col("end").cast("long").as("e"), col("cnt"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val batchFixpoint = (batch1 ++ late).toDF()
+      .groupBy(session_window(col("ts"), "5 seconds"), col("user"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user"), col("session_window.start").cast("long").as("s"),
+        col("session_window.end").cast("long").as("e"), col("cnt"))
+    assert(rowsOf(out) === rowsOf(batchFixpoint))
+    val base = Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(rowsOf(out) === Set(
+      Seq("alice", base, base + 8, 2L), // [0, 8): late t=3 extended it
+      Seq("alice", base + 97, base + 105, 2L))) // [97, 105): extended BACKWARD
+  }
+
   test("flagship paidOrders: streaming append fixpoint equals the batch application (KSA:155-189)") {
     val profiles = Seq(("alice", "gold"), ("bob", "basic"), ("carol", "gold"))
       .toDF("user", "profile")

@@ -457,7 +457,7 @@ object Queries {
   /** Full catalog: reference parity + extensions + superset ops +
     * driver-visible invariants over the no-oracle queries. */
   def catalog: Seq[Q] =
-    all ++ ExtensionQueries.all ++ SupersetQueries.all ++ CheckQueries.all
+    all ++ TpchQueries.all ++ ExtensionQueries.all ++ SupersetQueries.all ++ CheckQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.run).toMap

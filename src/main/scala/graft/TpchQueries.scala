@@ -44,34 +44,36 @@ object TpchQueries {
 
     Q("q2_min_cost_supplier",
       (s, dir) => {
-        // Correlated scalar MIN subquery over a CTE — Catalyst decorrelates
-        // it into an aggregate joined back on the correlation key
-        // (RewriteCorrelatedScalarSubquery); no driver loop, no cartesian.
-        Tables.part(s, dir).createOrReplaceTempView("part_v")
-        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
-        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
-        Tables.region(s, dir).createOrReplaceTempView("region_v")
-        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
-        s.sql("""WITH ps AS (
-                |  SELECT l_partkey, l_suppkey,
-                |         min(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_cents
-                |  FROM lineitem_v GROUP BY 1, 2)
-                |SELECT s_acctbal, s_name, n_name, p.p_partkey, p_brand, ps.cost_cents
-                |FROM part_v p
-                |JOIN ps ON p.p_partkey = ps.l_partkey
-                |JOIN supplier_v ON s_suppkey = ps.l_suppkey
-                |JOIN nation_v ON s_nationkey = n_nationkey
-                |JOIN region_v ON n_regionkey = r_regionkey
-                |WHERE p_size <= 5 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
-                |  AND ps.cost_cents = (
-                |    SELECT min(ps2.cost_cents)
-                |    FROM ps ps2
-                |    JOIN supplier_v s2 ON s2.s_suppkey = ps2.l_suppkey
-                |    JOIN nation_v n2 ON s2.s_nationkey = n2.n_nationkey
-                |    JOIN region_v r2 ON n2.n_regionkey = r2.r_regionkey
-                |    WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
-                |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-                |LIMIT 100""".stripMargin)
+        // The oracle states this as a correlated scalar MIN subquery over a
+        // CTE. Spark would INLINE that CTE into the subquery, aggregating
+        // lineitem twice (two full scans + shuffles — wrong at 100 TB), so
+        // the engine side is the hand-decorrelated form: build the
+        // qualifying (part, supplier, cost) set ONCE, repartition it by
+        // part so the per-part MIN and the min-equality join back onto it
+        // ride one reused exchange (ReuseExchange fires on the identical
+        // subplan; asserted in TpchPlanSpec).
+        val cost = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
+        val euQualified = cost
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(Tables.part(s, dir)
+              .filter(col("p_size") <= 5 && col("p_type") === "STANDARD"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"), col("cost_cents"))
+          .repartition(col("p_partkey"))
+        val minPerPart = euQualified.groupBy(col("p_partkey").as("mk"))
+          .agg(min(col("cost_cents")).as("min_cost"))
+        euQualified.join(minPerPart,
+            col("p_partkey") === col("mk") && col("cost_cents") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"), col("cost_cents"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
       },
       Some("""WITH ps AS (
              |  SELECT l_partkey, l_suppkey,
@@ -251,8 +253,12 @@ object TpchQueries {
     Q("q15_top_supplier",
       (s, dir) => {
         val rev = Tables.lineitem(s, dir)
+          // the explicit isnotnull matches the constraint the supplier join
+          // infers on the other branch — identical canonical subplans are
+          // what lets ReuseExchange compute the aggregate once
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
-            col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz") &&
+            col("l_suppkey").isNotNull)
           .withColumn("rev_cp", revCp)
           .groupBy(col("l_suppkey"))
           .agg(sum(col("rev_cp")).as("total_rev_cp"))

@@ -52,17 +52,22 @@ object TpchQueries {
         // part so the per-part MIN and the min-equality join back onto it
         // ride one reused exchange (ReuseExchange fires on the identical
         // subplan; asserted in TpchPlanSpec).
+        // the selective part filter joins BELOW the aggregate (broadcast),
+        // so the min-cost agg runs over ~1% of lineitem, not all of it —
+        // the pushdown Catalyst can't do for us because the aggregate key
+        // set changes (p_brand rides along; it's functionally dependent)
+        val partF = Tables.part(s, dir)
+          .filter(col("p_size") <= 5 && col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_brand"))
         val cost = Tables.lineitem(s, dir)
-          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
           .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
         val euQualified = cost
           .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
-          .join(Tables.part(s, dir)
-              .filter(col("p_size") <= 5 && col("p_type") === "STANDARD"),
-            col("l_partkey") === col("p_partkey"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), col("p_brand"), col("cost_cents"))
           .repartition(col("p_partkey"))
@@ -282,15 +287,20 @@ object TpchQueries {
 
     Q("q16_supplier_variety",
       (s, dir) => {
+        // the selective part filter joins BELOW the distinct (broadcast), so
+        // the pair-dedup shuffle carries ~13% of lineitem instead of all of it
+        val partF = Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+            col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
         val ps = Tables.lineitem(s, dir)
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
+            col("l_suppkey"))
+          .distinct()
         val badSupp = Tables.supplier(s, dir)
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
         ps.join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .join(Tables.part(s, dir)
-              .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
-                col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)),
-            col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       },

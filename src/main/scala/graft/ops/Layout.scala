@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Data-layout helpers for the 100 TB design point: directory
   * partitioning. A fact table partitioned by a low-cardinality selective
@@ -53,6 +54,64 @@ object Layout {
     * overwrite-in-place would read and clobber the same files.
     * Returns the staging path.
     */
+  /** Morton (Z-order) interleave of pre-bucketed keys: bit `i` of bucket
+    * column `j` lands at output bit `i * k + j` (k = number of columns).
+    * Inputs must already be longs in `[0, 2^bits)` — see [[writeZOrdered]]
+    * for the normalization pass. Pure long shift/mask arithmetic, so the
+    * whole key stays inside whole-stage codegen (`bits * k` or-terms;
+    * `bits * k <= 62` keeps the key in a signed long).
+    */
+  def zorderKey(bits: Int)(buckets: Column*): Column = {
+    require(buckets.nonEmpty, "need at least one bucket column")
+    require(bits >= 1 && bits * buckets.size <= 62,
+      s"bits=$bits over ${buckets.size} columns exceeds a signed long")
+    val k = buckets.size
+    val terms = for {
+      i <- 0 until bits
+      j <- buckets.indices
+    } yield shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ORDERED layout — multi-dimensional file skipping. [[writeSorted]]
+    * clusters ONE key: a filter on any second column still reads every
+    * file. Interleaving the bits of k keys (Morton order) gives every
+    * file a small hyper-rectangle of the key space, so parquet min/max
+    * stats skip files for predicates on ANY prefix-free subset of the
+    * z-columns — the standard layout play for a 100 TB fact table with
+    * two or three independent access paths (e.g. time × tenant).
+    *
+    * Columns are normalized to equal-WIDTH buckets from a single min/max
+    * aggregate pass (one extra lightweight job, stats collected on the
+    * driver as plain scalars). Equal-width is outlier-sensitive; for
+    * heavily skewed keys, pre-transform (e.g. `log`) or pre-bucket by
+    * rank and call [[zorderKey]] directly. NULLs bucket to 0 so they
+    * cluster together rather than scattering.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int, bits: Int,
+      cols: String*): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(cols.size >= 2, "z-ordering needs >= 2 columns (use writeSorted for 1)")
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = (1L << bits) - 1
+    val buckets = cols.zipWithIndex.map { case (c, j) =>
+      val lo = if (stats.isNullAt(2 * j)) 0.0 else stats.getDouble(2 * j)
+      val hi = if (stats.isNullAt(2 * j + 1)) 0.0 else stats.getDouble(2 * j + 1)
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      // NULL → floor(null) → greatest skips nulls → bucket 0 (clustered)
+      least(greatest(
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(n.toDouble)).cast("long"),
+        lit(0L)), lit(n))
+    }
+    val key = zorderKey(bits)(buckets: _*)
+    df.withColumn("__zkey", key)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def compact(spark: SparkSession, path: String, targetBytes: Long): String = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
     val src = new org.apache.hadoop.fs.Path(path)

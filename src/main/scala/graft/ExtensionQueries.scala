@@ -809,6 +809,35 @@ object ExtensionQueries {
       "X5 user-journey transition matrix: per-key ordered lookahead " +
         "(key-partitioned window, parallel across users), |states|^2 hash-agg"),
 
+    Q("x19_token_mixture",
+      (s, dir) => TextAnalysis.mixToTokenBudget(
+          col("doc_id"), col("source"), size(Texts.tokens(col("text"))),
+          Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2), 2000L)(docs(s, dir))
+        .select(col("doc_id"), col("source")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+             |        FROM toks GROUP BY 1),
+             |tgt AS (SELECT * FROM (VALUES
+             |          ('src1', CAST(0.5 AS DOUBLE)),
+             |          ('src2', CAST(0.3 AS DOUBLE)),
+             |          ('src3', CAST(0.2 AS DOUBLE))) t(source, w)),
+             |rates AS (
+             |  SELECT tot.source,
+             |         CAST(2000 AS DOUBLE) * w / CAST(total AS DOUBLE) AS raw,
+             |         CAST(floor(CAST(2000 AS DOUBLE) * w / CAST(total AS DOUBLE)
+             |                    * 16777216) AS BIGINT) AS bucket
+             |  FROM tot JOIN tgt ON tot.source = tgt.source)
+             |SELECT d.doc_id, d.source
+             |FROM toks d JOIN rates r ON d.source = r.source
+             |WHERE r.raw >= 1.0
+             |   OR (r.bucket > 0 AND
+             |       md5(CAST(d.doc_id AS VARCHAR)) < lower(lpad(to_hex(r.bucket), 6, '0')))""".stripMargin),
+      "X3 token-budget data mixture: per-source keep-rates from one stats pass " +
+        "(budget*weight/total, floor-quantized to the md5 sampling grid), then a " +
+        "deterministic map-only stratified sample — the corpus is never shuffled"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -152,6 +152,56 @@ object TextAnalysis {
     }
   }
 
+  /** Per-source keep-rates for a TOKEN-BUDGET mixture: given observed
+    * per-source token totals, target mixture weights, and a total budget,
+    * the rate that makes source `s` contribute ≈ `budget * weight(s)`
+    * tokens: `budget * weight / total`. Rates above 1 mean the source is
+    * smaller than its allocation — the whole source is kept (no
+    * up-sampling here; see `upsampleStrata` for repetition). Rates that
+    * quantize below the 6-hex-digit sampling resolution drop to 0 (the
+    * source's allocation rounds to nothing). Sources absent from
+    * `targets` get no rate — mixture specs are allowlists, matching
+    * [[stratifiedSample]]. Pure function of the aggregated totals, so it
+    * is unit-testable without a corpus; the rate arithmetic
+    * (`budget * weight / total`, then floor-quantize) is mirrored
+    * verbatim by the SQL oracle.
+    */
+  def mixtureRates(totals: Map[String, Long], targets: Map[String, Double],
+      budgetTokens: Long): Map[String, Double] = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(targets.values.forall(w => w > 0.0),
+      s"target weights must be positive, got $targets")
+    targets.flatMap { case (s, w) =>
+      totals.get(s).filter(_ > 0L).map { total =>
+        val raw = budgetTokens.toDouble * w / total.toDouble
+        val rate =
+          if (raw >= 1.0) 1.0
+          else if (math.floor(raw * 0x1000000).toLong <= 0L) 0.0
+          else raw
+        s -> rate
+      }
+    }
+  }
+
+  /** The pretraining DATA-MIXTURE step: down-sample each source so the
+    * kept corpus approximates `budgetTokens` tokens distributed by
+    * `targets` (e.g. 50% web / 30% books / 20% code). One small aggregate
+    * pass computes per-source token totals (K rows collected to the
+    * driver — K = number of sources, inherently tiny); the keep-decision
+    * is then a single map-only [[stratifiedSample]] expression over the
+    * corpus, deterministic across runs/engines (md5-routed, no RNG).
+    * At 100 TB this is one cheap stats job plus one map-only filter pass
+    * — the corpus itself is never shuffled.
+    */
+  def mixToTokenBudget(id: Column, source: Column, tokens: Column,
+      targets: Map[String, Double], budgetTokens: Long)(df: DataFrame): DataFrame = {
+    val totals = df.groupBy(source.as("__s")).agg(sum(tokens.cast("long")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = mixtureRates(totals, targets, budgetTokens)
+    if (rates.isEmpty) df.filter(lit(false))
+    else df.filter(stratifiedSample(id, source, rates))
+  }
+
   /** Hex thresholds over the first 6 md5 digits for cumulative split
     * fractions — shared between [[assignSplit]] and its SQL oracle so both
     * engines route on identical literals.

@@ -271,4 +271,43 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(0L, 2L, r4(pa)),
       Seq(1L, 2L, r4((pa + pb) / 2.0))))
   }
+
+  test("mixtureRates: budget*weight/total, keep-all when undersized, drop below resolution") {
+    val totals = Map("web" -> 1000L, "books" -> 100L, "huge" -> 4000000000L)
+    val rates = TextAnalysis.mixtureRates(totals,
+      Map("web" -> 0.5, "books" -> 0.3, "huge" -> 0.2, "absent" -> 0.1), 1000L)
+    assert(rates("web") === 1000.0 * 0.5 / 1000.0)     // partial sample
+    assert(rates("books") === 1.0)                     // 300-token ask > 100 available
+    assert(rates("huge") === 0.0)                      // 5e-8 < 6-hex-digit resolution
+    assert(!rates.contains("absent"))                  // allowlist semantics
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mixtureRates(totals, Map("web" -> 0.5), 0L)
+    }
+  }
+
+  test("mixToTokenBudget hits each source's token allocation within sampling noise") {
+    val df = Seq.tabulate(600) { i =>
+      val src = s"src${i % 3}"
+      (i.toLong, src, "t " * 49 + "t") // 50 tokens per doc
+    }.toDF("id", "src", "text")
+    // per source: 200 docs x 50 = 10_000 tokens; budget 6_000 at 50/30/20
+    val kept = TextAnalysis.mixToTokenBudget(col("id"), col("src"),
+      size(split(col("text"), " ")),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 6000L)(df)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected kept docs: src0 60, src1 36, src2 24 — md5 routing is a
+    // fixed pseudo-random draw, so allow generous binomial slack
+    assert(math.abs(kept("src0") - 60L) <= 25, kept.toString)
+    assert(math.abs(kept("src1") - 36L) <= 20, kept.toString)
+    assert(math.abs(kept("src2") - 24L) <= 18, kept.toString)
+    // deterministic: the same call keeps the identical doc set
+    val again = TextAnalysis.mixToTokenBudget(col("id"), col("src"),
+      size(split(col("text"), " ")),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 6000L)(df)
+    assert(rowsOf(again.select("id")) === rowsOf(
+      TextAnalysis.mixToTokenBudget(col("id"), col("src"),
+        size(split(col("text"), " ")),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 6000L)(df).select("id")))
+  }
 }

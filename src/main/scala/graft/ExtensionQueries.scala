@@ -739,7 +739,7 @@ object ExtensionQueries {
               |q AS (SELECT quantile_cont(quality, 0.25) AS q1,
               |             quantile_cont(quality, 0.5) AS q2,
               |             quantile_cont(quality, 0.75) AS q3 FROM sc)
-              |SELECT doc_id, round(quality, 4) AS quality,
+              |SELECT doc_id, quality,
               |       CAST(CASE WHEN quality < q1 THEN 0
               |                 WHEN quality < q2 THEN 1
               |                 WHEN quality < q3 THEN 2
@@ -808,6 +808,28 @@ object ExtensionQueries {
              |FROM o WHERE next IS NOT NULL GROUP BY 1, 2""".stripMargin),
       "X5 user-journey transition matrix: per-key ordered lookahead " +
         "(key-partitioned window, parallel across users), |states|^2 hash-agg"),
+
+    Q("x20_resample_ffill",
+      (s, dir) => graft.ops.Timeseries.resampleFfill(
+          col("user_id"), col("ts_us"), col("value"), 21600000000L)(
+          Tables.events(s, dir))
+        .select(col("k").as("user_id"), col("grid_us"), col("v").as("value")),
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+             |g AS (SELECT user_id,
+             |        unnest(generate_series(mn - mn % 21600000000, mx, 21600000000)) AS grid_us
+             |      FROM (SELECT user_id, min(us) AS mn, max(us) AS mx FROM b GROUP BY 1)),
+             |o AS (SELECT user_id, us - us % 21600000000 AS bucket, value
+             |      FROM b
+             |      QUALIFY row_number() OVER (PARTITION BY user_id, us - us % 21600000000
+             |                                 ORDER BY us DESC, value DESC) = 1)
+             |SELECT g.user_id, g.grid_us,
+             |       last_value(o.value IGNORE NULLS) OVER (
+             |         PARTITION BY g.user_id ORDER BY g.grid_us
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+             |FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.grid_us = o.bucket""".stripMargin),
+      "X5 time-series resample + forward fill: per-key 6h grid from one agg, " +
+        "explode(sequence) bounded by range/step, last-per-bucket as an aggregate " +
+        "(not a window over raw events), one key-partitioned fill window"),
 
     Q("x19_token_mixture",
       (s, dir) => TextAnalysis.mixToTokenBudget(

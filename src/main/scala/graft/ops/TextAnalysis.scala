@@ -269,8 +269,14 @@ object TextAnalysis {
       if (approx) percentile_approx(col("quality"), lit(p), lit(10000))
       else percentile(col("quality"), lit(p))
     val qs = scored.agg(pct(0.25).as("q1"), pct(0.5).as("q2"), pct(0.75).as("q3"))
+    // quality is ROW-LOCAL mirrored arithmetic — emitted raw. Rounding a
+    // bit-identical double can only LOSE equality: Spark rounds the exact
+    // binary value (BigDecimal HALF_UP) while other engines scale-then-
+    // round the double, and the two disagree on ties (observed at sf0.001:
+    // 0.53375 → 0.5338 vs 0.5337). Round only aggregate outputs, where
+    // addition order genuinely varies.
     scored.crossJoin(broadcast(qs))
-      .select(col("doc_id"), round(col("quality"), 4).as("quality"),
+      .select(col("doc_id"), col("quality"),
         when(col("quality") < col("q1"), lit(0))
           .when(col("quality") < col("q2"), lit(1))
           .when(col("quality") < col("q3"), lit(2))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{concat, lit, when}
 
 /** Explain-plan assertions (SURVEY §4.2) — the `topology.describe()` analog
   * (KSA:201): verify each relied-upon Catalyst rewrite actually fires,
@@ -64,6 +65,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"q21 missing anti join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
+    // at cluster scale the default 256 MB threshold arms this on real
+    // skew; the test shrinks the thresholds so the hot key is observable.
+    // saltedJoin (o10) is the explicit alternative when AQE is off.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of the left rows share key 0 → one hot shuffle partition
+      val left = spark.range(0, 40000)
+        .select(when($"id" % 20 =!= 0, 0L).otherwise($"id").as("k"),
+          concat(lit("p" * 64), $"id").as("payload"))
+      val right = spark.range(0, 200).select($"id".as("k"), lit(1).as("w"))
+      val j = left.join(right, "k")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("o1 top-k plans TakeOrderedAndProject, not a global sort") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Explain-plan assertions for the adapted TPC-H shapes in [[TpchQueries]]
   * — each checks the planner feature the query exists to exercise, at the
@@ -63,6 +64,28 @@ class TpchPlanSpec extends SparkSpec {
   test("q20: the IN-over-HAVING subquery plans as a semi join against the aggregate") {
     val p = plan("q20_excess_suppliers")
     assert(p.contains("LeftSemi"), s"q20 did not plan a semi join:\n$p")
+  }
+
+  test("runtime bloom filter from a selective dim reaches the fact side of a shuffle join") {
+    // at real scale the application-side threshold (10 GB default) arms
+    // this automatically; the test lowers it to observe the injected filter
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("q22: NOT EXISTS plans as an anti join; the scalar AVG threshold is a subquery, " +

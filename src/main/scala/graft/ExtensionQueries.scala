@@ -185,11 +185,11 @@ object ExtensionQueries {
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Similarity.bruteForceTopK(corpus, queries, 3)
-          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+          .select(col("qid"), col("rank"), col("id"), col("sim"))
       },
       Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
              |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5)
-             |SELECT qid, rank, id, round(sim, 4) AS sim FROM (
+             |SELECT qid, rank, id, sim FROM (
              |  SELECT qid, id, list_cosine_similarity(qvec, vec) AS sim,
              |         row_number() OVER (PARTITION BY qid
              |                            ORDER BY list_cosine_similarity(qvec, vec) DESC, id) AS rank
@@ -206,7 +206,7 @@ object ExtensionQueries {
         val centroids = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         Similarity.ivfTopK(corpus, queries, centroids, 3)
-          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+          .select(col("qid"), col("rank"), col("id"), col("sim"))
       },
       Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
              |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
@@ -216,7 +216,7 @@ object ExtensionQueries {
              |                            ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
              |  FROM v CROSS JOIN c) WHERE rn = 1),
              |q AS (SELECT id AS qid, vec AS qvec, bucket AS qbucket FROM va WHERE id < 5)
-             |SELECT qid, rank, id, round(sim, 4) AS sim FROM (
+             |SELECT qid, rank, id, sim FROM (
              |  SELECT q.qid, va.id, list_cosine_similarity(q.qvec, va.vec) AS sim,
              |         row_number() OVER (PARTITION BY q.qid
              |                            ORDER BY list_cosine_similarity(q.qvec, va.vec) DESC, va.id) AS rank
@@ -233,7 +233,7 @@ object ExtensionQueries {
         val centroids = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         Similarity.ivfProbeTopK(corpus, queries, centroids, 3, nprobe = 2)
-          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+          .select(col("qid"), col("rank"), col("id"), col("sim"))
       },
       Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
              |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
@@ -247,7 +247,7 @@ object ExtensionQueries {
              |         row_number() OVER (PARTITION BY v.id
              |                            ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
              |  FROM v CROSS JOIN c WHERE v.id < 5) WHERE rn <= 2)
-             |SELECT qid, rank, id, round(sim, 4) AS sim FROM (
+             |SELECT qid, rank, id, sim FROM (
              |  SELECT qp.qid, va.id, list_cosine_similarity(qp.qvec, va.vec) AS sim,
              |         row_number() OVER (PARTITION BY qp.qid
              |                            ORDER BY list_cosine_similarity(qp.qvec, va.vec) DESC, va.id) AS rank
@@ -598,8 +598,8 @@ object ExtensionQueries {
              |dfreq AS (SELECT s, count(*) >= 2 AS in_others FROM sh GROUP BY s)
              |SELECT doc_id, count(*) AS n_shingles,
              |       CAST(sum(CASE WHEN in_others THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-             |       round(CAST(sum(CASE WHEN in_others THEN 1 ELSE 0 END) AS DOUBLE)
-             |             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+             |       CAST(sum(CASE WHEN in_others THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE) AS dup_frac
              |FROM sh JOIN dfreq USING (s) GROUP BY doc_id""".stripMargin),
       "X1/X2 corpus-duplication profile: per-doc fraction of 5-gram shingles " +
         "shared with other docs (one shuffle on s, aggregate-then-join, no pair blowup)"),
@@ -633,9 +633,11 @@ object ExtensionQueries {
           Seq("spark", "vector", "hash"))(docs(s, dir))
         val e = Tables.embeddings(s, dir)
         val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        // raw cosine: bit-identical to list_cosine_similarity (probed at
+        // sf0.1 — 9995/9995 exact), so ranks need no rounding mask here
         val sem = e.crossJoin(broadcast(qv))
           .select(col("vec_id").as("doc_id"),
-            round(Similarity.cosine(col("embedding"), col("qvec")), 4).as("score"))
+            Similarity.cosine(col("embedding"), col("qvec")).as("score"))
         Search.rrfFuseTopK(lex, sem, candidates = 50, k = 10)
       },
       Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -655,8 +657,8 @@ object ExtensionQueries {
              |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
              |         FROM sc QUALIFY lex_rank <= 50),
              |sem AS (SELECT vec_id AS doc_id,
-             |          round(list_cosine_similarity(embedding::DOUBLE[],
-             |            (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS score
+             |          list_cosine_similarity(embedding::DOUBLE[],
+             |            (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS score
              |        FROM embeddings),
              |semr AS (SELECT doc_id,
              |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS sem_rank

@@ -41,18 +41,20 @@ object SupersetQueries {
           ntile(4).over(Window.partitionBy(col("l_returnflag"))
             .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))
             .as("quartile"),
-          round(cume_dist().over(Window.partitionBy(col("l_returnflag"))
-            .orderBy(col("l_quantity"))), 6).as("cd"),
-          round(percent_rank().over(Window.partitionBy(col("l_returnflag"))
-            .orderBy(col("l_quantity"))), 6).as("pr")),
+          cume_dist().over(Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("l_quantity"))).as("cd"),
+          percent_rank().over(Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("l_quantity"))).as("pr")),
       // cume_dist/percent_rank order on l_quantity only: rank functions
       // over ties are order-insensitive, so no tiebreak needed there;
-      // ntile IS position-sensitive, so its ordering must be total
+      // ntile IS position-sensitive, so its ordering must be total.
+      // Both are exact integer ratios (rank/n), bit-identical in any IEEE
+      // engine — emitted raw; rounding only risks tie disagreements
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
              |  CAST(ntile(4) OVER (PARTITION BY l_returnflag
              |       ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS quartile,
-             |  round(cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS cd,
-             |  round(percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS pr
+             |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd,
+             |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr
              |FROM lineitem""".stripMargin),
       "distribution window functions (ntile/cume_dist/percent_rank) — " +
         "per-partition sort class, same as o2; partition count bounds the task"),

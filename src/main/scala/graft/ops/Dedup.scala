@@ -126,9 +126,10 @@ object Dedup {
     * boilerplate/template copies that pairwise dedup (which needs a
     * matching partner above a global threshold) can miss.
     *
-    * Emits (doc_id, n_shingles, n_dup, dup_frac) with dup_frac rounded
-    * to 4 decimals (one exact integer division — rounding only for
-    * hash-stability of the double).
+    * Emits (doc_id, n_shingles, n_dup, dup_frac); dup_frac is ONE exact
+    * integer division, bit-identical in any IEEE engine, so it is emitted
+    * raw — rounding a bit-identical double can only lose equality on
+    * rounding-algorithm tie disagreements (see qualityTiers).
     *
     * Scale: two hash-aggregates and one equi-join, all on the shingle
     * axis. `repartition(s)` once — the per-doc distinct, the
@@ -151,7 +152,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("in_others"), lit(1L)).otherwise(lit(0L))).as("n_dup"))
       .select(col("id").as("doc_id"), col("n_shingles"), col("n_dup"),
-        round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 4)
+        (col("n_dup").cast("double") / col("n_shingles").cast("double"))
           .as("dup_frac"))
   }
 

@@ -232,11 +232,32 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage (the standard Spark
     * idiom for driver-looped iterative algorithms — the loop is over
     * ACTIONS, never over collected data).
+    *
+    * SIZE-ADAPTIVE small path: after the edge materialization, if the pair
+    * set fits comfortably on the driver (`driverMaxEdges`, counted on the
+    * already-checkpointed edges — a cheap action) and the id type has a
+    * natural ordering matching Catalyst's (`long`/`int`/`string`), the
+    * components are solved with exact union-find locally and shipped back
+    * as one small mapping frame — milliseconds instead of O(log diameter)
+    * distributed rounds. This is the same play AQE makes when it downgrades
+    * a shuffle join to broadcast: near-dup GRAPHS are tiny relative to the
+    * corpus even at 100 TB (edges ∝ duplicates, not documents), so the
+    * driver path is the common case; the distributed loop remains for
+    * adversarially dense graphs.
     */
-  def canonicalize(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def canonicalize(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
+    val idType = edges.schema("x").dataType
+    val orderable = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (orderable && edges.count() <= driverMaxEdges)
+      return canonicalizeDriver(ids, edges)
     // Iterate ONLY over edge-incident nodes: in a web-scale corpus almost
     // every doc is a singleton, and looping the full id set through every
     // round would re-shuffle the whole corpus per iteration for nothing.
@@ -270,6 +291,46 @@ object Dedup {
     }
     ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("canonical"))
+  }
+
+  /** Driver-side exact union-find for [[canonicalize]]'s small path: the
+    * component root is kept at the MINIMUM member (union by order, path
+    * compression), matching the distributed min-label semantics exactly.
+    * The mapping ships back as one broadcast frame; singletons fall out of
+    * the left join as themselves, same as the distributed path.
+    */
+  private def canonicalizeDriver(ids: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = ids.sparkSession
+    val idType = edges.schema("x").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(v: Any): Any = {
+      var r = v
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = v
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case _ => throw new IllegalStateException(s"unorderable id type $idType")
+    }
+    val rows = edges.collect()
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+    val mapping = nodes.toSeq.map(k => Row(k, find(k)))
+    val schema = StructType(Seq(
+      StructField("id", idType), StructField("__canon", idType)))
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(mapping, 1), schema)
+    ids.join(broadcast(mapDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__canon"), col("id")).as("canonical"))
   }
 
   /** X2 SimHash: 64-bit locality-sensitive fingerprint per document.

@@ -94,13 +94,28 @@ class DedupSpec extends SparkSpec {
 
   test("canonicalize converges on a long chain well inside the iteration cap") {
     // 41-node path: plain 1-hop propagation would need 40 rounds and stop
-    // un-converged at maxIter=20; pointer doubling needs ~log2(40)
+    // un-converged at maxIter=20; pointer doubling needs ~log2(40).
+    // driverMaxEdges = 0 forces the DISTRIBUTED path — the driver
+    // union-find would solve this without iterating at all
     val n = 40L
     val ids = (0L to n).toDF("id")
     val pairs = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Dedup.canonicalize(ids, pairs, maxIter = 12)
+    val out = Dedup.canonicalize(ids, pairs, maxIter = 12, driverMaxEdges = 0L)
     assert(out.filter(col("canonical") =!= 0L).count() === 0)
     assert(out.count() === n + 1)
+  }
+
+  test("canonicalize driver and distributed paths agree on a multi-component graph") {
+    val ids = (0L to 30L).toDF("id")
+    // two chains, one star, singletons; unioned out of order
+    val pairs = ((0L until 10L).map(i => (i, i + 1)) ++
+      Seq((20L, 25L), (21L, 25L), (22L, 25L), (23L, 25L)) ++
+      Seq((15L, 12L), (12L, 18L))).toDF("a", "b")
+    val viaDriver = Dedup.canonicalize(ids, pairs)
+    val viaLoop = Dedup.canonicalize(ids, pairs, driverMaxEdges = 0L)
+    assert(rowsOf(viaDriver) === rowsOf(viaLoop))
+    // star canonical is the min MEMBER (20), not the hub (25)
+    assert(rowsOf(viaDriver.filter(col("id") === 25L)) === Set(Seq(25L, 20L)))
   }
 
   test("X2 simhashByDoc equals the scalar HOF simhash") {

@@ -136,6 +136,26 @@ object ExtensionQueries {
               |GROUP BY d.doc_id""".stripMargin),
       "X1/X2 duplicate-cluster canonicalization: connected components by min-label propagation"),
 
+    Q("x21_incremental_dedup",
+      (s, dir) => {
+        // doc_id >= 400 plays the incoming ingest batch; the rest is the
+        // accumulated corpus, represented at the join only by its distinct
+        // content fingerprints (the side table a streaming ingest keeps)
+        val d = docs(s, dir)
+        Dedup.exactIncremental(Seq(md5(col("text"))), col("doc_id"),
+            d.filter(col("doc_id") < 400))(d.filter(col("doc_id") >= 400))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source, md5(text) AS fp
+             |  FROM documents WHERE doc_id >= 400) i
+             |WHERE fp NOT IN (SELECT DISTINCT md5(text)
+             |                 FROM documents WHERE doc_id < 400)
+             |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin),
+      "X1 incremental exact dedup: anti join of the ingest batch against the " +
+        "corpus's distinct-fingerprint side table, then in-batch dedup — " +
+        "history is never re-scanned"),
+
     Q("x8_decontaminate",
       (s, dir) => {
         val d = docs(s, dir)

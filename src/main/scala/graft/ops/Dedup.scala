@@ -37,6 +37,26 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** INCREMENTAL exact dedup — the ingest-time variant of [[exact]]: drop
+    * from `incoming` every row whose dedup key already exists in the
+    * accumulated corpus, then dedup the batch against itself (deterministic
+    * survivor, as [[exact]]). The corpus side needs only its DISTINCT keys
+    * (in production: the fingerprint side table a streaming ingest
+    * maintains), aggregated before the join so the anti join carries one
+    * row per known key — never the corpus itself. This is how per-batch
+    * dedup composes with history without re-scanning accumulated data:
+    * corpus keys are a stable, compact, bucketable table.
+    */
+  def exactIncremental(keys: Seq[Column], tiebreak: Column, corpus: DataFrame)(
+      incoming: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "exact dedup requires at least one key column")
+    val names = keys.zipWithIndex.map { case (_, i) => s"__k$i" }
+    val known = corpus.select(keys.zip(names).map { case (k, n) => k.as(n) }: _*)
+      .distinct()
+    val cond = names.zip(keys).map { case (n, k) => k === col(n) }.reduce(_ && _)
+    exact(keys, tiebreak)(incoming.join(known, cond, "left_anti"))
+  }
+
   /** All candidate pairs (a < b) with shingle-set Jaccard >= `threshold`.
     *
     * Plan shape: exploded distinct shingles ([[Texts.explodedShingles]], one

@@ -105,6 +105,17 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === n + 1)
   }
 
+  test("exactIncremental drops corpus-known keys, then dedups within the batch") {
+    val corpus = Seq((1L, "aa"), (2L, "bb")).toDF("id", "t")
+    val batch = Seq((10L, "aa"), (11L, "cc"), (12L, "cc"), (13L, "dd"))
+      .toDF("id", "t")
+    val out = Dedup.exactIncremental(Seq(col("t")), col("id"), corpus)(batch)
+    // "aa" known from the corpus → dropped; "cc" duplicated in-batch →
+    // min-id survivor; "dd" fresh → kept
+    assert(rowsOf(out.select(col("id"), col("t"))) ===
+      Set(Seq(11L, "cc"), Seq(13L, "dd")))
+  }
+
   test("canonicalize driver and distributed paths agree on a multi-component graph") {
     val ids = (0L to 30L).toDF("id")
     // two chains, one star, singletons; unioned out of order

@@ -356,6 +356,118 @@ object Stateful {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One emitted grid cell of [[resampleTicks]]: at `gridMs` (cell start,
+    * epoch ms), `user`'s forward-filled value was `v`.
+    */
+  final case class GridTick(user: String, gridMs: Long, v: Double)
+
+  /** A buffered observation awaiting its cell's emission. */
+  final case class Obs(ms: Long, v: Double)
+
+  /** Cursor for one key's grid: the next cell to emit, the carried
+    * last-observation pair, and whether anything was emitted yet (while
+    * false, a late-but-in-watermark observation may still move the grid
+    * start backward).
+    */
+  final case class GridCursor(nextCell: Long, carryMs: Long, carryV: Double,
+      hasCarry: Boolean, emitted: Boolean)
+
+  /** The STREAMING twin of [[graft.ops.Timeseries.resampleFfill]]: emit one
+    * tick per `stepMs` grid cell per key, forward-filling from the latest
+    * observation, each cell exactly once — when the watermark passes its
+    * end, which is the moment the cell is provably complete (any later row
+    * that could land in it would be dropped as beyond-watermark). Emission
+    * happens ONLY in `handleExpiredTimer`; `handleInputRows` just buffers
+    * observations and (re-)arms the next cell's timer.
+    *
+    * Same-cell ties resolve to the lexicographically greatest `(ms, v)`,
+    * matching the batch operator exactly. Before anything is emitted, a
+    * late-but-in-watermark observation may move the grid start BACKWARD
+    * (the batch anchor is the key's true first bucket); once emission has
+    * begun the watermark itself guarantees no row below the cursor can
+    * arrive. Ticks continue for gap cells as long as the watermark
+    * advances — unbounded forward fill; real deployments bound dead keys
+    * with a TTL or an end-of-series marker.
+    */
+  final class ResampleProcessor(stepMs: Long)
+      extends StatefulProcessor[String, OrderEvent, GridTick] {
+    @transient private var cursor: ValueState[GridCursor] = _
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[Obs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cursor = getHandle.getValueState[GridCursor]("cursor",
+        Encoders.product[GridCursor], TTLConfig.NONE)
+      pending = getHandle.getListState[Obs]("pending",
+        Encoders.product[Obs], TTLConfig.NONE)
+    }
+
+    private def bucket(ms: Long): Long = ms - java.lang.Math.floorMod(ms, stepMs)
+
+    override def handleInputRows(user: String, rows: Iterator[OrderEvent],
+        timerValues: TimerValues): Iterator[GridTick] = {
+      var c = if (cursor.exists()) cursor.get()
+        else GridCursor(Long.MaxValue, 0L, 0.0, hasCarry = false, emitted = false)
+      rows.foreach { e =>
+        val ms = e.ts.getTime
+        pending.appendValue(Obs(ms, e.amount))
+        val b = bucket(ms)
+        // grid start: min observed bucket, movable only pre-emission
+        // (post-emission the watermark filter makes b < nextCell impossible)
+        if (b < c.nextCell && !c.emitted) c = c.copy(nextCell = b)
+      }
+      cursor.update(c)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(c.nextCell + stepMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[GridTick] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      var c = cursor.get()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Obs]
+      buf ++= pending.get()
+      val out = scala.collection.mutable.ArrayBuffer.empty[GridTick]
+      while (c.nextCell + stepMs <= wm) {
+        val cellEnd = c.nextCell + stepMs
+        val (ripe, rest) = buf.partition(_.ms < cellEnd)
+        buf.clear(); buf ++= rest
+        val carry0: Option[Obs] =
+          if (c.hasCarry) Some(Obs(c.carryMs, c.carryV)) else None
+        val best = ripe.foldLeft(carry0) {
+          case (Some(b), o) =>
+            if (o.ms > b.ms || (o.ms == b.ms && o.v > b.v)) Some(o) else Some(b)
+          case (None, o) => Some(o)
+        }
+        best.foreach { b =>
+          out += GridTick(user, c.nextCell, b.v)
+          c = c.copy(carryMs = b.ms, carryV = b.v, hasCarry = true, emitted = true)
+        }
+        c = c.copy(nextCell = cellEnd)
+      }
+      if (buf.isEmpty) pending.clear() else pending.put(buf.toArray)
+      cursor.update(c)
+      getHandle.registerTimer(c.nextCell + stepMs)
+      out.iterator
+    }
+  }
+
+  /** Stream of forward-filled grid ticks per user (cell start in epoch ms,
+    * one tick per cell, emitted exactly once when the watermark passes the
+    * cell's end). Batch fixpoint: [[graft.ops.Timeseries.resampleFfill]]
+    * over the same events, restricted to cells the watermark reached.
+    */
+  def resampleTicks(events: Dataset[OrderEvent], stepMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[GridTick] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .as[OrderEvent]
+      .groupByKey(_.user)
+      .transformWithState(new ResampleProcessor(stepMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Batch reference fold for [[runningTotals]] — same arithmetic, same
     * per-key sequential order; used by tests as the fixpoint oracle.
     */

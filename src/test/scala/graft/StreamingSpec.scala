@@ -587,6 +587,85 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(back) === Set(Seq("o1", "o1", 5.0), Seq("o2", "o2", 1.5)))
   }
 
+  test("timer-driven resample ticks match the batch forward-fill on watermark-complete cells") {
+    import graft.streaming.Stateful
+    import graft.ops.Timeseries
+    // step 10 s. alice: two obs in cell 0 (later ts wins) + one in cell 20;
+    // bob: one obs in cell 0. Flush batches advance the watermark so cells
+    // emit one by one; by the last batch the watermark has reached 100 s.
+    val evs = Seq(
+      OrderEvent("a1", "alice", Seq("a"), 1.0, ts("2024-01-01T00:00:00Z")),
+      OrderEvent("a2", "alice", Seq("b"), 2.0, ts("2024-01-01T00:00:02Z")),
+      OrderEvent("a3", "alice", Seq("c"), 3.0, ts("2024-01-01T00:00:25Z")),
+      OrderEvent("b1", "bob", Seq("d"), 9.0, ts("2024-01-01T00:00:05Z")))
+    val flush1 = OrderEvent("z1", "zz", Seq("x"), 0.0, ts("2024-01-01T00:01:40Z"))
+    val flush2 = OrderEvent("z2", "zz", Seq("x"), 0.0, ts("2024-01-01T00:03:20Z"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      runStream(Seq(evs, Seq(flush1), Seq(flush2)), "append") { df =>
+        Stateful.resampleTicks(df.as[OrderEvent], stepMs = 10000L).toDF()
+      }.filter(col("user").isin("alice", "bob"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    // batch fixpoint on the cells both operators define (up to each key's
+    // last observed bucket); the batch grid stops there, streaming keeps
+    // forward-filling as the watermark advances
+    val batch = Timeseries.resampleFfill(col("user"),
+        col("ts").cast("long") * 1000, col("amount"), 10000L)(
+        evs.toDF())
+      .select(col("k").as("user"), col("grid_us").as("gridMs"), col("v"))
+    assert(rowsOf(out.filter((col("user") === "alice" && col("gridMs") <= base + 20000) ||
+      (col("user") === "bob" && col("gridMs") === base))) === rowsOf(batch))
+    // trailing gap cells: the final watermark is 200 s (processAllAvailable
+    // runs follow-up micro-batches when the watermark advances, so the last
+    // flush's timestamp applies) → cells through start 190 s, all carrying
+    // each key's last value
+    val aliceTrail = out.filter(col("user") === "alice" && col("gridMs") > base + 20000)
+    assert(aliceTrail.count() === 17) // cells 30..190 s
+    assert(aliceTrail.filter(col("v") =!= 3.0).count() === 0)
+    // exactly-once per cell
+    assert(out.groupBy("user", "gridMs").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("a late-but-in-watermark observation moves the resample grid start backward") {
+    import graft.streaming.Stateful
+    // allowed lateness 2 min: the first batch sees alice at 30 s, the
+    // second delivers a LATE observation at 5 s — before anything was
+    // emitted, so the grid must anchor at bucket 0, not 30
+    val b1 = Seq(OrderEvent("a1", "alice", Seq("a"), 5.0, ts("2024-01-01T00:00:30Z")))
+    val late = Seq(OrderEvent("a2", "alice", Seq("b"), 1.0, ts("2024-01-01T00:00:05Z")))
+    val f1 = Seq(OrderEvent("z1", "zz", Seq("x"), 0.0, ts("2024-01-01T00:05:00Z")))
+    val f2 = Seq(OrderEvent("z2", "zz", Seq("x"), 0.0, ts("2024-01-01T00:10:00Z")))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      runStream(Seq(b1, late, f1, f2), "append") { df =>
+        Stateful.resampleTicks(df.as[OrderEvent], stepMs = 10000L,
+          watermarkDelay = "2 minutes").toDF()
+      }.filter(col("user") === "alice")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    // final wm = 600 - 120 = 480 s → cells 0..470 s
+    assert(out.count() === 48)
+    assert(rowsOf(out.filter(col("gridMs") < base + 30000).select(col("v"))) === Set(Seq(1.0)))
+    assert(out.filter(col("gridMs") >= base + 30000 && col("v") =!= 5.0).count() === 0)
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider (scale config)") {
     // At 100 TB key spaces, in-memory (HDFSBackedStateStore) state OOMs;
     // RocksDB spills to local disk. Verify the bundled provider actually

@@ -836,14 +836,21 @@ object ExtensionQueries {
           col("user_id"), col("ts_us"), col("value"), 21600000000L)(
           Tables.events(s, dir))
         .select(col("k").as("user_id"), col("grid_us"), col("v").as("value")),
+      // floor-aligned modulo (((x % s) + s) % s) matches the engine's pmod
+      // for negative (pre-1970) epochs too; DuckDB's bare % follows the
+      // dividend's sign and would misalign those buckets
       Some("""WITH b AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
              |g AS (SELECT user_id,
-             |        unnest(generate_series(mn - mn % 21600000000, mx, 21600000000)) AS grid_us
+             |        unnest(generate_series(mn - ((mn % 21600000000) + 21600000000) % 21600000000,
+             |                               mx, 21600000000)) AS grid_us
              |      FROM (SELECT user_id, min(us) AS mn, max(us) AS mx FROM b GROUP BY 1)),
-             |o AS (SELECT user_id, us - us % 21600000000 AS bucket, value
+             |o AS (SELECT user_id,
+             |        us - ((us % 21600000000) + 21600000000) % 21600000000 AS bucket, value
              |      FROM b
-             |      QUALIFY row_number() OVER (PARTITION BY user_id, us - us % 21600000000
-             |                                 ORDER BY us DESC, value DESC) = 1)
+             |      QUALIFY row_number() OVER (
+             |        PARTITION BY user_id,
+             |                     us - ((us % 21600000000) + 21600000000) % 21600000000
+             |        ORDER BY us DESC, value DESC) = 1)
              |SELECT g.user_id, g.grid_us,
              |       last_value(o.value IGNORE NULLS) OVER (
              |         PARTITION BY g.user_id ORDER BY g.grid_us

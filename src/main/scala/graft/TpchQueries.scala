@@ -397,7 +397,8 @@ object TpchQueries {
         Tables.customer(s, dir).createOrReplaceTempView("customer_v")
         Tables.orders(s, dir).createOrReplaceTempView("orders_v")
         s.sql("""SELECT c_mktsegment, count(*) AS numcust,
-                |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+                |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0
+                |         AS totacctbal
                 |FROM customer_v
                 |WHERE CAST(round(c_acctbal*100) AS BIGINT) >
                 |      (SELECT avg(CAST(round(c_acctbal*100) AS BIGINT))
@@ -408,7 +409,8 @@ object TpchQueries {
                 |GROUP BY c_mktsegment""".stripMargin)
       },
       Some("""SELECT c_mktsegment, count(*) AS numcust,
-             |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0
+             |         AS totacctbal
              |FROM customer
              |WHERE CAST(round(c_acctbal*100) AS BIGINT) >
              |      (SELECT avg(CAST(round(c_acctbal*100) AS BIGINT))

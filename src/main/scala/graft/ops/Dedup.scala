@@ -53,7 +53,10 @@ object Dedup {
     val names = keys.zipWithIndex.map { case (_, i) => s"__k$i" }
     val known = corpus.select(keys.zip(names).map { case (k, n) => k.as(n) }: _*)
       .distinct()
-    val cond = names.zip(keys).map { case (n, k) => k === col(n) }.reduce(_ && _)
+    // null-SAFE equality: exact()'s window groups NULL keys together, so
+    // the corpus screen must treat them the same way — a plain === would
+    // re-admit corpus-known null-keyed rows through the anti join
+    val cond = names.zip(keys).map { case (n, k) => k <=> col(n) }.reduce(_ && _)
     exact(keys, tiebreak)(incoming.join(known, cond, "left_anti"))
   }
 
@@ -276,8 +279,12 @@ object Dedup {
            org.apache.spark.sql.types.StringType => true
       case _ => false
     }
-    if (orderable && edges.count() <= driverMaxEdges)
-      return canonicalizeDriver(ids, edges)
+    // edges is the direction-DOUBLED set (needed by the distributed loop);
+    // union-find is direction-agnostic, so the driver path counts against
+    // 2x the pair threshold and collects only one orientation — half the
+    // transfer, each union exactly once
+    if (orderable && edges.count() <= 2L * driverMaxEdges)
+      return canonicalizeDriver(ids, edges.filter(col("x") < col("y")))
     // Iterate ONLY over edge-incident nodes: in a web-scale corpus almost
     // every doc is a singleton, and looping the full id set through every
     // round would re-shuffle the whole corpus per iteration for nothing.

@@ -43,17 +43,6 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** SMALL-FILE COMPACTION — the table-maintenance pass every streaming
-    * ingest needs: micro-batch sinks land a file per trigger per
-    * partition, and a 100 TB table quickly owns millions of kilobyte
-    * files whose open/footer costs dominate scans. Rewrites `path` to
-    * `ceil(bytes / targetBytes)` files via a round-robin repartition
-    * (no shuffle key — pure size rebalancing). The write lands in a
-    * sibling staging directory first; swap-in is the caller's
-    * (table-format-specific) atomic step, because a direct
-    * overwrite-in-place would read and clobber the same files.
-    * Returns the staging path.
-    */
   /** Morton (Z-order) interleave of pre-bucketed keys: bit `i` of bucket
     * column `j` lands at output bit `i * k + j` (k = number of columns).
     * Inputs must already be longs in `[0, 2^bits)` — see [[writeZOrdered]]
@@ -112,6 +101,17 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** SMALL-FILE COMPACTION — the table-maintenance pass every streaming
+    * ingest needs: micro-batch sinks land a file per trigger per
+    * partition, and a 100 TB table quickly owns millions of kilobyte
+    * files whose open/footer costs dominate scans. Rewrites `path` to
+    * `ceil(bytes / targetBytes)` files via a round-robin repartition
+    * (no shuffle key — pure size rebalancing). The write lands in a
+    * sibling staging directory first; swap-in is the caller's
+    * (table-format-specific) atomic step, because a direct
+    * overwrite-in-place would read and clobber the same files.
+    * Returns the staging path.
+    */
   def compact(spark: SparkSession, path: String, targetBytes: Long): String = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
     val src = new org.apache.hadoop.fs.Path(path)

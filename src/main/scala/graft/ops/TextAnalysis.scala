@@ -195,8 +195,11 @@ object TextAnalysis {
     */
   def mixToTokenBudget(id: Column, source: Column, tokens: Column,
       targets: Map[String, Double], budgetTokens: Long)(df: DataFrame): DataFrame = {
+    // a source whose every token count is NULL sums to NULL — treat as an
+    // empty source (mixtureRates drops zero-total sources), not an NPE
     val totals = df.groupBy(source.as("__s")).agg(sum(tokens.cast("long")).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val rates = mixtureRates(totals, targets, budgetTokens)
     if (rates.isEmpty) df.filter(lit(false))
     else df.filter(stratifiedSample(id, source, rates))

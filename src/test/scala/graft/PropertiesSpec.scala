@@ -110,6 +110,64 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey matches the reference interleave on random widths and values") {
+    def refInterleave(bits: Int, vals: Seq[Long]): Long =
+      (for { i <- 0 until bits; j <- vals.indices }
+        yield ((vals(j) >> i) & 1L) << (i * vals.size + j)).sum
+    val caseGen = for {
+      bits <- Gen.choose(1, 8)
+      k <- Gen.choose(2, 3)
+      vals <- Gen.listOfN(4, Gen.listOfN(k, Gen.choose(0L, (1L << bits) - 1)))
+    } yield (bits, vals)
+    forAllSamples(caseGen) { case (bits, vals) =>
+      val cols = vals.head.indices.map(j => col(s"c$j"))
+      val df = if (vals.head.size == 2) vals.map(v => (v(0), v(1))).toDF("c0", "c1")
+        else vals.map(v => (v(0), v(1), v(2))).toDF("c0", "c1", "c2")
+      val want = vals.sortBy(v => v.mkString(","))
+      // sort rows identically on both sides before comparing
+      val gotSorted = df.withColumn("z", graft.ops.Layout.zorderKey(bits)(cols: _*))
+        .collect().map(r => (cols.indices.map(r.getLong).toList, r.getLong(cols.size)))
+        .sortBy(_._1.mkString(",")).map(_._2).toSeq
+      val wantZ = want.map(v => refInterleave(bits, v))
+      assert(gotSorted === wantZ)
+    }
+  }
+
+  test("mixtureRates are in [0,1], 1 exactly when the ask covers the source") {
+    val g = for {
+      total <- Gen.choose(1L, 100000L)
+      w <- Gen.choose(1, 99).map(_ / 100.0)
+      budget <- Gen.choose(1L, 200000L)
+    } yield (total, w, budget)
+    forAllSamples(g, n = 12) { case (total, w, budget) =>
+      val rates = graft.ops.TextAnalysis.mixtureRates(
+        Map("s" -> total), Map("s" -> w), budget)
+      val r = rates("s")
+      assert(r >= 0.0 && r <= 1.0, s"rate $r out of range")
+      if (budget * w >= total) assert(r === 1.0)
+      else assert(r < 1.0)
+    }
+  }
+
+  test("resampleFfill grids are contiguous, step-aligned, and carry only observed values") {
+    val obsGen = Gen.listOfN(10,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 200L), Gen.choose(0, 9).map(_.toDouble)))
+    forAllSamples(obsGen) { obs =>
+      val df = obs.toDF("k", "us", "v")
+      val out = graft.ops.Timeseries.resampleFfill(col("k"), col("us"), col("v"), 25L)(df)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val byKey = out.groupBy(_._1)
+      obs.groupBy(_._1).foreach { case (k, rows) =>
+        val cells = byKey(k).map(_._2).sorted
+        val lo = rows.map(_._2).min / 25L * 25L
+        val hi = rows.map(_._2).max / 25L * 25L
+        assert(cells === (lo to hi by 25L).toSeq, s"key $k grid not contiguous")
+        val observed = rows.map(_._3).toSet
+        assert(byKey(k).map(_._3).forall(observed), s"key $k invented a value")
+      }
+    }
+  }
+
   test("bm25 extra occurrence of a query term never lowers that doc's score") {
     forAllSamples(docGen) { text =>
       val base = Seq((0L, text + " qterm"), (1L, "other words entirely"))

@@ -35,6 +35,13 @@ object Multimodal {
       val w = 1 + (bytes.length % 64)
       MediaFeatures(id, bytes.length, first, w, if (w == 0) 0 else bytes.length / w)
     }
+
+    /** Batch form — a real implementation would stack the payloads into
+      * one tensor and run the model once per batch; the stub decodes
+      * element-wise so both paths provably agree.
+      */
+    def decodeBatch(batch: Seq[Payload]): Seq[MediaFeatures] =
+      batch.map(p => decode(p.doc_id, p.payload))
   }
 
   /** Attach an opaque binary payload + metadata struct to each row —
@@ -80,6 +87,25 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init of a real decoder/model would go here
         it.map(p => StubDecoder.decode(p.doc_id, p.payload))
+      }
+  }
+
+  /** BATCHED feature extraction — the Arrow-batch shape of `mapInPandas`
+    * expressed on the JVM side: rows stream through the partition in
+    * fixed-size batches, and the decoder sees a whole batch at once (a
+    * real media model wants batched tensors, not row-at-a-time calls —
+    * batch size trades GPU utilization against executor memory). Every
+    * batch is full except possibly the last of each partition;
+    * `it.grouped` is lazy, so a partition never materializes more than
+    * one batch beyond the iterator's own buffering.
+    */
+  def extractFeaturesBatched(spark: SparkSession, payloads: DataFrame,
+      batchSize: Int): Dataset[MediaFeatures] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(StubDecoder.decodeBatch)
       }
   }
 }

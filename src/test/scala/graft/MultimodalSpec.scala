@@ -39,4 +39,23 @@ class MultimodalSpec extends SparkSpec {
     val empty = Multimodal.StubDecoder.decode(8L, Array.emptyByteArray)
     assert(empty.n_bytes === 0 && empty.feature0 === 0)
   }
+
+  test("batched extraction equals row-at-a-time, across batch sizes and partitions") {
+    import spark.implicits._
+    val df = Seq.tabulate(23)(i => (i.toLong, s"payload number $i with body"))
+      .toDF("doc_id", "text").repartition(3)
+    val payloads = Multimodal.attachPayload("doc_id", "text")(df)
+    val rowWise = rowsOf(Multimodal.extractFeatures(spark, payloads).toDF())
+    for (bs <- Seq(1, 4, 64)) {
+      val batched = Multimodal.extractFeaturesBatched(spark, payloads, bs)
+      assert(rowsOf(batched.toDF()) === rowWise, s"batchSize=$bs diverged")
+    }
+    // the batch boundary itself: grouped(4) over a 23-row set in 3
+    // partitions yields only full batches plus one ragged tail per
+    // partition — verify via a counting decode on a single partition
+    val one = payloads.coalesce(1).select(col("doc_id"), col("payload"))
+      .as[Multimodal.Payload]
+    val sizes = one.mapPartitions(_.grouped(4).map(_.size)).collect().toSeq
+    assert(sizes.init.forall(_ === 4) && sizes.last <= 4 && sizes.sum === 23)
+  }
 }

@@ -100,12 +100,14 @@ object Multimodal {
     * one batch beyond the iterator's own buffering.
     */
   def extractFeaturesBatched(spark: SparkSession, payloads: DataFrame,
-      batchSize: Int): Dataset[MediaFeatures] = {
+      batchSize: Int,
+      decodeBatch: Seq[Payload] => Seq[MediaFeatures] = StubDecoder.decodeBatch)
+      : Dataset[MediaFeatures] = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap(StubDecoder.decodeBatch)
+        it.grouped(batchSize).flatMap(decodeBatch)
       }
   }
 }

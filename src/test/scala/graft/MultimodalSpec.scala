@@ -41,7 +41,6 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("batched extraction equals row-at-a-time, across batch sizes and partitions") {
-    import spark.implicits._
     val df = Seq.tabulate(23)(i => (i.toLong, s"payload number $i with body"))
       .toDF("doc_id", "text").repartition(3)
     val payloads = Multimodal.attachPayload("doc_id", "text")(df)
@@ -50,12 +49,17 @@ class MultimodalSpec extends SparkSpec {
       val batched = Multimodal.extractFeaturesBatched(spark, payloads, bs)
       assert(rowsOf(batched.toDF()) === rowWise, s"batchSize=$bs diverged")
     }
-    // the batch boundary itself: grouped(4) over a 23-row set in 3
-    // partitions yields only full batches plus one ragged tail per
-    // partition — verify via a counting decode on a single partition
-    val one = payloads.coalesce(1).select(col("doc_id"), col("payload"))
-      .as[Multimodal.Payload]
-    val sizes = one.mapPartitions(_.grouped(4).map(_.size)).collect().toSeq
-    assert(sizes.init.forall(_ === 4) && sizes.last <= 4 && sizes.sum === 23)
+    // the batch boundary itself, observed THROUGH the production path: a
+    // counting decoder records, per row, the size of the batch it arrived
+    // in — only full batches of 4 plus at most one ragged tail per
+    // partition may reach the decoder
+    val counting: Seq[Multimodal.Payload] => Seq[Multimodal.MediaFeatures] =
+      batch => batch.map(p => Multimodal.MediaFeatures(p.doc_id, batch.size, 0, 0, 0))
+    val seen = Multimodal.extractFeaturesBatched(spark, payloads, 4, counting)
+      .collect().map(_.n_bytes).toSeq
+    assert(seen.size === 23)
+    assert(seen.forall(s => s >= 1 && s <= 4), seen.toString)
+    // 3 partitions → at most 3 ragged tails; everything else full
+    assert(seen.count(_ != 4) <= 3 * 3, seen.toString) // ≤3 tails × ≤3 rows each
   }
 }

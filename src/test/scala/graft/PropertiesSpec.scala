@@ -144,7 +144,9 @@ class PropertiesSpec extends SparkSpec {
         Map("s" -> total), Map("s" -> w), budget)
       val r = rates("s")
       assert(r >= 0.0 && r <= 1.0, s"rate $r out of range")
-      if (budget * w >= total) assert(r === 1.0)
+      // same float expression as the implementation — a rearranged form
+      // (budget*w >= total) could disagree with it at the exact boundary
+      if (budget.toDouble * w / total.toDouble >= 1.0) assert(r === 1.0)
       else assert(r < 1.0)
     }
   }

@@ -860,6 +860,24 @@ object ExtensionQueries {
         "explode(sequence) bounded by range/step, last-per-bucket as an aggregate " +
         "(not a window over raw events), one key-partitioned fill window"),
 
+    Q("x22_chunk_sliding",
+      (s, dir) => TextAnalysis.chunkSliding(col("doc_id"), col("text"), 32, 24)(
+        docs(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+             |e AS (SELECT doc_id, t, n,
+             |        unnest(range(0, CASE WHEN n <= 32 THEN 1
+             |                             ELSE 1 + (n - 32 + 24 - 1) // 24 END)) AS k
+             |      FROM nn)
+             |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+             |       array_to_string(t[CAST(k*24+1 AS INT):CAST(k*24+32 AS INT)], ' ')
+             |         AS chunk_text,
+             |       CAST(least(32, n - k*24) AS BIGINT) AS n_tokens
+             |FROM e""".stripMargin),
+      "X3 sliding-window chunking (RAG ingestion): overlapping 32-token " +
+        "windows at stride 24, map-only explode sized by arithmetic, " +
+        "slice/concat_ws reassembly — no shuffle"),
+
     Q("x19_token_mixture",
       (s, dir) => TextAnalysis.mixToTokenBudget(
           col("doc_id"), col("source"), size(Texts.tokens(col("text"))),

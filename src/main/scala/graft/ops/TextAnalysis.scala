@@ -432,6 +432,43 @@ object TextAnalysis {
         explode(sequence(lit(1), col("n_copies"))).as("copy"))
   }
 
+  /** SLIDING-WINDOW CHUNKING — the RAG-ingestion step (and the other half
+    * of the chunking story next to [[packSequences]], which concatenates
+    * ACROSS documents): split each document into overlapping token windows
+    * of `size` tokens advancing by `stride` (< size ⇒ overlap preserves
+    * context across boundaries). Chunk k covers tokens
+    * `[k*stride, k*stride + size)`; the last chunk is the first one whose
+    * window reaches the document's end (possibly shorter than `size`), so
+    * every token is covered and no chunk is fully contained in its
+    * predecessor. Emits (doc_id, chunk_idx, chunk_text, n_tokens).
+    *
+    * Map-only: token split, a generated-code `sequence` explode sized by
+    * arithmetic (chunks per doc = 1 + ceil((n-size)/stride), never a scan),
+    * and `slice`/`concat_ws` reassembly — no shuffle, no lambda HOFs, row
+    * counts bounded by tokens/stride per document.
+    */
+  def chunkSliding(id: Column, text: Column, chunkTokens: Int, strideTokens: Int)(
+      df: DataFrame): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val toks = Texts.tokens(text)
+    val n = size(col("t"))
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(lit(1) +
+        floor((n - chunkTokens + strideTokens - 1) / lit(strideTokens)).cast("int"))
+    df.select(id.as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("t"), col("chunk_idx") * strideTokens + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("t")) - col("chunk_idx") * strideTokens)
+          .cast("long").as("n_tokens"))
+  }
+
   /** SEQUENCE PACKING — the concat-and-chunk layout GPT-style pretraining
     * uses: documents are laid out back-to-back into one token stream per
     * `part` (source, shard, ...), and each document's context-window bin is

@@ -272,6 +272,29 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(1L, 2L, r4((pa + pb) / 2.0))))
   }
 
+  test("chunkSliding covers every token with overlapping windows, exact boundaries") {
+    // 10 tokens, size 4, stride 3 → chunks [0,4) [3,7) [6,10): tail exact
+    val df = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = rowsOf(TextAnalysis.chunkSliding(col("id"), col("text"), 4, 3)(df))
+    assert(out === Set(
+      Seq(1L, 0, "t0 t1 t2 t3", 4L),
+      Seq(1L, 1, "t3 t4 t5 t6", 4L),
+      Seq(1L, 2, "t6 t7 t8 t9", 4L)))
+    // size 4, stride 4 (no overlap), 10 tokens → ragged 2-token tail
+    val nolap = rowsOf(TextAnalysis.chunkSliding(col("id"), col("text"), 4, 4)(df))
+    assert(nolap === Set(
+      Seq(1L, 0, "t0 t1 t2 t3", 4L),
+      Seq(1L, 1, "t4 t5 t6 t7", 4L),
+      Seq(1L, 2, "t8 t9", 2L)))
+    // a doc shorter than one window = exactly one chunk of itself
+    val short = Seq((2L, "a b")).toDF("id", "text")
+    assert(rowsOf(TextAnalysis.chunkSliding(col("id"), col("text"), 4, 3)(short)) ===
+      Set(Seq(2L, 0, "a b", 2L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkSliding(col("id"), col("text"), 4, 5)(short)
+    }
+  }
+
   test("mixtureRates: budget*weight/total, keep-all when undersized, drop below resolution") {
     val totals = Map("web" -> 1000L, "books" -> 100L, "huge" -> 4000000000L)
     val rates = TextAnalysis.mixtureRates(totals,

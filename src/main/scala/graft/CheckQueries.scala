@@ -73,6 +73,31 @@ object CheckQueries {
         "SELECT a, b, jaccard FROM jp WHERE jaccard >= 0.8"),
       "invariant for x2b: MinHash-LSH finds every exact near-dup pair with jaccard >= 0.8"),
 
+    Q("x14b_bpe_check",
+      (s, dir) => {
+        // invariants for x14b's no-oracle tokenizer output, each per-doc
+        // and folded to one row of must-be-TRUE booleans:
+        //  (a) reconstruction — BPE merges never cross word boundaries, so
+        //      concatenating the subword tokens is the text minus spaces;
+        //  (b) bounds — one token per word at the merged end, one per
+        //      character at the unmerged end: n_words <= n_bpe <= n_chars.
+        val enc = graft.functions.BpeEncode(
+          ExtensionQueries.trainedBpe(s, dir))(col("text"))
+        docs(s, dir)
+          .select(
+            (concat_ws("", enc) === regexp_replace(col("text"), " ", ""))
+              .as("recon"),
+            (size(split(col("text"), " ")) <= size(enc) &&
+              size(enc) <= length(col("text")) - (size(split(col("text"), " ")) - lit(1)))
+              .as("bounded"))
+          .agg(count(lit(1)).as("n_docs"),
+            bool_and(col("recon")).as("recon_ok"),
+            bool_and(col("bounded")).as("bounds_ok"))
+      },
+      Some("SELECT count(*) AS n_docs, TRUE AS recon_ok, TRUE AS bounds_ok FROM documents"),
+      "invariant for x14b: BPE tokens concatenate back to the space-stripped " +
+        "text, and token counts sit between word and character counts"),
+
     Q("x2c_simhash_check",
       (s, dir) => {
         // differential: the corpus-scale codegen'd aggregate path must equal

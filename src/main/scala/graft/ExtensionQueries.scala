@@ -86,6 +86,18 @@ object ExtensionQueries {
       Tables.embeddings(s, dir).filter(col("vec_id") < 50)
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray))
 
+  /** One trained BPE merge table per sf dir, memoized like [[trainedModel]]
+    * (a tokenizer is trained once per corpus and applied everywhere).
+    * Training is deterministic (count-desc/lex tie-breaks all the way
+    * down), so memoization changes no result.
+    */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private[graft] def trainedBpe(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    bpeMemo.computeIfAbsent(dir, _ =>
+      TextAnalysis.bpeTrain(col("text"), numMerges = 200)(docs(s, dir)))
+
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
   private[graft] def trainedPqCodebooks(s: org.apache.spark.sql.SparkSession,
@@ -702,6 +714,25 @@ object ExtensionQueries {
              |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
       "X3 BPE merge-candidate mining: top-20 adjacent-token pairs (the " +
         "counting pass of a tokenizer-training round; hash-agg + TakeOrdered)"),
+
+    Q("x14b_bpe_apply",
+      (s, dir) => {
+        // the other half of the x14 story: merges trained in-engine
+        // (driver loop over the ONE distributed word-count pass), applied
+        // corpus-wide by the native BpeEncode expression — map-only, the
+        // literal-model play. No SQL engine can express the greedy merge
+        // loop → no_oracle; x14b_bpe_check pins reconstruction + bounds.
+        val enc = graft.functions.BpeEncode(trainedBpe(s, dir))(col("text"))
+        docs(s, dir).select(
+          col("doc_id"),
+          size(enc).cast("long").as("n_bpe"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          (length(col("text")) - (size(split(col("text"), " ")) - lit(1)))
+            .cast("long").as("n_chars"))
+      },
+      None,
+      "X3 BPE tokenizer application: 200 in-engine-trained merges applied " +
+        "per word via the native codegen expression (subword token counts)"),
 
     Q("x16_semantic_decon",
       (s, dir) => Similarity.semanticDecontaminate(

@@ -344,6 +344,90 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** BPE merge-table training (Sennrich et al. 2016): the corpus pass is
+    * ONE distributed word-frequency aggregate — the classic algorithm then
+    * iterates on that table alone, because pair statistics are a function
+    * of (distinct word, count), not of the raw token stream. Distinct
+    * words grow sublinearly with corpus size (Heaps' law), so the
+    * driver-held table is vocab-bounded even at 100 TB; `maxVocabWords`
+    * caps it deterministically (count desc, word asc) the way real
+    * trainers cap rare-word tails. Each merge round counts adjacent-pair
+    * frequencies over the table (weighted by word count), takes the most
+    * frequent pair (ties broken lexicographically, so training is fully
+    * deterministic), and rewrites the affected words.
+    *
+    * Same driver/executor split as the k-means trainer: the heavy scan is
+    * distributed once; the model loop runs where the model lives.
+    */
+  def bpeTrain(text: Column, numMerges: Int, maxVocabWords: Int = 65536)(
+      df: DataFrame): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val wordCounts: Array[(Array[String], Long)] =
+      df.select(explode(split(text, " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(maxVocabWords)
+        .collect()
+        .map(r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)))
+    val words = wordCounts.map(_._1)
+    val counts = wordCounts.map(_._2)
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      var w = 0
+      while (w < words.length) {
+        val parts = words(w)
+        var i = 0
+        while (i < parts.length - 1) {
+          pairCounts.merge((parts(i), parts(i + 1)), counts(w), _ + _)
+          i += 1
+        }
+        w += 1
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestCount = 0L
+        pairCounts.forEach { (p, c) =>
+          if (c > bestCount || (c == bestCount &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestCount = c
+          }
+        }
+        merges += best
+        val joined = best._1 + best._2
+        w = 0
+        while (w < words.length) {
+          val parts = words(w)
+          if (parts.length >= 2) {
+            var hit = false
+            var i = 0
+            while (!hit && i < parts.length - 1) {
+              hit = parts(i) == best._1 && parts(i + 1) == best._2
+              i += 1
+            }
+            if (hit) {
+              val out = Array.newBuilder[String]
+              i = 0
+              while (i < parts.length) {
+                if (i < parts.length - 1 && parts(i) == best._1 && parts(i + 1) == best._2) {
+                  out += joined; i += 2
+                } else { out += parts(i); i += 1 }
+              }
+              words(w) = out.result()
+            }
+          }
+          w += 1
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
   /** PII redaction patterns (Java and RE2 compatible — no backreferences,
     * so the same literals run in Spark and the DuckDB oracle): each class
     * is replaced with a stable tag so downstream tokenization stays sane.

@@ -333,4 +333,49 @@ class TextAnalysisSpec extends SparkSpec {
         size(split(col("text"), " ")),
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 6000L)(df).select("id")))
   }
+
+  test("bpeTrain learns merges in frequency order with deterministic tiebreaks") {
+    // aaab x2 + ab x1: pair counts round 1 are (a,a)=4, (a,b)=3 -> merge
+    // (a,a); round 2 (a,b)=3 beats (aa,a)=2; round 3 only (aa,ab) remains
+    val df = Seq("aaab aaab ab").toDF("text")
+    val merges = TextAnalysis.bpeTrain(col("text"), numMerges = 3)(df)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("bpeTrain stops when every word is a single token") {
+    val df = Seq("ab ab").toDF("text")
+    assert(TextAnalysis.bpeTrain(col("text"), numMerges = 5)(df) === Seq(("a", "b")))
+  }
+
+  test("BpeEncode applies merges lowest-rank-first, per word") {
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val df = Seq((1L, "aaab ba"), (2L, "aab b")).toDF("id", "text")
+    val out = df.select(col("id"),
+      graft.functions.BpeEncode(merges)(col("text")).as("toks"))
+    assert(rowsOf(out) === Set(
+      Seq(1L, Seq("aaab", "b", "a")),
+      Seq(2L, Seq("aa", "b", "b"))))
+  }
+
+  test("BpeEncode reconstruction + bounds hold corpus-wide on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = ExtensionQueries.trainedBpe(spark, "/root/testdata/sf0.001")
+    // sf0.001's synthetic vocab saturates before 200 merges (every word a
+    // single token -> early stop); the cap only binds at larger SFs
+    assert(merges.nonEmpty && merges.size <= 200)
+    val enc = graft.functions.BpeEncode(merges)(col("text"))
+    val r = docs.select(
+        (concat_ws("", enc) === regexp_replace(col("text"), " ", "")).as("recon"),
+        (size(split(col("text"), " ")) <= size(enc) &&
+          size(enc) <= length(col("text")) - (size(split(col("text"), " ")) - lit(1)))
+          .as("bounded"))
+      .agg(bool_and(col("recon")), bool_and(col("bounded"))).collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    // merges must actually compress: strictly fewer tokens than characters
+    val counts = docs.select(
+      sum(size(enc)).as("bpe"),
+      sum(length(col("text")) - (size(split(col("text"), " ")) - lit(1))).as("chars"))
+      .collect()(0)
+    assert(counts.getLong(0) < counts.getLong(1))
+  }
 }

@@ -98,6 +98,28 @@ object CheckQueries {
       "invariant for x14b: BPE tokens concatenate back to the space-stripped " +
         "text, and token counts sit between word and character counts"),
 
+    Q("x23_lr_check",
+      (s, dir) => {
+        // invariants for the trained (no-oracle) classifier: gradient
+        // descent actually descended (final mean log-loss below the
+        // all-zero model's ln 2 start), and the learned scores separate
+        // the teacher classes (mean z of positives above negatives; NULL
+        // if a class is empty → red row, catching degenerate labels too).
+        val m = ExtensionQueries.trainedLr(s, dir)
+        val q = graft.ops.TextAnalysis.qualityScore(col("doc_id"), col("text"))(docs(s, dir))
+        val z = graft.ops.Classifier.linearScore(
+          Seq(col("diversity"), col("stop_ratio"), col("mean_token_len")),
+          m.weights.toSeq)
+        q.select(z.as("z"), (col("quality") >= 0.47).as("y"))
+          .agg(count(lit(1)).as("n_docs"),
+            lit(m.lossTrace.last < m.lossTrace.head - 1e-3).as("loss_decreased"),
+            (avg(when(col("y"), col("z"))) > avg(when(!col("y"), col("z"))))
+              .as("separated"))
+      },
+      Some("SELECT count(*) AS n_docs, TRUE AS loss_decreased, TRUE AS separated FROM documents"),
+      "invariant for x23: trained log-loss beats the zero model and the " +
+        "learned scores separate the teacher classes"),
+
     Q("x2c_simhash_check",
       (s, dir) => {
         // differential: the corpus-scale codegen'd aggregate path must equal

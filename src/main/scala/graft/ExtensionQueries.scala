@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.functions.L2Normalize
-import graft.ops.{Clustering, Dedup, Multimodal, Search, Similarity, TextAnalysis, Texts}
+import graft.ops.{Classifier, Clustering, Dedup, Multimodal, Search, Similarity, TextAnalysis, Texts}
 
 /** Extension operators (SURVEY.md §2.6 X1-X4 + the large-scale training-data
   * pipeline surface): deduplication, similarity search, text analysis,
@@ -97,6 +97,23 @@ object ExtensionQueries {
       dir: String): Seq[(String, String)] =
     bpeMemo.computeIfAbsent(dir, _ =>
       TextAnalysis.bpeTrain(col("text"), numMerges = 200)(docs(s, dir)))
+
+  /** One trained quality classifier per sf dir (teacher labels = the x4c
+    * heuristic at its corpus median ~0.47 — the public distill-a-heuristic
+    * pattern), memoized like [[trainedModel]]. 40 full-gradient steps at
+    * lr 0.1 — the rate is sized to the unscaled mean_token_len feature
+    * (~5), where 0.5 visibly oscillates on the fixture.
+    */
+  private val lrMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Classifier.LogRegModel]()
+  private[graft] def trainedLr(s: org.apache.spark.sql.SparkSession,
+      dir: String): Classifier.LogRegModel =
+    lrMemo.computeIfAbsent(dir, _ => {
+      val q = TextAnalysis.qualityScore(col("doc_id"), col("text"))(docs(s, dir))
+      Classifier.trainLogReg(
+        Seq(col("diversity"), col("stop_ratio"), col("mean_token_len")),
+        col("quality") >= 0.47, iters = 40, lr = 0.1)(q)
+    })
 
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
@@ -778,6 +795,36 @@ object ExtensionQueries {
              |FROM c QUALIFY rnk <= 3""".stripMargin),
       "X5 trending per tumbling hour: top-3 event types per window — " +
         "windowed hash-agg first, rank only over the aggregated cells"),
+
+    Q("x23_quality_lr",
+      (s, dir) => {
+        // model-based quality scoring with FIXED literal weights — the
+        // oracle-checkable half of the classifier story (training is
+        // pinned by x23_lr_check): z accumulates bias-first left-to-right
+        // in both engines, so the raw doubles hash-compare bit-exactly.
+        // pred avoids exp() entirely (z > 0 ⇔ sigmoid > 0.5).
+        val q = TextAnalysis.qualityScore(col("doc_id"), col("text"))(docs(s, dir))
+        val feats = Seq(col("diversity"), col("stop_ratio"), col("mean_token_len"))
+        val w = Seq(-6.0, 6.0, 3.0, 0.6)
+        q.select(col("doc_id"),
+          Classifier.linearScore(feats, w).as("z"),
+          (Classifier.linearScore(feats, w) > 0).as("pred"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS diversity,
+              |  CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+              |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+              |SELECT doc_id,
+              |  CAST(-6.0 AS DOUBLE) + diversity * CAST(6.0 AS DOUBLE)
+              |    + stop_ratio * CAST(3.0 AS DOUBLE)
+              |    + mean_token_len * CAST(0.6 AS DOUBLE) AS z,
+              |  CAST(-6.0 AS DOUBLE) + diversity * CAST(6.0 AS DOUBLE)
+              |    + stop_ratio * CAST(3.0 AS DOUBLE)
+              |    + mean_token_len * CAST(0.6 AS DOUBLE) > 0 AS pred
+              |FROM f""".stripMargin),
+      "X3 model-based quality scoring: logistic-regression linear score " +
+        "with literal weights — map-only, codegen'd, bit-exact vs the oracle"),
 
     Q("x18_quality_tiers",
       (s, dir) => TextAnalysis.qualityTiers(col("doc_id"), col("text"))(docs(s, dir)),

@@ -120,6 +120,26 @@ object CheckQueries {
       "invariant for x23: trained log-loss beats the zero model and the " +
         "learned scores separate the teacher classes"),
 
+    Q("x24_pagerank_check",
+      (s, dir) => {
+        // invariants for the no-oracle rank vector: (a) the node set is
+        // exactly the SQL-countable co-purchase participants; (b) the
+        // sum-preserving formulation holds (ranks sum to |V| within float
+        // accumulation noise); (c) every rank carries at least the
+        // teleport floor (1-d).
+        val ranks = ExtensionQueries.pagerankRanks(s, dir)
+        ranks.agg(count(lit(1)).as("n_nodes"),
+          (abs(sum(col("rank")) - count(lit(1)).cast("double"))
+            / count(lit(1)).cast("double") < 1e-9).as("sum_preserved"),
+          (min(col("rank")) >= lit(0.15) - lit(1e-9)).as("floor_ok"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS n_nodes, TRUE AS sum_preserved, TRUE AS floor_ok
+             |FROM lineitem WHERE l_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem
+             |  GROUP BY l_orderkey HAVING count(DISTINCT l_partkey) >= 2)""".stripMargin),
+      "invariant for x24: rank mass conserved at |V|, teleport floor held, " +
+        "node set equals the SQL-derived co-purchase participants"),
+
     Q("x2c_simhash_check",
       (s, dir) => {
         // differential: the corpus-scale codegen'd aggregate path must equal

@@ -468,6 +468,72 @@ object Stateful {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One changelog row of [[topProducts]]: after `seq` events for `user`,
+    * `product` sits at `rank` (1-based) with `cnt` occurrences. `seq` is
+    * the per-key changelog version — consumers (and the fixpoint test)
+    * keep a user's rows with the highest `seq` as the current top-k.
+    */
+  final case class TopProduct(user: String, seq: Long, product: String,
+      cnt: Long, rank: Int)
+
+  /** Running per-key top-k products via MAP state — the `MapState` cell
+    * type of the Spark 4 stateful API (the value/list cells are covered
+    * by [[RunningTotalsProcessor]] / [[SessionCloseProcessor]]): one
+    * (product → count) entry per key per product, point-updated per
+    * arriving event — RocksDB reads/writes only the touched sub-keys,
+    * where a ValueState holding the whole map would rewrite it wholesale
+    * every batch (the reason MapState exists). After each batch the
+    * processor re-emits the key's refreshed top-k slate (cnt desc,
+    * product asc — deterministic ties), stamped with the key's event
+    * count as changelog version.
+    *
+    * State is O(distinct products per key); the emitted slate is O(k).
+    * No timers, no TTL → TimeMode.None, so the query only runs batches
+    * when data arrives (`processAllAvailable` is safe in tests).
+    */
+  final class TopProductsProcessor(k: Int)
+      extends StatefulProcessor[String, OrderEvent, TopProduct] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: String, rows: Iterator[OrderEvent],
+        timerValues: TimerValues): Iterator[TopProduct] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        e.products.foreach { p =>
+          val cur = if (counts.containsKey(p)) counts.getValue(p) else 0L
+          counts.updateValue(p, cur + 1L)
+        }
+      }
+      seen.update(n)
+      counts.iterator().toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((p, c), i) => TopProduct(user, n, p, c, i + 1) }
+        .iterator
+    }
+  }
+
+  /** Per-user running top-`k` product slate as an update-mode changelog
+    * (the streaming twin of `groupBy(user, product).count` + bounded
+    * top-k). Requires the RocksDB state store provider.
+    */
+  def topProducts(events: Dataset[OrderEvent], k: Int): Dataset[TopProduct] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .transformWithState(new TopProductsProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Batch reference fold for [[runningTotals]] — same arithmetic, same
     * per-key sequential order; used by tests as the fixpoint oracle.
     */

@@ -427,6 +427,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState top-k: per-key slates reach the batch fixpoint") {
+    import graft.streaming.Stateful
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+      val name = freshTable()
+      val q = Stateful.topProducts(df.as[OrderEvent], k = 2)
+        .toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      // cross-batch accumulation: alice buys Pen in three events split
+      // over two batches; the slate must count them all
+      val evs = Seq(
+        OrderEvent("t1", "alice", Seq("Pen", "Ink"), 1.0, ts("2024-01-01T00:00:01Z")),
+        OrderEvent("t2", "alice", Seq("Pen"), 1.0, ts("2024-01-01T00:00:02Z")),
+        OrderEvent("t3", "bob", Seq("Ink"), 1.0, ts("2024-01-01T00:00:03Z")),
+        OrderEvent("t4", "alice", Seq("Pen", "Pad", "Ink"), 1.0, ts("2024-01-01T00:00:04Z")),
+        OrderEvent("t5", "bob", Seq("Pad"), 1.0, ts("2024-01-01T00:00:05Z")))
+      ms.addData(evs.take(3)); q.processAllAvailable()
+      ms.addData(evs.drop(3)); q.processAllAvailable()
+      q.stop()
+      // latest slate per user = rows at that user's max changelog seq
+      val rows = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4)))
+      val latest = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val maxSeq = rs.map(_._2).max
+        rs.filter(_._2 == maxSeq).map(t => (t._1, t._3, t._4, t._5)).toSeq
+      }.toSet
+      // batch fixpoint: count occurrences across all events, top-2 by
+      // (cnt desc, product asc)
+      assert(latest === Set(
+        ("alice", "Pen", 3L, 1), ("alice", "Ink", 2L, 2),
+        ("bob", "Ink", 1L, 1), ("bob", "Pad", 1L, 2)))
+      // the first batch's alice slate was the intermediate (Pen 2, Ink 1)
+      assert(rows.filter(t => t._1 == "alice" && t._2 == 2L).map(t => (t._3, t._4)).toSet
+        === Set(("Pen", 2L), ("Ink", 1L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState running totals reach the hand-folded fixpoint across batches") {
     import graft.streaming.Stateful
     val (ms, df) = Sources.memoryStream[graft.streaming.OrderEvent](spark)

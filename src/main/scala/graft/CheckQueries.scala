@@ -140,6 +140,37 @@ object CheckQueries {
       "invariant for x24: rank mass conserved at |V|, teleport floor held, " +
         "node set equals the SQL-derived co-purchase participants"),
 
+    Q("x21b_lsh_incr_check",
+      (s, dir) => {
+        // signatures are a pure function of the shingle set, so the
+        // incremental path must equal the FULL-corpus LSH restricted to
+        // pairs touching the ingest batch — set equality asserted both
+        // ways with exceptAll (jaccard compares bit-exactly: both
+        // pipelines compute the same integer division). A dual-pipeline
+        // check by construction, like x2b.
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") < 400)
+        val incr = Dedup.minhashLshIncremental(col("doc_id"), col("text"), 3, 16, 4, 0.3,
+            Dedup.lshIndex(col("doc_id"), col("text"), 3, 16, 4)(corpus),
+            Dedup.shingleTable(col("doc_id"), col("text"), 3)(corpus))(
+            d.filter(col("doc_id") >= 400))
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"), col("jaccard"))
+        // full pairs are (a < b), and batch ids are the id-range top, so
+        // "touches the batch" is exactly b >= 400
+        val full = Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(d)
+          .filter(col("b") >= 400)
+        val onlyIncr = incr.exceptAll(full).agg(count(lit(1)).as("c1"))
+        val onlyFull = full.exceptAll(incr).agg(count(lit(1)).as("c2"))
+        d.filter(col("doc_id") >= 400).agg(count(lit(1)).as("n_new"))
+          .crossJoin(onlyIncr).crossJoin(onlyFull)
+          .select(col("n_new"),
+            (col("c1") === 0 && col("c2") === 0).as("incr_eq_full"))
+      },
+      Some("SELECT count(*) AS n_new, TRUE AS incr_eq_full FROM documents WHERE doc_id >= 400"),
+      "invariant for x21b: the incremental LSH result equals the " +
+        "full-corpus LSH restricted to pairs touching the ingest batch"),
+
     Q("x2c_simhash_check",
       (s, dir) => {
         // differential: the corpus-scale codegen'd aggregate path must equal

@@ -215,6 +215,25 @@ object ExtensionQueries {
         "corpus's distinct-fingerprint side table, then in-batch dedup — " +
         "history is never re-scanned"),
 
+    Q("x21b_lsh_incremental",
+      (s, dir) => {
+        // the near-dup half of the x21 ingest story: the corpus (< 400)
+        // is represented ONLY by its two persisted derivatives — the LSH
+        // bucket index and the shingle side table; signatures are computed
+        // for the ingest batch alone. Sketch-based → no_oracle;
+        // x21b_lsh_incr_check pins equality with the full recompute.
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") < 400)
+        Dedup.minhashLshIncremental(col("doc_id"), col("text"), 3, 16, 4, 0.3,
+            Dedup.lshIndex(col("doc_id"), col("text"), 3, 16, 4)(corpus),
+            Dedup.shingleTable(col("doc_id"), col("text"), 3)(corpus))(
+            d.filter(col("doc_id") >= 400))
+      },
+      None,
+      "X2 incremental MinHash-LSH: ingest batch screened against the " +
+        "corpus's persisted bucket index + shingle table — history is " +
+        "never re-hashed"),
+
     Q("x8_decontaminate",
       (s, dir) => {
         val d = docs(s, dir)

@@ -322,6 +322,34 @@ object SupersetQueries {
              |FROM orders""".stripMargin),
       "RANGE window frame: trailing 30-day revenue per customer (value-based frame, exact integer day offsets)"),
 
+    Q("o19_scd2",
+      (s, dir) => {
+        // the orders table read as a per-customer status changelog:
+        // order = seconds * 1e9 + orderkey, one per-key-unique scalar
+        // (dates are day-grained, so same-day ties are real; orderkey
+        // stays < 1e9 far beyond this fixture's scale)
+        val ord = unix_timestamp(col("o_orderdate")) * lit(1000000000L) +
+          col("o_orderkey")
+        graft.ops.Relational.scd2(
+            Seq(col("o_custkey")), col("o_orderstatus"), ord)(
+            Tables.orders(s, dir))
+          .select(col("o_custkey"), col("value").as("status"),
+            col("valid_from"), col("valid_to"))
+      },
+      Some("""WITH ch AS (SELECT o_custkey, o_orderstatus AS status,
+             |              epoch_us(o_orderdate) // 1000000 * 1000000000 + o_orderkey AS ord
+             |            FROM orders),
+             |d AS (SELECT o_custkey, status, ord,
+             |        lag(status) OVER (PARTITION BY o_custkey ORDER BY ord) AS pv
+             |      FROM ch),
+             |sc AS (SELECT o_custkey, status, ord AS valid_from FROM d
+             |       WHERE pv IS NULL OR pv <> status)
+             |SELECT o_custkey, status, valid_from,
+             |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to
+             |FROM sc""".stripMargin),
+      "SCD type-2: upsert changelog → validity intervals, consecutive " +
+        "same-value records collapsed; one shuffle on the dimension key"),
+
     Q("o13_branch_merge",
       (s, dir) => {
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))

@@ -193,26 +193,47 @@ object Dedup {
     * Seeded min-hashes use xxhash64 with the seed folded in as a prefix
     * column (Spark's xxhash64 has a fixed seed); xxhash64 is codegen'd.
     */
-  def minhashLshPairs(id: Column, text: Column, n: Int, numBands: Int, rowsPerBand: Int,
-      threshold: Double)(df: DataFrame): DataFrame = {
-    // Partition by id once: the (id, s) distinct, the signature groupBy(id)
-    // and the per-doc sizes all reuse that single exchange.
-    val ex = Texts.explodedShingles(df, id, text, n)
+  /** The (id, shingle) side table: distinct n-token shingles per doc,
+    * id-partitioned — the representation an incremental ingest persists
+    * next to its [[lshIndex]] (both are compact, bucketable derivatives
+    * of the corpus).
+    */
+  def shingleTable(id: Column, text: Column, n: Int)(df: DataFrame): DataFrame =
+    Texts.explodedShingles(df, id, text, n)
       .repartition(col("id"))
       .dropDuplicates("id", "s")
+
+  /** LSH band-bucket rows (id, band, sig) from a shingle table: ONE
+    * hash-groupBy computes all `numBands * rowsPerBand` min-hashes as
+    * aggregate columns (map-side partial min — the shuffle carries just
+    * that many longs per doc), then each band's minhashes fold to one
+    * 64-bit signature.
+    */
+  private[ops] def lshBuckets(ex: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
     val sig = ex.groupBy("id").agg(minCols.head, minCols.tail: _*)
-    // one 64-bit signature per band = hash of its rowsPerBand minhashes
     val bands = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
+    sig.select(col("id"), explode(array(bands: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** The persisted-index form of [[lshBuckets]], from raw documents. */
+  def lshIndex(id: Column, text: Column, n: Int, numBands: Int, rowsPerBand: Int)(
+      df: DataFrame): DataFrame =
+    lshBuckets(shingleTable(id, text, n)(df), numBands, rowsPerBand)
+
+  def minhashLshPairs(id: Column, text: Column, n: Int, numBands: Int, rowsPerBand: Int,
+      threshold: Double)(df: DataFrame): DataFrame = {
+    // Partition by id once: the (id, s) distinct, the signature groupBy(id)
+    // and the per-doc sizes all reuse that single exchange.
+    val ex = shingleTable(id, text, n)(df)
     // Explicit repartition on the bucket key: both self-join sides reuse
     // one exchange, so the signature aggregation runs once per corpus.
-    val bucketed = sig
-      .select(col("id"), explode(array(bands: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val bucketed = lshBuckets(ex, numBands, rowsPerBand)
       .repartition(col("band"), col("sig"))
     val candidates = bucketed.as("l")
       .join(bucketed.as("r"),
@@ -230,6 +251,60 @@ object Dedup {
       .join(withSz.as("eb"), col("eb.id") === col("b") && col("ea.s") === col("eb.s"))
       .groupBy(col("a"), col("b"), col("ea.sz").as("sza"), col("eb.sz").as("szb"))
       .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sza") + col("szb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** INCREMENTAL MinHash-LSH near-dup detection: screen an ingest batch
+    * against an accumulated corpus WITHOUT recomputing the corpus — the
+    * near-dup twin of [[exactIncremental]], and the shape a continuously
+    * ingesting 100 TB pipeline actually runs (signatures for history are
+    * write-once; only the delta is hashed per batch).
+    *
+    * Inputs are the two persisted corpus derivatives: the [[lshIndex]]
+    * bucket table (id, band, sig) and the [[shingleTable]] (id, s) used
+    * for exact verification. Incoming docs get signatures computed fresh
+    * (the delta cost), then candidates come from TWO equi-joins — new
+    * buckets against corpus buckets (cross pairs, emitted (new, old))
+    * and new against new (in-batch pairs, emitted (min, max)) — followed
+    * by exact-Jaccard verification of candidates only. Verification
+    * shingles are semi-join-restricted to candidate ids BEFORE the pair
+    * join, so corpus history beyond the matched docs is never shuffled.
+    *
+    * Signatures are a pure function of the shingle set, so the result is
+    * EXACTLY the full-corpus [[minhashLshPairs]] restricted to pairs
+    * touching the batch — the invariant the check query asserts.
+    */
+  def minhashLshIncremental(id: Column, text: Column, n: Int, numBands: Int,
+      rowsPerBand: Int, threshold: Double, corpusIndex: DataFrame,
+      corpusShingles: DataFrame)(incoming: DataFrame): DataFrame = {
+    val newSh = shingleTable(id, text, n)(incoming)
+    val newB = lshBuckets(newSh, numBands, rowsPerBand)
+      .repartition(col("band"), col("sig"))
+    val cross = newB.as("l")
+      .join(corpusIndex.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    val inBatch = newB.as("l")
+      .join(newB.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    val candidates = cross.unionByName(inBatch).distinct()
+    val candIds = candidates.select(col("a").as("id"))
+      .unionByName(candidates.select(col("b").as("id"))).distinct()
+    val allSh = newSh.unionByName(corpusShingles)
+      .join(candIds, Seq("id"), "left_semi")
+    val sizes = allSh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    candidates
+      .join(allSh.as("ea"), col("ea.id") === col("a"))
+      .join(allSh.as("eb"), col("eb.id") === col("b") && col("ea.s") === col("eb.s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("sza") + col("szb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)

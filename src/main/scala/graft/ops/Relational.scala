@@ -207,6 +207,40 @@ object Relational {
       .select(col("__lrow.*") +: rightVals.map(v => col(s"__rvals.$v").as(v)): _*)
   }
 
+  /** Slowly-changing-dimension type 2: turn an upsert changelog
+    * (key, value, order) into validity intervals — each output row says
+    * "`key` held `value` from `valid_from` until `valid_to`" (null
+    * `valid_to` = still current). Consecutive records carrying the SAME
+    * value collapse into one interval (a re-upsert of an unchanged value
+    * is not a new version — the standard SCD2 rule), null-safely, so a
+    * null value is one version like any other.
+    *
+    * The [[compactLatest]] operator is the type-1 half of this pair
+    * (latest value only); this keeps history. Both window per key: one
+    * shuffle on the dimension key, per-key sort bounded by that key's
+    * history length — the SCD2 shape every warehouse runs, and the right
+    * one at scale because dimension histories are short relative to the
+    * fact tables they describe.
+    *
+    * @param order a per-key-unique orderable column (combine timestamp
+    *              and a tiebreak into one scalar if needed — uniqueness
+    *              is what makes the versioning deterministic)
+    */
+  def scd2(keys: Seq[Column], value: Column, order: Column)(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "scd2 requires at least one key column")
+    val base = df.select(keys :+ value.as("value") :+ order.as("valid_from"): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("valid_from"))
+    base
+      .withColumn("__prev", lag(col("value"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // first record per key, or a value change. Null-safe equality alone
+      // cannot express "first": a key OPENING with a null value has
+      // null <=> lag-null = true and would vanish — hence the rank test.
+      .filter(col("__rn") === 1 || !(col("value") <=> col("__prev")))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .drop("__prev", "__rn")
+  }
+
   /** DSL `stream.split().branch(...).defaultBranch()` analog: route each
     * record to the FIRST branch whose predicate matches (Kafka Streams
     * branch semantics — predicates are tried in order, a record lands in

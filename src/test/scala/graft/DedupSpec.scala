@@ -83,6 +83,25 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(lsh) === rowsOf(exact))
   }
 
+  test("incremental LSH equals the full recompute restricted to the batch") {
+    // corpus = docs 1-3; batch = 4 (no shingles), 5 (exact dup of corpus
+    // doc 1). Expected: the cross pair (5, 1) found WITHOUT re-hashing the
+    // corpus; the corpus-internal pair (1, 2) must NOT appear.
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val incoming = docs.filter(col("doc_id") >= 4)
+    val incr = Dedup.minhashLshIncremental(col("doc_id"), col("text"), 3, 16, 4, 0.3,
+      Dedup.lshIndex(col("doc_id"), col("text"), 3, 16, 4)(corpus),
+      Dedup.shingleTable(col("doc_id"), col("text"), 3)(corpus))(incoming)
+    assert(rowsOf(incr) === Set(Seq(5L, 1L, 1.0), Seq(5L, 2L, 0.75)))
+    // and it equals the full-corpus run restricted to batch-touching pairs
+    val full = Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(docs)
+      .filter(col("b") >= 4)
+      .select(col("a"), col("b"), col("jaccard"))
+    val norm = incr.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b"), col("jaccard"))
+    assert(rowsOf(norm) === rowsOf(full))
+  }
+
   test("canonicalize propagates the min id across chained components") {
     // chain 1-2, 2-3, 3-4 (diameter 3) + singleton 9
     val ids = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")

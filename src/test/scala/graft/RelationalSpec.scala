@@ -188,4 +188,29 @@ class RelationalSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("scd2 collapses unchanged upserts and chains validity intervals") {
+    val ch = Seq( // (key, value, ord)
+      ("k1", "new", 1L),
+      ("k1", "new", 2L),      // re-upsert of the same value: no new version
+      ("k1", "paid", 3L),
+      ("k1", "paid", 4L),
+      ("k1", "shipped", 5L),
+      ("k2", "new", 1L),
+      ("k3", null, 1L),       // null value is a version like any other
+      ("k3", null, 2L),       // ...collapsed null-safely
+      ("k3", "fixed", 3L)
+    ).toDF("k", "v", "ord")
+    val out = scd2(Seq(col("k")), col("v"), col("ord"))(ch)
+    assert(rowsOf(out) === Set(
+      Seq("k1", "new", 1L, 3L),
+      Seq("k1", "paid", 3L, 5L),
+      Seq("k1", "shipped", 5L, null),
+      Seq("k2", "new", 1L, null),
+      Seq("k3", null, 1L, 3L),
+      Seq("k3", "fixed", 3L, null)))
+    // intervals chain: every non-null valid_to equals the next valid_from
+    // (asserted by construction above) and each key has exactly one open row
+    assert(out.filter(col("valid_to").isNull).count() === 3)
+  }
 }

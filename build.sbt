@@ -21,6 +21,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // the bench/verify JSON summary is the LITERAL last line of stdout — even a
 // parse-only-the-last-line consumer recovers it.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — exclude it
+// from the unused-key lint so every invocation doesn't print a false warning.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -150,16 +150,26 @@ object CheckQueries {
         // check by construction, like x2b.
         val d = docs(s, dir)
         val corpus = d.filter(col("doc_id") < 400)
+        // BOTH pair sets are materialized (localCheckpoint) before the
+        // set-equality algebra below: exceptAll evaluates each input per
+        // occurrence, and `incr`/`full` each appear twice — without the
+        // checkpoint the two full LSH pipelines (64-minhash signatures,
+        // bucket self-joins, exact-verify joins) re-run FOUR times inside
+        // one mega-plan (measured 144 s at sf0.001). The pair sets
+        // themselves are tiny (dozens of rows), so the checkpoint is the
+        // honest cost: one evaluation of each pipeline.
         val incr = Dedup.minhashLshIncremental(col("doc_id"), col("text"), 3, 16, 4, 0.3,
             Dedup.lshIndex(col("doc_id"), col("text"), 3, 16, 4)(corpus),
             Dedup.shingleTable(col("doc_id"), col("text"), 3)(corpus))(
             d.filter(col("doc_id") >= 400))
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"), col("jaccard"))
+          .localCheckpoint()
         // full pairs are (a < b), and batch ids are the id-range top, so
         // "touches the batch" is exactly b >= 400
         val full = Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(d)
           .filter(col("b") >= 400)
+          .localCheckpoint()
         val onlyIncr = incr.exceptAll(full).agg(count(lit(1)).as("c1"))
         val onlyFull = full.exceptAll(incr).agg(count(lit(1)).as("c2"))
         d.filter(col("doc_id") >= 400).agg(count(lit(1)).as("n_new"))
@@ -423,6 +433,43 @@ object CheckQueries {
       },
       Some("SELECT count(*) AS n_total, TRUE AS drops_complete, TRUE AS drops_justified FROM embeddings"),
       "invariant for x11: the SemDeDup keep/drop rule re-verified pairwise " +
-        "via the interpreted cosine twin — drops complete and justified")
+        "via the interpreted cosine twin — drops complete and justified"),
+
+    Q("x28_pca_check",
+      (s, dir) => {
+        // the spectral contract of the x28 model, checked on the REAL
+        // projected corpus: variance along axis i equals eigenvalue i
+        // (population variance — the fit divides by n), projections are
+        // centered, and the driver-held model is orthonormal with
+        // descending spectrum (planner-side data, like k-means centers,
+        // so those two are checked on the driver and emitted as the
+        // plan's literals — a broken model flips them to FALSE)
+        val m = ExtensionQueries.pcaModel(s, dir)
+        val orthonormal = m.components.indices.forall { i =>
+          m.components.indices.forall { j =>
+            val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+            math.abs(dot - (if (i == j) 1.0 else 0.0)) <= 1e-9
+          }
+        }
+        val descending = m.eigenvalues.sliding(2).forall(w => w(0) >= w(1) - 1e-12)
+        val proj = emb(s, dir)
+          .select(graft.ops.Pca.project(col("embedding"), m, 4).as("p"))
+        proj.agg(
+          (0 until 4).map(i =>
+            (abs(var_pop(element_at(col("p"), i + 1)) - lit(m.eigenvalues(i)))
+              <= lit(1e-6) * lit(m.eigenvalues(i))).as(s"v$i")).reduce(_ && _)
+            .as("variance_matches_spectrum"),
+          (0 until 4).map(i =>
+            (abs(avg(element_at(col("p"), i + 1))) <= lit(1e-6)).as(s"m$i"))
+            .reduce(_ && _).as("projections_centered"))
+          .select(col("variance_matches_spectrum"), col("projections_centered"),
+            lit(orthonormal).as("components_orthonormal"),
+            lit(descending).as("spectrum_descending"))
+      },
+      Some("SELECT TRUE AS variance_matches_spectrum, TRUE AS projections_centered, " +
+        "TRUE AS components_orthonormal, TRUE AS spectrum_descending"),
+      "invariant for x28: projected per-axis population variance equals the " +
+        "model's eigenvalues, projections centered, components orthonormal, " +
+        "spectrum descending")
   )
 }

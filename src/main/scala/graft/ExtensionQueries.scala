@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.functions.L2Normalize
-import graft.ops.{Classifier, Clustering, Dedup, Graph, Multimodal, Search, Similarity, TextAnalysis, Texts}
+import graft.ops.{Classifier, Clustering, Dedup, Graph, Multimodal, Pca, Search, Similarity, TextAnalysis, Texts}
 
 /** Extension operators (SURVEY.md §2.6 X1-X4 + the large-scale training-data
   * pipeline surface): deduplication, similarity search, text analysis,
@@ -104,6 +104,65 @@ object ExtensionQueries {
     * lr 0.1 — the rate is sized to the unscaled mean_token_len feature
     * (~5), where 0.5 visibly oscillates on the fixture.
     */
+  /** The x8/x25 decontamination oracle, shared verbatim so the Bloom-planned
+    * variant is checked against EXACTLY the exact plan's contract: mirror
+    * of Texts.explodedShingles at n=8 (1-indexed starts 1..len-7,
+    * space-joined; docs shorter than 8 tokens have no shingles and are
+    * trivially clean); doc_id < 50 plays the benchmark set.
+    */
+  private[graft] val decontOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest([array_to_string(toks[i:i+7], ' ')
+      |                 for i in range(1, len(toks) - 6)]) AS s
+      |       FROM toks WHERE len(toks) >= 8),
+      |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+      |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bs USING (s)
+      |        WHERE sh.doc_id >= 50)
+      |SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
+  /** One benchmark-shingle Bloom filter per sf dir, memoized like
+    * [[trainedModel]] (an eval-set index is built once per release and
+    * probed by every ingest batch). Deterministic build, so memoization
+    * changes no result.
+    */
+  private val bloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+  private[graft] def benchBloom(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomMemo.computeIfAbsent(dir, _ =>
+      Dedup.buildBenchBloom(col("doc_id"), col("text"), 8, fpp = 0.01)(
+        docs(s, dir).filter(col("doc_id") < 50)))
+
+  /** One corpus token count-min sketch (plus the exact total-token count
+    * that sizes the heavy-hitter threshold) per sf dir, memoized like
+    * [[trainedModel]]. Seeded build — deterministic.
+    */
+  private val cmsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.util.sketch.CountMinSketch, Long)]()
+  private[graft] def tokenCms(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.util.sketch.CountMinSketch, Long) =
+    cmsMemo.computeIfAbsent(dir, _ => {
+      val d = docs(s, dir)
+      val total = d.select(sum(size(Texts.tokens(col("text")))).cast("long"))
+        .head.getLong(0)
+      (TextAnalysis.buildTokenCms(col("text"), eps = 1e-4, confidence = 0.99)(d),
+        math.ceil(total * 0.02).toLong)
+    })
+
+  /** One PCA model per sf dir over the embeddings table, memoized like
+    * [[trainedModel]] (fit once, project everywhere). The fit is
+    * deterministic: one exact moment pass + cyclic Jacobi with canonical
+    * sign fix.
+    */
+  private val pcaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.PcaModel]()
+  private[graft] def pcaModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): Pca.PcaModel =
+    pcaMemo.computeIfAbsent(dir, _ =>
+      Pca.fit(Tables.embeddings(s, dir), col("embedding"), k = 4))
+
   private val lrMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Classifier.LogRegModel]()
   private[graft] def trainedLr(s: org.apache.spark.sql.SparkSession,
@@ -242,19 +301,7 @@ object ExtensionQueries {
             d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
           .select(col("doc_id"), col("lang"), col("source"))
       },
-      // mirror of Texts.explodedShingles at n=8: 1-indexed starts
-      // 1..len-7, space-joined; docs shorter than 8 tokens have no
-      // shingles and are trivially clean
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |sh AS (SELECT doc_id,
-             |         unnest([array_to_string(toks[i:i+7], ' ')
-             |                 for i in range(1, len(toks) - 6)]) AS s
-             |       FROM toks WHERE len(toks) >= 8),
-             |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
-             |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bs USING (s)
-             |        WHERE sh.doc_id >= 50)
-             |SELECT doc_id, lang, source FROM documents
-             |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
+      Some(decontOracleSql),
       "X1/X2 benchmark decontamination: drop corpus docs sharing any 8-token " +
         "shingle with the eval set (broadcast semi-join, corpus never shuffled)"),
 
@@ -1071,6 +1118,67 @@ object ExtensionQueries {
              |       md5(substring(text, CAST(frame_idx*32+1 AS INT), 32)) AS frame_md5,
              |       len(substring(text, CAST(frame_idx*32+1 AS INT), 32)) AS n_chars
              |FROM e WHERE frame_idx % 2 = 0""".stripMargin),
-      "X4 frame sampling over opaque payloads: fixed grid, every-k stride, no decode, no lambda boundary")
+      "X4 frame sampling over opaque payloads: fixed grid, every-k stride, no decode, no lambda boundary"),
+
+    // ====== sketch-accelerated curation (Bloom / count-min) + PCA ======
+
+    Q("x25_bloom_decon",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.decontaminateBloom(col("doc_id"), col("text"), 8, benchBloom(s, dir))(
+            d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(decontOracleSql),
+      "x8's decontamination re-planned through a broadcast Bloom prefilter: " +
+        "the map-side sketch probe drops clean shingles before the semi join, " +
+        "so join traffic is bounded by contamination + fpp, not corpus size; " +
+        "no false negatives + exact confirm = same oracle as x8"),
+
+    Q("x26_heavy_hitters",
+      (s, dir) => {
+        val (cms, thr) = tokenCms(s, dir)
+        TextAnalysis.heavyHitters(col("text"), thr, cms)(docs(s, dir))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+             |            FROM documents),
+             |thr AS (SELECT CAST(ceil(count(*) * 0.02) AS BIGINT) AS t FROM toks)
+             |SELECT token, count(*) AS cnt FROM toks
+             |GROUP BY token HAVING count(*) >= (SELECT t FROM thr)""".stripMargin),
+      "exact corpus heavy hitters (tokens at >= 2% of the stream) behind a " +
+        "count-min prefilter: CMS never underestimates, so the map-side cut " +
+        "keeps every true heavy hitter and the exact groupBy confirm shuffles " +
+        "only candidates — the vocabulary long tail dies before the exchange"),
+
+    Q("x27_boilerplate",
+      (s, dir) => TextAnalysis.removeBoilerplate(
+        col("doc_id"), col("text"), blockTokens = 8, minDocs = 3)(docs(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |e AS (SELECT doc_id, t,
+             |        unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+             |      FROM toks),
+             |blk AS (SELECT doc_id, CAST(i AS INT) AS idx,
+             |          array_to_string(t[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS b
+             |        FROM e),
+             |hot AS (SELECT b FROM blk GROUP BY b HAVING count(DISTINCT doc_id) >= 3),
+             |kept AS (SELECT * FROM blk WHERE b NOT IN (SELECT b FROM hot))
+             |SELECT d.doc_id,
+             |       coalesce(string_agg(k.b, ' ' ORDER BY k.idx), '') AS clean_text
+             |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+             |GROUP BY d.doc_id""".stripMargin),
+      "C4-style boilerplate cut at 8-token-block granularity: blocks recurring " +
+        "in >= 3 distinct docs are dropped corpus-wide and survivors reassemble " +
+        "in order — one block-keyed aggregate, one anti-join against the " +
+        "(small by construction) hot set, one doc-keyed reassembly aggregate"),
+
+    Q("x28_pca_project",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          Pca.project(col("embedding"), pcaModel(s, dir), 4).as("proj")),
+      None, // eigensolve not expressible in DuckDB SQL; invariants in x28_pca_check
+      "PCA dimensionality reduction for the embedding pipeline: one exact " +
+        "distributed moment pass + driver Jacobi eigensolve (planner-side, " +
+        "like k-means centers), then map-only codegen'd literal-dot projection " +
+        "— zero corpus shuffle to project")
   )
 }

@@ -584,4 +584,87 @@ object TextAnalysis {
       .select(col("doc_id"), col("part"), col("n_tokens"), col("start_offset"),
         floor(col("start_offset") / windowTokens).as("bin"))
   }
+
+  /** Count-min sketch over the corpus token stream — the heavy-hitter index
+    * artifact: built in one treeAggregate pass (`stat.countMinSketch`),
+    * merged associatively across partitions, a few hundred KB on the
+    * driver at eps 1e-4. Deterministic for a given seed.
+    */
+  def buildTokenCms(text: Column, eps: Double, confidence: Double)(
+      df: DataFrame): org.apache.spark.util.sketch.CountMinSketch =
+    df.select(explode(Texts.tokens(text)).as("token"))
+      .stat.countMinSketch(col("token"), eps, confidence, 42)
+
+  /** Exact heavy hitters (tokens with >= `threshold` occurrences) with a
+    * count-min-sketch prefilter — sketch-prune-then-confirm, the same
+    * pattern as [[Dedup.decontaminateBloom]]:
+    *
+    *  - the broadcast CMS is probed MAP-SIDE per occurrence, and CMS never
+    *    underestimates, so every true heavy hitter survives the cut;
+    *  - the exact `groupBy(token).count` then runs over surviving
+    *    occurrences only, and its final `>= threshold` filter removes the
+    *    sketch's (bounded, one-sided) false positives.
+    *
+    * The result is therefore EXACTLY the tokens with true count >=
+    * `threshold` — oracle-checkable — while the groupBy shuffle carries
+    * only candidate occurrences instead of the whole token stream. At
+    * 100 TB that is the difference between shuffling every token of the
+    * corpus and shuffling the heavy tail the query is actually about
+    * (plus eps*N sketch noise). The long tail — the overwhelming majority
+    * of a web corpus's vocabulary — dies in the map stage.
+    */
+  def heavyHitters(text: Column, threshold: Long,
+      cms: org.apache.spark.util.sketch.CountMinSketch)(
+      df: DataFrame): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val cmsB = df.sparkSession.sparkContext.broadcast(cms)
+    val est = udf((t: String) => if (t == null) 0L else cmsB.value.estimateCount(t))
+    df.select(explode(Texts.tokens(text)).as("token"))
+      .filter(est(col("token")) >= threshold)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
+  /** Corpus-frequent block removal — the C4-style boilerplate cut, at block
+    * rather than line granularity (the fixture's documents are single-line):
+    * split each document into fixed `blockTokens`-token blocks (ragged
+    * tail kept), drop every block whose text occurs in >= `minDocs`
+    * DISTINCT documents (navigation chrome, license banners, template
+    * fragments — content that survives document-level dedup because the
+    * surrounding text differs), and reassemble the remaining blocks in
+    * order. Emits (doc_id, clean_text); a fully-boilerplate document
+    * keeps its row with an empty string, so the op is total.
+    *
+    * Scale: one shuffle of the block stream for the block-frequency
+    * aggregate (map-side combine — a block in 10M docs contributes one row
+    * per partition, not 10M), one broadcastable anti-join against the hot
+    * set (hot blocks are few BY CONSTRUCTION — each must recur across
+    * `minDocs` docs), and one shuffle back on doc_id to reassemble. The
+    * per-doc reassembly is an `array_sort(collect_list(struct(idx, b)))`
+    * aggregate, not a window — no per-doc sort pass over the corpus.
+    */
+  def removeBoilerplate(id: Column, text: Column, blockTokens: Int,
+      minDocs: Int)(df: DataFrame): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = df.select(id.as("doc_id"), Texts.tokens(text).as("t"))
+    val nBlocks = ceil(size(col("t")).cast("double") / blockTokens).cast("int")
+    val blocks = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nBlocks - 1),
+          i => array_join(slice(col("t"), i * blockTokens + 1, lit(blockTokens)), " "))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "b")
+    val hot = blocks.groupBy(col("b"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("b"))
+    val clean = blocks.join(hot, Seq("b"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("b")))),
+          x => x.getField("b")), " ").as("clean_text"))
+    toks.select(col("doc_id"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

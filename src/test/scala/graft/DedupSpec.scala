@@ -214,4 +214,38 @@ class DedupSpec extends SparkSpec {
     // in-doc repetition must NOT count as cross-doc duplication
     assert(out === Set(Seq(0L, 2L, 0L, 0.0), Seq(1L, 2L, 0L, 0.0)))
   }
+
+  test("X1 Bloom-prefiltered decontamination equals the exact plan") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words alpha beta gamma delta suffix"), // contaminated
+      (11L, "clean document with none of the benchmark grams"),
+      (12L, "alpha beta gamma but no full shingle"), // 4-gram absent → clean
+      (13L, "x")) // shorter than n → trivially clean
+      .toDF("doc_id", "text")
+    val bloom = Dedup.buildBenchBloom(col("doc_id"), col("text"), 4, fpp = 0.01)(bench)
+    val viaBloom = Dedup.decontaminateBloom(col("doc_id"), col("text"), 4, bloom)(
+      corpus, bench)
+    val exact = Dedup.decontaminate(col("doc_id"), col("text"), 4)(corpus, bench)
+    assert(rowsOf(viaBloom) === rowsOf(exact))
+    assert(rowsOf(viaBloom.select(col("doc_id"))) === Set(Seq(11L), Seq(12L), Seq(13L)))
+  }
+
+  test("Bloom decontamination stays exact under a deliberately saturated sketch") {
+    import spark.implicits._
+    // an undersized, high-fpp filter makes nearly every probe positive —
+    // the exact confirm join must still remove every false positive, so
+    // the RESULT cannot depend on sketch quality (only the plan's traffic)
+    val bench = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b c d e"), // contaminated
+      (11L, "e f g h i"), (12L, "j k l m n")).toDF("doc_id", "text")
+    val saturated = org.apache.spark.util.sketch.BloomFilter.create(2, 0.5)
+    saturated.putString("a b c d") // the real bench shingle: membership contract
+    (0 until 64).foreach(i => saturated.putString(s"junk $i")) // …drowned in noise
+    val out = Dedup.decontaminateBloom(col("doc_id"), col("text"), 4, saturated)(
+      corpus, bench)
+    assert(rowsOf(out.select(col("doc_id"))) === Set(Seq(11L), Seq(12L)))
+  }
 }

@@ -219,4 +219,29 @@ class PlanSpec extends SparkSpec {
     // agg below it — partial_sum must appear AFTER the exchange line
     assert(partial > exchange, s"q1 partial agg is not below the exchange:\n$p")
   }
+
+  test("x25/x26: the broadcast sketch probe filters MAP-SIDE, below every exchange") {
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect), so
+    // plan the two sketch-prefilter queries without it for this assertion
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    spark.conf.set(aqe, "false")
+    try {
+      for (name <- Seq("x25_bloom_decon", "x26_heavy_hitters")) {
+        val exec = Queries.queries(name)(spark, dir).queryExecution.executedPlan
+        val probes = exec.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if f.condition.toString.contains("UDF") => f
+        }
+        assert(probes.nonEmpty, s"$name plans no sketch-probe filter:\n$exec")
+        // nothing below the probe may shuffle: the sketch cut must happen
+        // before the corpus stream ever reaches an exchange — that is the
+        // entire 100 TB point of prefiltering
+        for (probe <- probes)
+          assert(probe.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.isEmpty, s"$name shuffles below the sketch probe:\n$exec")
+      }
+    } finally spark.conf.set(aqe, prev)
+  }
 }

@@ -378,4 +378,51 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0)
     assert(counts.getLong(0) < counts.getLong(1))
   }
+
+  test("heavy hitters: CMS prefilter + exact confirm equals the exact answer") {
+    import spark.implicits._
+    // token counts: a=6, b=3, c=2, d=1 → threshold 3 keeps {a, b}
+    val df = Seq((1L, "a a a b b c"), (2L, "a a a b c d")).toDF("doc_id", "text")
+    val cms = TextAnalysis.buildTokenCms(col("text"), eps = 1e-4, confidence = 0.99)(df)
+    val out = TextAnalysis.heavyHitters(col("text"), 3L, cms)(df)
+    assert(rowsOf(out) === Set(Seq("a", 6L), Seq("b", 3L)))
+  }
+
+  test("heavy hitters stay exact under a colliding (coarse) sketch") {
+    import spark.implicits._
+    // eps 0.9 → a 3-counter-wide sketch: every token collides with every
+    // other, so the prefilter passes nearly everything — the exact confirm
+    // must still cut to the true >= threshold set (CMS is one-sided:
+    // overestimates only, so no true heavy hitter can be lost)
+    val df = Seq((1L, "a a a b b c"), (2L, "a a a b c d")).toDF("doc_id", "text")
+    val coarse = TextAnalysis.buildTokenCms(col("text"), eps = 0.9, confidence = 0.5)(df)
+    val out = TextAnalysis.heavyHitters(col("text"), 3L, coarse)(df)
+    assert(rowsOf(out) === Set(Seq("a", 6L), Seq("b", 3L)))
+  }
+
+  test("boilerplate removal drops corpus-hot blocks and reassembles in order") {
+    import spark.implicits._
+    // block width 2: "x y" opens all three docs → hot at minDocs=3;
+    // doc tails are unique and must survive in their original order
+    val df = Seq(
+      (1L, "x y a b c d"),
+      (2L, "x y e f"),
+      (3L, "x y"), // fully boilerplate → kept as an empty row
+      (4L, "g h i")) // unique blocks (incl. ragged tail "i") untouched
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(col("doc_id"), col("text"), 2, 3)(df)
+    assert(rowsOf(out) === Set(
+      Seq(1L, "a b c d"), Seq(2L, "e f"), Seq(3L, ""), Seq(4L, "g h i")))
+  }
+
+  test("boilerplate removal counts DISTINCT docs, not occurrences") {
+    import spark.implicits._
+    // "p q" repeats 3 times inside doc 1 but exists in only 2 docs →
+    // NOT hot at minDocs=3 (in-doc repetition is x4h's business, not x27's)
+    val df = Seq(
+      (1L, "p q p q p q"),
+      (2L, "p q z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(col("doc_id"), col("text"), 2, 3)(df)
+    assert(rowsOf(out) === Set(Seq(1L, "p q p q p q"), Seq(2L, "p q z w")))
+  }
 }

@@ -30,12 +30,32 @@ object Bench {
     // its round-1 time). A 100 TB cluster job compiles codegen once and
     // then processes data for hours, so steady-state per-query time is the
     // honest scale metric; the timed second pass reports exactly that.
-    for ((_, fn) <- SparkEntry.queries)
+    // Optional dev-time filter (regex on query name) for targeted perf
+    // work; the driver never sets it, so the recorded bench always covers
+    // the full catalog.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val picked = SparkEntry.queries.filter { case (name, _) =>
+      filter.forall(_.findFirstIn(name).isDefined)
+    }
+    // Drop the localCheckpoint blocks a query leaves behind before timing
+    // the next one. Checkpointed RDDs stay persisted until the DRIVER GCs
+    // the Dataset (ContextCleaner), so across a 130+-query catalog they
+    // accumulate in the unified memory region and starve execution memory
+    // for unrelated queries (measured: a2_windowed_count 0.95 s isolated vs
+    // 37 s late in a full pass). Each catalog entry is an independent job in
+    // production — its transient blocks die with it there, and must here.
+    def dropTransientBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    for ((_, fn) <- picked) {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+      dropTransientBlocks()
+    }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropTransientBlocks()
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

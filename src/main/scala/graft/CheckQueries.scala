@@ -470,6 +470,59 @@ object CheckQueries {
         "TRUE AS components_orthonormal, TRUE AS spectrum_descending"),
       "invariant for x28: projected per-axis population variance equals the " +
         "model's eigenvalues, projections centered, components orthonormal, " +
-        "spectrum descending")
+        "spectrum descending"),
+
+    Q("x32_mixture_check",
+      (s, dir) => {
+        // dual-derivation of x32's keep set through an INDEPENDENT
+        // formulation of the md5 routing rule: the operator compares the
+        // full 32-hex md5 STRING against a 6-hex threshold (lexicographic;
+        // a 32-char string whose prefix equals the threshold sorts above
+        // it, so prefix == threshold is excluded), the twin PARSES the
+        // 6-hex prefix to a number and compares against floor(rate * 2^24)
+        // (prefix == bucket excluded by <) — equal rules iff both
+        // implementations are right. Assignments and rates are shared
+        // deterministic inputs; the RULE is what is derived twice.
+        val m = ExtensionQueries.trainedModel(s, dir)
+        val assigned = docs(s, dir).join(
+          emb(s, dir).select(col("vec_id"),
+            Clustering.assignTo(L2Normalize(col("embedding")), m)
+              .cast("string").as("cluster")),
+          col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("cluster"),
+            size(graft.ops.Texts.tokens(col("text"))).as("n_tok"))
+          .localCheckpoint() // one evaluation feeds totals + twin filter
+        val totals = assigned.groupBy(col("cluster"))
+          .agg(sum(col("n_tok").cast("long")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val targets = m.centers.indices
+          .map(i => i.toString -> 1.0 / m.centers.length).toMap
+        val rates = graft.ops.TextAnalysis.mixtureRates(totals, targets, 2000L)
+        val prefixVal =
+          conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+        val twinKeep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+          case (acc, (st, r)) =>
+            val keep =
+              if (r >= 1.0) lit(true)
+              else if (r <= 0.0) lit(false)
+              else prefixVal < lit(math.floor(r * 0x1000000).toLong)
+            when(col("cluster") === st, keep).otherwise(acc)
+        }
+        val twin = assigned.filter(twinKeep)
+          .select(col("doc_id"), col("cluster").cast("int").as("cluster"))
+        val main = Queries.queries("x32_cluster_mixture")(s, dir)
+          .localCheckpoint()
+        val onlyMain = main.exceptAll(twin).agg(count(lit(1)).as("c1"))
+        val onlyTwin = twin.exceptAll(main).agg(count(lit(1)).as("c2"))
+        main.agg(count(lit(1)).as("n_kept")).crossJoin(onlyMain)
+          .crossJoin(onlyTwin)
+          .select((col("c1") === 0 && col("c2") === 0).as("rule_twin_agrees"),
+            (col("n_kept") > 0).as("kept_nonempty"))
+      },
+      Some("SELECT TRUE AS rule_twin_agrees, TRUE AS kept_nonempty"),
+      "invariant for x32: the md5 keep rule re-derived numerically " +
+        "(parsed 6-hex prefix vs floor(rate*2^24)) selects exactly the " +
+        "operator's string-compared keep set, and the mixture is non-empty")
   )
 }

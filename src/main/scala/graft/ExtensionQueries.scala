@@ -1179,6 +1179,116 @@ object ExtensionQueries {
       "PCA dimensionality reduction for the embedding pipeline: one exact " +
         "distributed moment pass + driver Jacobi eigensolve (planner-side, " +
         "like k-means centers), then map-only codegen'd literal-dot projection " +
-        "— zero corpus shuffle to project")
+        "— zero corpus shuffle to project"),
+
+    Q("x29_bigram_lm",
+      (s, dir) => TextAnalysis.bigramLogProb(col("doc_id"), col("text"),
+        col("doc_id") % 2 === 0)(docs(s, dir)),
+      // mirror of bigramLogProb: train slice doc_id % 2 = 0, stupid backoff
+      // cb/c_prev for seen bigrams, 0.4 * add-1 unigram for unseen; docs
+      // shorter than 2 tokens produce no bigrams and no row
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pe AS (SELECT doc_id, pc.prev AS prev, pc.cur AS cur
+             |       FROM (SELECT doc_id,
+             |               unnest([struct_pack(prev := t[i], cur := t[i+1])
+             |                       for i in range(1, len(t))]) AS pc
+             |             FROM toks WHERE len(t) >= 2)),
+             |c AS (SELECT term, count(*) AS c
+             |      FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id % 2 = 0)
+             |      GROUP BY term),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t_tokens,
+             |               CAST(count(*) AS DOUBLE) AS vocab FROM c),
+             |tb AS (SELECT prev, cur, count(*) AS cb FROM pe
+             |       WHERE doc_id % 2 = 0 GROUP BY prev, cur),
+             |cells AS (SELECT doc_id, prev, cur, count(*) AS tf FROM pe
+             |          GROUP BY doc_id, prev, cur)
+             |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |       round(sum(tf * ln(CASE WHEN tb.cb IS NOT NULL
+             |                   THEN CAST(tb.cb AS DOUBLE) / CAST(cp.c AS DOUBLE)
+             |                   ELSE 0.4 * (coalesce(cc.c, 0) + 1.0) / (t_tokens + vocab) END))
+             |             / sum(tf), 4) AS avg_logp
+             |FROM cells
+             |LEFT JOIN tb USING (prev, cur)
+             |LEFT JOIN c cp ON cp.term = cells.prev
+             |LEFT JOIN c cc ON cc.term = cells.cur
+             |CROSS JOIN tot
+             |GROUP BY doc_id""".stripMargin),
+      "X3 bigram LM with stupid backoff (KenLM-shaped perplexity filter): " +
+        "counts trained on the even-doc_id half, scored corpus-wide — seen " +
+        "bigrams score cb/c_prev, unseen back off to the add-1 unigram; the " +
+        "bigram stream collapses to (doc,prev,cur,tf) cells before the " +
+        "count-keyed scoring joins"),
+
+    Q("x30_dedup_blocks",
+      // blockTokens=2 is the granularity at which the fixture's docs
+      // actually repeat (174/500 docs trim at sf0.001) — the op must
+      // demonstrably cut, not just round-trip
+      (s, dir) => TextAnalysis.dedupBlocksWithinDoc(
+        col("doc_id"), col("text"), blockTokens = 2)(docs(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |e AS (SELECT doc_id, t,
+             |        unnest(range(0, CAST(ceil(len(t)/2.0) AS BIGINT))) AS i
+             |      FROM toks),
+             |blk AS (SELECT doc_id, CAST(i AS INT) AS idx,
+             |          array_to_string(t[CAST(i*2+1 AS INT):CAST(i*2+2 AS INT)], ' ') AS b
+             |        FROM e),
+             |firsts AS (SELECT doc_id, b, min(idx) AS idx FROM blk
+             |           GROUP BY doc_id, b)
+             |SELECT doc_id, string_agg(b, ' ' ORDER BY idx) AS clean_text
+             |FROM firsts GROUP BY doc_id""".stripMargin),
+      "X1 intra-document repeated-block trim: first occurrence of each " +
+        "distinct 2-token block survives, in order — the within-doc cut for " +
+        "looping/template pages; per-doc aggregates only, no join, no window"),
+
+    Q("x31_quantize_int8",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          array_min(col("embedding")).cast("double").as("qmin"),
+          array_max(col("embedding")).cast("double").as("qmax"),
+          array_join(graft.functions.QuantizeInt8(col("embedding")), " ")
+            .as("codes")),
+      // codes as a space-joined string so the driver's value hash sees a
+      // plain varchar; CASTs to DOUBLE keep DuckDB out of float32
+      // arithmetic (the expression computes in double throughout)
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |  CAST(list_min(embedding) AS DOUBLE) AS qmin,
+             |  CAST(list_max(embedding) AS DOUBLE) AS qmax FROM embeddings)
+             |SELECT vec_id, qmin, qmax,
+             |  CASE WHEN qmax > qmin THEN array_to_string(
+             |    [CAST(round((CAST(x AS DOUBLE) - qmin)
+             |                / ((qmax - qmin) / 255.0)) AS INT)
+             |     for x in embedding], ' ')
+             |  ELSE array_to_string([0 for x in embedding], ' ') END AS codes
+             |FROM e""".stripMargin),
+      "X2 per-vector int8 scalar quantization of the embedding store (4x " +
+        "storage/scan cut before ANN serving): map-only native codegen, " +
+        "round-half-up codes 0..255 with per-vector min/max for exact " +
+        "dequantization — no shuffle, no state"),
+
+    Q("x32_cluster_mixture",
+      (s, dir) => {
+        val m = trainedModel(s, dir)
+        // one embedding-keyed join attaches each doc's semantic cluster
+        // (codegen literal-argmax over the driver-held trained centers —
+        // zero shuffle to assign), then the token-budget mixture routes on
+        // cluster exactly as x19 routes on source
+        val assigned = docs(s, dir).join(
+          Tables.embeddings(s, dir).select(col("vec_id"),
+            Clustering.assignTo(L2Normalize(col("embedding")), m)
+              .cast("string").as("cluster")),
+          col("doc_id") === col("vec_id"))
+        val targets = m.centers.indices
+          .map(i => i.toString -> 1.0 / m.centers.length).toMap
+        TextAnalysis.mixToTokenBudget(col("doc_id"), col("cluster"),
+          size(Texts.tokens(col("text"))), targets, 2000L)(assigned)
+          .select(col("doc_id"), col("cluster").cast("int").as("cluster"))
+      },
+      None, // cluster assignments come from the driver-trained model;
+            // invariants in x32_mixture_check
+      "cluster-balanced token mixture (semantic diversity balancing): " +
+        "uniform per-cluster token budgets over trained k-means assignments " +
+        "— over-represented semantic clusters are down-sampled by the same " +
+        "deterministic md5 routing as x19, so the training mix is balanced " +
+        "by MEANING, not just by source label")
   )
 }

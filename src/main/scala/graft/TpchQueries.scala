@@ -225,8 +225,8 @@ object TpchQueries {
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
             .as("low_line_count")),
       Some("""SELECT l_linestatus,
-             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
              |GROUP BY l_linestatus""".stripMargin),

@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop localCheckpoint blocks between queries (see Bench): they only
+      // free on driver GC, and 130+ accumulated checkpoints starve the
+      // unified memory region
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

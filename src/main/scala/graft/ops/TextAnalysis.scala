@@ -667,4 +667,104 @@ object TextAnalysis {
       .join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Corpus-trained bigram language model with stupid backoff — the
+    * KenLM-shaped upgrade of [[unigramLogProb]] for perplexity-style
+    * quality filtering: per document, the mean log-probability of its
+    * token bigrams under counts trained on the `isTrain` slice of the
+    * corpus. A seen bigram scores `count(prev,cur)/count(prev)` (raw
+    * counts, the stupid-backoff definition — no discounting); an unseen
+    * bigram backs off to `alpha * (count(cur)+1)/(T+V)`, the same add-1
+    * unigram estimate as [[unigramLogProb]], so out-of-vocabulary tokens
+    * stay finite. Training on a split (rather than the scored corpus
+    * itself) is what makes backoff reachable: a self-trained bigram table
+    * contains every scored bigram by construction.
+    *
+    * Docs with fewer than two tokens have no bigrams and are absent from
+    * the result (same contract as the shingle ops at n=2).
+    *
+    * Scale: the raw bigram stream collapses to (doc, prev, cur, tf) cells
+    * before any scoring join — a hot bigram carries its document
+    * frequency, not its occurrence count, through the bigram-keyed
+    * shuffle (the same cell trick as [[unigramLogProb]]). Count tables
+    * reduce to one row per bigram/term with map-side combine, AQE
+    * broadcasts them when they fit, and the corpus constants (T, V) are a
+    * one-row broadcast aggregate. Training and scoring in one query is
+    * the honest cold-cost benchmark; a production pipeline persists the
+    * count tables once per corpus release.
+    */
+  def bigramLogProb(id: Column, text: Column, isTrain: Column,
+      alpha: Double = 0.4)(df: DataFrame): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val base = df.select(id.as("doc_id"), isTrain.as("is_train"),
+      Texts.tokens(text).as("t"))
+    val uni = base.filter(col("is_train"))
+      .select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("t_tokens"),
+      count(lit(1)).cast("double").as("vocab"))
+    // adjacent pairs via explode over start positions + element_at — the
+    // codegen bulk-path idiom of Texts.explodedShingles, kept inline so
+    // prev/cur stay separate columns (the backoff needs count(cur) alone)
+    val pairs = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_train"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"), col("is_train"),
+        element_at(col("t"), col("i")).as("prev"),
+        element_at(col("t"), col("i") + 1).as("cur"))
+    val cells = pairs.groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("tf"))
+    val trainBig = pairs.filter(col("is_train"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val cPrev = uni.select(col("term").as("prev"), col("c").as("c_prev"))
+    val cCur = uni.select(col("term").as("cur"), col("c").as("c_cur"))
+    // cb non-null implies prev was seen in training, so c_prev is non-null
+    // exactly when the seen branch is taken
+    val p = when(col("cb").isNotNull,
+        col("cb").cast("double") / col("c_prev").cast("double"))
+      .otherwise(lit(alpha)
+        * (coalesce(col("c_cur"), lit(0L)).cast("double") + lit(1.0))
+        / (col("t_tokens") + col("vocab")))
+    cells.join(trainBig, Seq("prev", "cur"), "left")
+      .join(cPrev, Seq("prev"), "left")
+      .join(cCur, Seq("cur"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf").cast("double") * log(p))
+          / sum(col("tf")).cast("double"), 4).as("avg_logp"))
+  }
+
+  /** Intra-document repeated-block trimming — the within-doc complement of
+    * [[removeBoilerplate]] (which cuts blocks hot ACROSS documents): split
+    * each document into fixed `blockTokens`-token blocks, keep only the
+    * FIRST occurrence of each distinct block within the document, and
+    * reassemble survivors in order. This is the cheap trim for the
+    * crawler/template pathology [[repetitionRatio]] measures — a page whose
+    * content loops (repeated nav chrome, copy-pasted paragraphs, generator
+    * stutter) shrinks to one copy per distinct block. Total: every input
+    * doc keeps a row.
+    *
+    * Scale: per-doc work only — one shuffle on (doc_id, block) for the
+    * first-occurrence aggregate (map-side combine collapses in-partition
+    * repeats) and one on doc_id to reassemble; no corpus-wide state, no
+    * window, no join.
+    */
+  def dedupBlocksWithinDoc(id: Column, text: Column, blockTokens: Int)(
+      df: DataFrame): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val toks = df.select(id.as("doc_id"), Texts.tokens(text).as("t"))
+    val nBlocks = ceil(size(col("t")).cast("double") / blockTokens).cast("int")
+    val blocks = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nBlocks - 1),
+          i => array_join(slice(col("t"), i * blockTokens + 1, lit(blockTokens)), " "))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "b")
+    blocks.groupBy(col("doc_id"), col("b"))
+      .agg(min(col("idx")).as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("b")))),
+          x => x.getField("b")), " ").as("clean_text"))
+  }
 }

@@ -275,4 +275,45 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out === Map(0L -> false, 1L -> true, 2L -> true))
   }
+
+  test("int8 quantization: hand values, constant-vector guard, dequant bound") {
+    import graft.functions.QuantizeInt8
+    // [0, 1, 2] → mn=0, sc=2/255; codes round((x)/sc): 0, 127.5→128, 255
+    val df = Seq(
+      (0L, Array(0.0f, 1.0f, 2.0f)),
+      (1L, Array(3.0f, 3.0f, 3.0f))). // constant → all-zero codes, not NaN
+      toDF("id", "vec")
+    val out = df.select(col("id"), QuantizeInt8(col("vec")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(0L) === Seq(0, 128, 255))
+    assert(out(1L) === Seq(0, 0, 0))
+    // reconstruction: |mn + q*sc - x| <= sc/2 on every element
+    val err = vecs.select(
+      QuantizeInt8(col("vec")).as("q"),
+      array_min(col("vec")).cast("double").as("mn"),
+      ((array_max(col("vec")) - array_min(col("vec"))).cast("double") / 255.0).as("sc"),
+      col("vec"))
+      .select(max(expr(
+        "aggregate(zip_with(q, vec, (qi, xi) -> abs(mn + qi * sc - cast(xi as double))), " +
+          "0D, (acc, e) -> greatest(acc, e))")).as("worst"),
+        max(col("sc") / 2.0).as("bound"))
+      .head
+    assert(err.getDouble(0) <= err.getDouble(1) + 1e-12)
+  }
+
+  test("int8 quantization: codegen and interpreted paths agree") {
+    import graft.functions.QuantizeInt8
+    val withCodegen = vecs.select(QuantizeInt8(col("vec")).as("q")).collect()
+    val interp = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val noCodegen = vecs.select(QuantizeInt8(col("vec")).as("q")).collect()
+      assert(withCodegen.map(_.getSeq[Int](0)).toSeq ===
+        noCodegen.map(_.getSeq[Int](0)).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", interp)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }

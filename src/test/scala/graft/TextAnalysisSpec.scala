@@ -415,6 +415,53 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(1L, "a b c d"), Seq(2L, "e f"), Seq(3L, ""), Seq(4L, "g h i")))
   }
 
+  test("bigram LM: seen bigrams score cb/c_prev, unseen back off to add-1 unigram") {
+    import spark.implicits._
+    // train = doc 0 only: tokens [a b a b c] → unigrams a:2 b:2 c:1
+    // (T=5, V=3); bigrams: (a,b):2 (b,a):1 (b,c):1
+    val df = Seq(
+      (0L, "a b a b c"),
+      (1L, "a b x"), // (a,b) seen; (b,x) unseen, x OOV
+      (2L, "z")) // single token → no bigrams → no row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(col("doc_id"), col("text"),
+      col("doc_id") === 0)(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(2L))
+    // doc 0: ln(2/2)+ln(1/2)+ln(2/2)+ln(1/2) over 4 bigrams
+    val d0 = (math.log(1.0) + math.log(0.5) + math.log(1.0) + math.log(0.5)) / 4
+    assert(out(0L)._1 === 4L)
+    assert(math.abs(out(0L)._2 - math.rint(d0 * 1e4) / 1e4) < 1e-9)
+    // doc 1: (a,b) seen → ln(2/2); (b,x) unseen, x OOV → ln(0.4 * 1/8)
+    val d1 = (math.log(1.0) + math.log(0.4 * 1.0 / 8.0)) / 2
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - math.rint(d1 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("bigram LM: unseen bigram of in-vocab token uses that token's count") {
+    import spark.implicits._
+    // train: [c a] → unigrams a:1 c:1 (T=2, V=2); bigram (c,a):1
+    // score doc 1: (a,c) unseen → backoff to c: 0.4 * (1+1)/(2+2) = 0.2
+    val df = Seq((0L, "c a"), (1L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(col("doc_id"), col("text"),
+      col("doc_id") === 0)(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val d1 = math.log(0.2)
+    assert(math.abs(out(1L) - math.rint(d1 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("intra-doc block dedup keeps first occurrences in order, is total") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y a b x y c d"), // block "x y" repeats → one copy, position kept
+      (2L, "p q p q p q"), // generator stutter collapses to one block
+      (3L, "u v w")) // unique blocks (ragged tail "w") untouched
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupBlocksWithinDoc(col("doc_id"), col("text"), 2)(df)
+    assert(rowsOf(out) === Set(
+      Seq(1L, "x y a b c d"), Seq(2L, "p q"), Seq(3L, "u v w")))
+  }
+
   test("boilerplate removal counts DISTINCT docs, not occurrences") {
     import spark.implicits._
     // "p q" repeats 3 times inside doc 1 but exists in only 2 docs →

@@ -523,6 +523,52 @@ object CheckQueries {
       Some("SELECT TRUE AS rule_twin_agrees, TRUE AS kept_nonempty"),
       "invariant for x32: the md5 keep rule re-derived numerically " +
         "(parsed 6-hex prefix vs floor(rate*2^24)) selects exactly the " +
-        "operator's string-compared keep set, and the mixture is non-empty")
+        "operator's string-compared keep set, and the mixture is non-empty"),
+
+    Q("x33_ivfpq_check",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val m = ExtensionQueries.trainedModel(s, dir)
+        val cbs = ExtensionQueries.trainedPqCodebooks(s, dir)
+        val nprobe = 2
+        val ann = Similarity.ivfPqTopK(corpus, queries,
+          Clustering.centroidsDf(s, m), cbs, 3, nprobe)
+        // interpreted per-center sims of a vector (cosineHof twin of the
+        // native expression the operator routes with — bit-identical fold)
+        def centerSims(vec: org.apache.spark.sql.Column) =
+          array(m.centers.map(c => Similarity.cosineHof(vec, typedlit(c))): _*)
+        ann
+          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+          .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
+          // hit's bucket re-derived: argmax (first index on ties) of the
+          // interpreted centroid sims of the CANDIDATE vector
+          .withColumn("csims", centerSims(col("cvec")))
+          .withColumn("qsims", centerSims(col("qv")))
+          .agg(
+            // every emitted sim is the interpreted re-encode + reconstruct
+            // score — PQ arithmetic independently re-derived
+            coalesce(bool_and(abs(col("sim") -
+              Similarity.cosineHof(col("qv"),
+                Similarity.pqReconstruct(
+                  Similarity.pqEncode(col("cvec"), cbs), cbs))) < 1e-6),
+              lit(true)).as("sims_exact"),
+            // routing: the candidate's bucket centroid scores at least the
+            // query's nprobe-th best centroid sim — i.e. the hit came from
+            // a probed bucket (ties at the boundary accepted, matching the
+            // operator's deterministic cid tiebreak)
+            coalesce(bool_and(
+              element_at(col("qsims"),
+                array_position(col("csims"), array_max(col("csims"))).cast("int"))
+                >= element_at(sort_array(col("qsims"), asc = false), nprobe)),
+              lit(true)).as("routing_probed"),
+            (count(lit(1)) > 0).as("found_hits"))
+      },
+      Some("SELECT TRUE AS sims_exact, TRUE AS routing_probed, TRUE AS found_hits"),
+      "invariant for x33: IVF-PQ scores re-verified via interpreted " +
+        "re-encode + reconstruct, and every hit's bucket is within the " +
+        "query's nprobe best centroids (routing honored)")
   )
 }

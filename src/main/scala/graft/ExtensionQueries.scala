@@ -1289,6 +1289,57 @@ object ExtensionQueries {
         "uniform per-cluster token budgets over trained k-means assignments " +
         "— over-represented semantic clusters are down-sampled by the same " +
         "deterministic md5 routing as x19, so the training mix is balanced " +
-        "by MEANING, not just by source label")
+        "by MEANING, not just by source label"),
+
+    Q("x33_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfPqTopK(corpus, queries,
+          Clustering.centroidsDf(s, trainedModel(s, dir)),
+          trainedPqCodebooks(s, dir), k = 3, nprobe = 2)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      None, // both index structures come from in-engine k-means (not
+            // SQL-reproducible); invariants in x33_ivfpq_check
+      "X2 IVF-PQ composite ANN (the FAISS IndexIVFPQ shape): trained coarse " +
+        "routing cuts the scanned fraction to nprobe/nlist, trained PQ codes " +
+        "cut bytes per scanned candidate from 4*dim to m — both index " +
+        "structures built in-engine and applied in one map pass"),
+
+    Q("x34_dedup_spans",
+      (s, dir) => TextAnalysis.dedupSpansAcrossDocs(
+        col("doc_id"), col("text"), spanTokens = 3)(docs(s, dir)),
+      // mirror of dedupSpansAcrossDocs: sliding 3-token spans, a span in
+      // >= 2 distinct docs is cut everywhere except min(doc_id); DuckDB
+      // slices are 1-based inclusive, range() is exclusive-end
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |occ AS (SELECT doc_id, CAST(i AS INT) AS i,
+             |          array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sp
+             |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+             |              FROM toks WHERE len(t) >= 3)),
+             |owners AS (SELECT sp, min(doc_id) AS owner FROM occ
+             |           GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
+             |cut AS (SELECT DISTINCT o.doc_id, o.i + j.r AS pos
+             |        FROM occ o JOIN owners w USING (sp)
+             |        CROSS JOIN (SELECT unnest(range(0, 3)) AS r) j
+             |        WHERE o.doc_id <> w.owner),
+             |alltok AS (SELECT doc_id, CAST(p AS INT) AS pos, t[CAST(p AS INT)] AS tok
+             |           FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks)),
+             |kept AS (SELECT a.doc_id, a.pos, a.tok FROM alltok a
+             |         LEFT JOIN cut c ON a.doc_id = c.doc_id AND a.pos = c.pos
+             |         WHERE c.pos IS NULL)
+             |SELECT t.doc_id,
+             |       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+             |FROM toks t LEFT JOIN kept k USING (doc_id)
+             |GROUP BY t.doc_id""".stripMargin),
+      "X1 cross-document exact-substring dedup (the ExactSubstr cut of Lee " +
+        "et al. ACL 2022, at shingle granularity): any 3-token span " +
+        "appearing verbatim in >= 2 docs survives only in its min-doc_id " +
+        "owner — sliding spans catch duplicated passages at any alignment, " +
+        "overlaps merge by position union, and exactly one copy survives " +
+        "the corpus; ownership is one hash aggregate, never a pair join")
   )
 }

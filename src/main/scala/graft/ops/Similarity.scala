@@ -338,6 +338,61 @@ object Similarity {
         .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
   }
 
+  /** IVF-PQ composite ANN — the FAISS `IndexIVFPQ` shape re-expressed on
+    * Spark: the corpus is routed ONCE into IVF buckets (map-only codegen'd
+    * literal-argmax over the driver-held k-means centroids, as in
+    * [[ivfTopK]]) and in the same pass product-quantized to m small ints
+    * ([[pqEncode]] over literal codebooks); each query probes its `nprobe`
+    * nearest buckets ([[ivfProbeTopK]]'s exploded equi-join — never an
+    * `array_contains` theta-join) and scores only those buckets' members by
+    * reconstruction-based asymmetric distance (query exact, candidate
+    * reconstructed from its codes).
+    *
+    * The two index structures compose multiplicatively at 100 TB: IVF cuts
+    * the scanned FRACTION to ~nprobe/nlist, PQ cuts the BYTES per scanned
+    * candidate from 4·d to m — so the serving scan is one generated-code
+    * map over an index that fits in RAM, and the only shuffle anywhere is
+    * the bounded top-k aggregate (≤ k rows per query per mapper).
+    *
+    * Cosine geometry throughout (spherical k-means centroids and
+    * codebooks), so candidates are encoded directly rather than as coarse
+    * residuals: FAISS's L2 residual encoding has no cosine analogue — the
+    * angle, unlike the squared distance, does not decompose around the
+    * assigned centroid.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: Array[Array[Array[Float]]], k: Int, nprobe: Int): DataFrame = {
+    val centers = collectCenters(centroids)
+    require(nprobe >= 1 && nprobe <= centers.length,
+      s"nprobe must be in [1, ${centers.length}], got $nprobe")
+
+    def nearestCid(vec: Column): Column = {
+      val sims = array(centers.map { case (_, cvec) => cosine(vec, typedlit(cvec)) }: _*)
+      val pos = array_position(sims, array_max(sims)).cast("int")
+      element_at(typedlit(centers.map(_._1)), pos)
+    }
+    def probeCids(vec: Column): Column = {
+      val entries = array(centers.map { case (cid, cvec) =>
+        struct((-cosine(vec, typedlit(cvec))).as("negs"), lit(cid).as("c"))
+      }: _*)
+      slice(sort_array(entries), 1, nprobe)
+    }
+
+    // one map pass builds BOTH index structures for a corpus row
+    val corpusB = corpus.select(col("id"),
+      nearestCid(col("vec")).as("bucket"),
+      pqEncode(col("vec"), codebooks).as("codes"))
+    val queriesB = queries
+      .select(col("qid"), col("qvec"), explode(probeCids(col("qvec"))).as("probe"))
+      .select(col("qid"), col("qvec"), col("probe.c").as("qbucket"))
+    explodeRanked(
+      corpusB.join(broadcast(queriesB),
+          col("bucket") === col("qbucket") && col("id") =!= col("qid"))
+        .withColumn("sim", cosine(col("qvec"), pqReconstruct(col("codes"), codebooks)))
+        .groupBy("qid")
+        .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
+  }
+
   /** ANN via random-hyperplane LSH: bucket corpus and queries by
     * [[hyperplaneBucket]] sign bits (vectors with small angles collide),
     * then exact top-k within each query's bucket. Scans ~corpus/2^nBits

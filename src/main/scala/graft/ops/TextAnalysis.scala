@@ -767,4 +767,64 @@ object TextAnalysis {
         transform(array_sort(collect_list(struct(col("idx"), col("b")))),
           x => x.getField("b")), " ").as("clean_text"))
   }
+
+  /** Cross-document exact-substring deduplication — the ExactSubstr cut of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), at shingle granularity: any `spanTokens`-token
+    * span occurring verbatim in two or more documents is removed from
+    * every document EXCEPT its owner (the minimum doc_id containing it —
+    * one copy of every duplicated span survives the corpus, so no text is
+    * globally lost). Sliding spans (stride 1), unlike
+    * [[removeBoilerplate]]'s fixed non-overlapping blocks, so a duplicated
+    * passage is caught at ANY alignment; overlapping duplicated spans
+    * merge through position-set union. Total: every input doc keeps a row
+    * (possibly empty).
+    *
+    * Spans are keyed by their token STRING — exact string-equality
+    * semantics, no collision caveat, and what the DuckDB oracle can
+    * mirror. At 100 TB the same plan runs with `xxhash64(span)` as the
+    * shuffle key (8 bytes instead of ~spanTokens words; 2^-64 collision
+    * odds); nothing else changes.
+    *
+    * Scale: the span table is one hash aggregate (map-side combine) with
+    * an ownership row per DISTINCT duplicated span; the occurrence-side
+    * join is an equi-join against that (small, AQE-broadcastable) side —
+    * a span hot in a million docs contributes one owner row, not a pair
+    * blowup. Coverage explodes to spanTokens rows per CUT occurrence
+    * (bounded by duplication volume, not corpus size), and reassembly is
+    * per-doc aggregates only.
+    */
+  def dedupSpansAcrossDocs(id: Column, text: Column, spanTokens: Int)(
+      df: DataFrame): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toks = df.select(id.as("doc_id"), Texts.tokens(text).as("t"))
+    val occ = toks.filter(size(col("t")) >= spanTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (spanTokens - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("t"), col("i"), lit(spanTokens)), " ").as("sp"))
+    val owners = occ.groupBy(col("sp"))
+      .agg(min(col("doc_id")).as("owner"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("sp"), col("owner"))
+    // positions covered by a duplicated span in a non-owner doc
+    val cut = occ.join(owners, Seq("sp"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (spanTokens - 1))).as("pos"))
+      .distinct()
+    val allTok = toks
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val clean = allTok.join(cut, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    toks.select(col("doc_id"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

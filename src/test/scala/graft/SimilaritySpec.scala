@@ -276,6 +276,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Map(0L -> false, 1L -> true, 2L -> true))
   }
 
+  test("ivfPqTopK with nprobe = nlist equals pqTopK: a full probe sweep is PQ brute force") {
+    val queries = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f))).toDF("cid", "cvec")
+    val cbs = Array(Array(
+      Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f),
+      Array(0.707f, 0.707f, 0.0f), Array(-1.0f, 0.0f, 0.0f)))
+    val cols = Seq("qid", "rank", "id", "sim").map(col)
+    val full = Similarity.ivfPqTopK(vecs, queries, centroids, cbs, 2, nprobe = 2)
+    val pq = Similarity.pqTopK(vecs, queries, cbs, 2)
+    assert(rowsOf(full.select(cols: _*)) === rowsOf(pq.select(cols: _*)))
+  }
+
+  test("ivfPqTopK with nprobe = 1 draws candidates only from the query's own bucket") {
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f))).toDF("cid", "cvec")
+    val cbs = Array(Array(
+      Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f),
+      Array(0.707f, 0.707f, 0.0f), Array(-1.0f, 0.0f, 0.0f)))
+    // bucket0 = {0, 2 (tie → lower cid)}; bucket1 = {1, 3 (cos −1 vs 0), 4}
+    // query on the x-axis probes only bucket0 → sole candidate besides self is 2
+    val out = Similarity.ivfPqTopK(vecs, queries, centroids, cbs, 3, nprobe = 1)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("ivfPqTopK plans one exchange: index build is map-only, top-k is the sole shuffle") {
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f))).toDF("cid", "cvec")
+    val cbs = Array(Array(
+      Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)))
+    val plan = Similarity.ivfPqTopK(vecs, queries, centroids, cbs, 2, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("int8 quantization: hand values, constant-vector guard, dequant bound") {
     import graft.functions.QuantizeInt8
     // [0, 1, 2] → mn=0, sc=2/255; codes round((x)/sc): 0, 127.5→128, 255

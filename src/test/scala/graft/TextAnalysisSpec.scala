@@ -462,6 +462,41 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(1L, "x y a b c d"), Seq(2L, "p q"), Seq(3L, "u v w")))
   }
 
+  test("cross-doc span dedup: owner keeps its copy, later docs lose covered positions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c x"), // owns "a b c" (min doc_id)
+      (2L, "y a b c z"), // shared span cut → neighbors survive
+      (3L, "p q r")) // unique spans untouched
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpansAcrossDocs(col("doc_id"), col("text"), 3)(df)
+    assert(rowsOf(out) === Set(
+      Seq(1L, "a b c x"), Seq(2L, "y z"), Seq(3L, "p q r")))
+  }
+
+  test("cross-doc span dedup: overlapping duplicated spans merge by position union") {
+    import spark.implicits._
+    // "a b c d" in both docs → doc 2's spans (a b c) and (b c d) overlap;
+    // coverage is their union, not double-cut or a gap
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "x a b c d y")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpansAcrossDocs(col("doc_id"), col("text"), 3)(df)
+    assert(rowsOf(out) === Set(Seq(1L, "a b c d"), Seq(2L, "x y")))
+  }
+
+  test("cross-doc span dedup is total: short docs untouched, fully-cut docs keep an empty row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c"), // owner keeps BOTH copies (within-doc repeats are x30's job)
+      (2L, "a b c"), // fully covered → empty row, not a dropped row
+      (3L, "a b"), // shorter than the span → no spans, untouched
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpansAcrossDocs(col("doc_id"), col("text"), 3)(df)
+    assert(rowsOf(out) === Set(
+      Seq(1L, "a b c a b c"), Seq(2L, ""), Seq(3L, "a b"), Seq(4L, "")))
+  }
+
   test("boilerplate removal counts DISTINCT docs, not occurrences") {
     import spark.implicits._
     // "p q" repeats 3 times inside doc 1 but exists in only 2 docs →

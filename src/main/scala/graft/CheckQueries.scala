@@ -569,6 +569,41 @@ object CheckQueries {
       Some("SELECT TRUE AS sims_exact, TRUE AS routing_probed, TRUE AS found_hits"),
       "invariant for x33: IVF-PQ scores re-verified via interpreted " +
         "re-encode + reconstruct, and every hit's bucket is within the " +
-        "query's nprobe best centroids (routing honored)")
+        "query's nprobe best centroids (routing honored)"),
+
+    Q("x36_knn_check",
+      (s, dir) => {
+        val corpus = emb(s, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val g = Similarity.knnGraph(corpus, nBits = 4, dim = 64, k = 3, bands = 2)
+          .localCheckpoint() // one evaluation feeds all three invariants
+        // every edge's sim re-verified against the interpreted cosine of
+        // the ACTUAL endpoint vectors (the exact-precision twin)
+        val simsOk = g
+          .join(corpus.select(col("id").as("src"), col("vec").as("sv")), Seq("src"))
+          .join(corpus.select(col("id").as("dst"), col("vec").as("dv")), Seq("dst"))
+          .agg(
+            coalesce(bool_and(abs(col("sim") -
+              Similarity.cosineHof(col("sv"), col("dv"))) < 1e-9), lit(true))
+              .as("sims_exact"),
+            coalesce(bool_and(col("src") =!= col("dst")), lit(true)).as("no_self_edges"),
+            (count(lit(1)) > 0).as("found_edges"))
+        val degOk = g.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"), max(col("rank")).as("maxr"))
+          .agg(coalesce(bool_and(col("deg") <= 3 && col("maxr") === col("deg")),
+            lit(true)).as("degree_bounded"))
+        val mono = g.as("x")
+          .join(g.as("y"),
+            col("x.src") === col("y.src") && col("x.rank") + 1 === col("y.rank"))
+          .agg(coalesce(bool_and(col("x.sim") > col("y.sim") ||
+            (col("x.sim") === col("y.sim") && col("x.dst") < col("y.dst"))),
+            lit(true)).as("ranks_monotone"))
+        simsOk.crossJoin(degOk).crossJoin(mono)
+      },
+      Some("SELECT TRUE AS sims_exact, TRUE AS no_self_edges, " +
+        "TRUE AS found_edges, TRUE AS degree_bounded, TRUE AS ranks_monotone"),
+      "invariant for x36: every graph edge's sim equals the interpreted " +
+        "cosine of its endpoints, no self loops, out-degree <= k with " +
+        "dense ranks, ranking monotone")
   )
 }

@@ -1340,6 +1340,57 @@ object ExtensionQueries {
         "appearing verbatim in >= 2 docs survives only in its min-doc_id " +
         "owner — sliding spans catch duplicated passages at any alignment, " +
         "overlaps merge by position union, and exactly one copy survives " +
-        "the corpus; ownership is one hash aggregate, never a pair join")
+        "the corpus; ownership is one hash aggregate, never a pair join"),
+
+    Q("x35_ann_int8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.quantizedTopK(corpus, queries, 3)
+          .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+      },
+      // mirror of quantizedTopK: the oracle scores the same algebraic ADC
+      // expansion over the same int8 codes (x31 proved code parity), so
+      // both engines agree to fp rounding; sims rounded to 4 on output
+      Some("""WITH c AS (SELECT vec_id AS id,
+             |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+             |    (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc,
+             |    (CASE WHEN list_max(embedding) > list_min(embedding)
+             |      THEN [CAST(round((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+             |            / ((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0)) AS INT)
+             |            for x in embedding]
+             |      ELSE [0 for x in embedding] END)::DOUBLE[] AS codes
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+             |s AS (SELECT qid, id,
+             |        (mn * list_sum(qvec) + sc * list_dot_product(qvec, codes))
+             |        / (sqrt(list_dot_product(qvec, qvec))
+             |           * sqrt(len(codes) * mn * mn + 2 * mn * sc * list_sum(codes)
+             |                  + sc * sc * list_dot_product(codes, codes))) AS simx
+             |      FROM c JOIN q ON id <> qid)
+             |SELECT qid, rank, id, round(simx, 4) AS sim FROM (
+             |  SELECT qid, id, simx,
+             |         row_number() OVER (PARTITION BY qid ORDER BY simx DESC, id) AS rank
+             |  FROM s)
+             |WHERE rank <= 3""".stripMargin),
+      "X2 ANN serving over the int8-quantized store (x31's 4x cut made " +
+        "queryable): ADC scoring never dequantizes — one codegen dot over " +
+        "the codes plus O(1) per-row constants, exact DuckDB oracle"),
+
+    Q("x36_knn_graph",
+      (s, dir) => {
+        val corpus = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.knnGraph(corpus, nBits = 4, dim = 64, k = 3, bands = 2)
+          .select(col("src"), col("rank"), col("dst"), round(col("sim"), 4).as("sim"))
+      },
+      None, // hash-derived hyperplanes are not SQL-reproducible;
+            // invariants in x36_knn_check
+      "X2 k-NN graph over the whole corpus (input to graph clustering / " +
+        "SemDeDup variants): OR-amplified 2-band hyperplane LSH self-join " +
+        "on one reused (band, bucket) exchange, band-deduped pairs, " +
+        "bounded per-source top-k — never all-pairs")
   )
 }

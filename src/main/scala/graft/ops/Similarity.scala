@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{CosineSimilarity, DotProduct, L2Normalize, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, L2Normalize, QuantizeInt8, TopKByScore}
 
 /** Similarity search over embedding columns (`array<float>`):
   * brute-force cosine top-k as the exact baseline, IVF-style partitioned
@@ -186,8 +186,14 @@ object Similarity {
     * lambdas, no side data beyond the literals.
     *
     * @param dim vector dimensionality (hyperplanes are driver-generated)
+    * @param firstPlane index of the first hyperplane — band b of an
+    *                   OR-amplified multi-table scheme passes b*nBits so
+    *                   each band draws DISJOINT planes from the same
+    *                   deterministic stream (band 0 ≡ the single-table
+    *                   bucketing, so existing callers are unchanged)
     */
-  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int,
+      firstPlane: Int = 0): Column = {
     def mix(z0: Long): Double = { // splitmix64 finalizer → [-1, 1]
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -195,7 +201,8 @@ object Similarity {
       (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
     }
     val bits = (0 until nBits).map { j =>
-      val plane = Array.tabulate(dim)(i => mix(i.toLong * 0x100000001bL + j))
+      val plane =
+        Array.tabulate(dim)(i => mix(i.toLong * 0x100000001bL + (firstPlane + j)))
       when(DotProduct(vec, typedlit(plane)) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -411,4 +418,85 @@ object Similarity {
         .withColumn("sim", cosine(col("qvec"), col("vec")))
         .groupBy("qid")
         .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
+
+  /** ADC-style brute-force top-k over the INT8-QUANTIZED corpus — the
+    * serving-side payoff of [[graft.functions.QuantizeInt8]]'s 4× storage
+    * cut: the corpus is scanned as (mn, sc, codes) and NEVER dequantized.
+    * cos(q, mn + sc·c) expands algebraically to
+    * `(mn·Σq + sc·⟨q,c⟩) / (‖q‖ · sqrt(n·mn² + 2·mn·sc·Σc + sc²·Σc²))`,
+    * so the per-candidate work is ONE native codegen'd dot product over
+    * the int codes plus O(1) arithmetic on per-row constants. Σc and Σc²
+    * are computed once per CORPUS row in the quantization projection
+    * (below the join — never per pair); the interpreted `aggregate` HOF
+    * there is a build-side cost, like the k-means trainer's.
+    *
+    * Exactly equal (to fp rounding) to scoring the dequantized vectors,
+    * which is what the DuckDB oracle does; same broadcast + bounded top-k
+    * shape as [[bruteForceTopK]]. In a persisted index the (mn, sc,
+    * codes) projection is written once and this becomes a pure scan of
+    * ~n+16 bytes per vector instead of 4·d.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val mn0 = array_min(col("vec")).cast("double")
+    val mx0 = array_max(col("vec")).cast("double")
+    def codesD = col("codes").cast("array<double>")
+    val coded = corpus
+      .select(col("id"), mn0.as("mn"), ((mx0 - mn0) / 255.0).as("sc"),
+        QuantizeInt8(col("vec")).as("codes"))
+      .select(col("id"), col("mn"), col("sc"), col("codes"),
+        size(col("codes")).cast("double").as("n"),
+        aggregate(codesD, lit(0.0), (a, c) => a + c).as("sc1"),
+        DotProduct(codesD, codesD).as("sc2"))
+    val qs = queries.select(col("qid"),
+      col("qvec"),
+      aggregate(col("qvec").cast("array<double>"), lit(0.0), (a, x) => a + x).as("sq"),
+      sqrt(DotProduct(col("qvec"), col("qvec"))).as("qnorm"))
+    explodeRanked(
+      coded.join(broadcast(qs), col("id") =!= col("qid"))
+        .withColumn("sim",
+          (col("mn") * col("sq") + col("sc") * DotProduct(col("qvec"), codesD)) /
+            (col("qnorm") * sqrt(col("n") * col("mn") * col("mn")
+              + lit(2.0) * col("mn") * col("sc") * col("sc1")
+              + col("sc") * col("sc") * col("sc2"))))
+        .groupBy("qid")
+        .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
+  }
+
+  /** k-NN GRAPH over the corpus itself — every vector's k nearest
+    * neighbors as directed out-edges: the input structure for graph-based
+    * clustering, SemDeDup variants, hubness diagnostics and
+    * connectivity-based curation. Candidates come from an OR-amplified
+    * hyperplane-LSH self-join: `bands` independent hash tables (disjoint
+    * plane ranges of the same deterministic stream), a pair collides if
+    * ANY band buckets it together — miss probability for a pair with
+    * collision rate p per band is (1-p^1)^bands, the recall knob that a
+    * single table lacks. The exploded (band, bucket) key keeps candidate
+    * generation ONE equi-join on ONE reused exchange (never all-pairs,
+    * never `array_contains`); pairs found by several bands collapse
+    * through a (src, dst) hash aggregate BEFORE the bounded per-source
+    * top-k, so OR-amplification costs shuffle volume proportional to
+    * true collisions, not to bands × corpus².
+    */
+  def knnGraph(corpus: DataFrame, nBits: Int, dim: Int, k: Int,
+      bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val buckets = array((0 until bands).map(b =>
+      hyperplaneBucket(col("vec"), nBits, dim, firstPlane = b * nBits)): _*)
+    val exploded = corpus
+      .select(col("id"), col("vec"), posexplode(buckets))
+      .select(col("id"), col("vec"), col("pos").as("band"), col("col").as("bucket"))
+      .repartition(col("band"), col("bucket")) // one exchange, both join sides
+    val edges = exploded.as("l")
+      .join(exploded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("src"), col("r.id").as("dst"),
+        cosine(col("l.vec"), col("r.vec")).as("sim"))
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+    edges.groupBy(col("src"))
+      .agg(TopKByScore(k)(col("sim"), col("dst")).as("hits"))
+      .select(col("src"), posexplode(col("hits")))
+      .select(col("src"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").getField("id").as("dst"), col("col").getField("score").as("sim"))
+  }
 }

@@ -317,6 +317,50 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("quantizedTopK: ADC algebra equals cosine of the dequantized vectors, ranks match brute force") {
+    import graft.functions.QuantizeInt8
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val out = Similarity.quantizedTopK(vecs, queries, 4)
+    // identity: sim == cosine(qvec, mn + c*sc) computed the explicit way
+    val deq = vecs.select(col("id").as("id2"),
+      QuantizeInt8(col("vec")).as("codes"),
+      array_min(col("vec")).cast("double").as("mn"),
+      ((array_max(col("vec")) - array_min(col("vec"))).cast("double") / 255.0).as("sc"))
+      .select(col("id2"),
+        expr("transform(codes, c -> mn + cast(c as double) * sc)").as("dvec"))
+    out.join(deq, col("id") === col("id2"))
+      .join(queries.select(col("qid"), col("qvec").as("qv")), "qid")
+      .select(col("sim"), Similarity.cosineHof(col("qv"), col("dvec")).as("ref"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    // the fixture's sim gaps dwarf int8 error → same ids in the same order
+    val exact = Similarity.bruteForceTopK(vecs, queries, 4)
+      .select(col("qid"), col("rank"), col("id"))
+    assert(rowsOf(out.select(col("qid"), col("rank"), col("id"))) === rowsOf(exact))
+  }
+
+  test("knnGraph equals the bucket-restricted window-rank formulation, across bands") {
+    val g = Similarity.knnGraph(vecs, nBits = 2, dim = 3, k = 2, bands = 2)
+    val b = (0 until 2).map(band => vecs.select(col("id"), col("vec"),
+        lit(band).as("band"),
+        Similarity.hyperplaneBucket(col("vec"), 2, 3, firstPlane = band * 2).as("bucket")))
+      .reduce(_ union _)
+    val pairs = b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("src"), col("r.id").as("dst"),
+        // the HOF twin is bit-identical to the native expression, so the
+        // distinct() collapses band duplicates exactly like the op's max()
+        Similarity.cosineHof(col("l.vec"), col("r.vec")).as("sim"))
+      .distinct()
+    val ranked = pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))))
+      .filter(col("rank") <= 2)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+    assert(rowsOf(g) === rowsOf(ranked))
+    assert(g.filter(col("src") === col("dst")).count() === 0)
+  }
+
   test("int8 quantization: hand values, constant-vector guard, dequant bound") {
     import graft.functions.QuantizeInt8
     // [0, 1, 2] → mn=0, sc=2/255; codes round((x)/sc): 0, 127.5→128, 255

@@ -37,36 +37,46 @@ object Bench {
     val picked = SparkEntry.queries.filter { case (name, _) =>
       filter.forall(_.findFirstIn(name).isDefined)
     }
-    // Drop the localCheckpoint blocks a query leaves behind before timing
-    // the next one. Checkpointed RDDs stay persisted until the DRIVER GCs
-    // the Dataset (ContextCleaner), so across a 130+-query catalog they
-    // accumulate in the unified memory region and starve execution memory
-    // for unrelated queries (measured: a2_windowed_count 0.95 s isolated vs
-    // 37 s late in a full pass). Each catalog entry is an independent job in
-    // production — its transient blocks die with it there, and must here.
-    def dropTransientBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    for ((_, fn) <- picked) {
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      dropTransientBlocks()
+    // Inter-query cleanup is Housekeeping.scopedBlocks — drop exactly the
+    // blocks each query persisted, nothing else (round 5's blanket
+    // unpersist destroyed memoized artifacts other queries still owned).
+    for ((name, fn) <- picked) {
+      try Housekeeping.scopedBlocks(spark) { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] $name failed: ${e.getMessage}")
+      }
     }
+    // A failing query must never masquerade as a fast one: round 5's
+    // swallow-and-record made a CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND crash
+    // look like a 2.2 s pagerank. Failures are recorded by name in the
+    // JSON ("errors") and counted in the summary line.
+    var errors = List.empty[(String, String)]
     val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      dropTransientBlocks()
-      name -> sec
+      try Housekeeping.scopedBlocks(spark) { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        errors ::= name -> String.valueOf(e.getMessage).take(200)
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errors.reverse
+      .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     // "value"/"sf" come AFTER the (large) per-query map, and a short
     // standalone summary line is printed LAST: at 78+ queries the map
     // outgrew the driver's tail-capture window in round 3 and the leading
     // "value" field was truncated away (BENCH_r03 "parsed": null). Any
     // tail window now retains the total twice over.
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"value":$total,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -137,17 +137,24 @@ object ExtensionQueries {
 
   /** One corpus token count-min sketch (plus the exact total-token count
     * that sizes the heavy-hitter threshold) per sf dir, memoized like
-    * [[trainedModel]]. Seeded build — deterministic.
+    * [[trainedModel]]. Seeded build — deterministic. The memo holds the
+    * BROADCAST handle, not the raw sketch: one broadcast per dir for the
+    * life of the session, instead of one per x26 invocation (per-call
+    * broadcasts only free on driver GC and accumulate across a
+    * 140-query catalog run twice by Bench).
     */
   private val cmsMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.util.sketch.CountMinSketch, Long)]()
-  private[graft] def tokenCms(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.util.sketch.CountMinSketch, Long) =
+    String, (org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.CountMinSketch], Long)]()
+  private[graft] def tokenCms(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.CountMinSketch], Long) =
     cmsMemo.computeIfAbsent(dir, _ => {
       val d = docs(s, dir)
       val total = d.select(sum(size(Texts.tokens(col("text")))).cast("long"))
         .head.getLong(0)
-      (TextAnalysis.buildTokenCms(col("text"), eps = 1e-4, confidence = 0.99)(d),
+      (s.sparkContext.broadcast(
+          TextAnalysis.buildTokenCms(col("text"), eps = 1e-4, confidence = 0.99)(d)),
         math.ceil(total * 0.02).toLong)
     })
 
@@ -196,13 +203,24 @@ object ExtensionQueries {
     * cost every call (it IS the PageRank benchmark). Deterministic (fixed
     * iteration count, deterministic edge build), so memoization changes
     * no result.
+    *
+    * The memo holds the COLLECTED (id, rank) array — |V|-sized, two words
+    * per node — and rebuilds a DataFrame per call via `createDataset`.
+    * Never a checkpointed Dataset: a `localCheckpoint` is unrecoverable
+    * once any housekeeping (Bench/Verify inter-query unpersist) drops its
+    * blocks, whereas a parallelized local array is always rebuildable.
     */
   private val prMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Double)]]()
   private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    prMemo.computeIfAbsent(dir, _ =>
-      Graph.pageRank(coPurchaseEdges(s, dir), iters = 8).localCheckpoint())
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ranks = prMemo.computeIfAbsent(dir, _ =>
+      Graph.pageRank(coPurchaseEdges(s, dir), iters = 8)
+        .select(col("id").cast("long"), col("rank").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))))
+    import s.implicits._
+    s.createDataset(ranks.toIndexedSeq).toDF("id", "rank")
+  }
 
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
@@ -1172,9 +1190,16 @@ object ExtensionQueries {
         "(small by construction) hot set, one doc-keyed reassembly aggregate"),
 
     Q("x28_pca_project",
-      (s, dir) => Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          Pca.project(col("embedding"), pcaModel(s, dir), 4).as("proj")),
+      // one projection array per row, unpacked to SCALAR columns: the
+      // driver's comparer hashes column values and an array<double> cell
+      // is unhashable there — and codegen subexpression elimination
+      // computes the 4-dot projection once per row either way
+      (s, dir) => {
+        val p = Pca.project(col("embedding"), pcaModel(s, dir), 4)
+        Tables.embeddings(s, dir).select(
+          col("vec_id") +: (0 until 4).map(i =>
+            element_at(p, i + 1).as(s"proj_$i")): _*)
+      },
       None, // eigensolve not expressible in DuckDB SQL; invariants in x28_pca_check
       "PCA dimensionality reduction for the embedding pipeline: one exact " +
         "distributed moment pass + driver Jacobi eigensolve (planner-side, " +

@@ -17,15 +17,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // scoped inter-query cleanup (see Housekeeping): drop the blocks
+      // this query persisted, never another component's
+      try Housekeeping.scopedBlocks(spark) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop localCheckpoint blocks between queries (see Bench): they only
-      // free on driver GC, and 130+ accumulated checkpoints starve the
-      // unified memory region
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

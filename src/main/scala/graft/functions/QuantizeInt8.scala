@@ -36,6 +36,15 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
         s"quantize_int8 requires array<float|double>, got ${other.catalogString}")
   }
 
+  // A null ELEMENT nulls the whole result (getFloat/getDouble would
+  // silently read a null slot as 0.0 and skew min/max and every code) —
+  // so the expression is nullable whenever the element type is, even over
+  // a non-null column. Parquet-read embeddings carry containsNull=true.
+  private def containsNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = child.nullable || (child.resolved && containsNull)
+
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -47,6 +56,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     var mx = Double.NegativeInfinity
     var i = 0
     while (i < n) {
+      if (containsNull && x.isNullAt(i)) return null
       v(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
       if (v(i) < mn) mn = v(i)
       if (v(i) > mx) mx = v(i)
@@ -70,24 +80,44 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
       val mx = ctx.freshName("mx")
       val sc = ctx.freshName("sc")
       val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
       val xi = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val core =
+        s"""
+           |double[] $v = new double[$n];
+           |double $mn = Double.POSITIVE_INFINITY;
+           |double $mx = Double.NEGATIVE_INFINITY;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $v[$i] = $xi;
+           |  if ($v[$i] < $mn) $mn = $v[$i];
+           |  if ($v[$i] > $mx) $mx = $v[$i];
+           |}
+           |int[] $out = new int[$n];
+           |if ($mx > $mn) {
+           |  double $sc = ($mx - $mn) / 255.0;
+           |  for (int $i = 0; $i < $n; $i++)
+           |    $out[$i] = (int) java.lang.Math.floor(($v[$i] - $mn) / $sc + 0.5);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      // mirror nullSafeEval's null-element propagation; ev.isNull is only
+      // assignable when `nullable` — which containsNull guarantees here
+      val guarded =
+        if (containsNull)
+          s"""
+             |boolean $hasNull = false;
+             |for (int $i = 0; $i < $n; $i++)
+             |  if ($a.isNullAt($i)) { $hasNull = true; break; }
+             |if ($hasNull) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |$core
+             |}
+           """.stripMargin
+        else core
       s"""
          |int $n = $a.numElements();
-         |double[] $v = new double[$n];
-         |double $mn = Double.POSITIVE_INFINITY;
-         |double $mx = Double.NEGATIVE_INFINITY;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $v[$i] = $xi;
-         |  if ($v[$i] < $mn) $mn = $v[$i];
-         |  if ($v[$i] > $mx) $mx = $v[$i];
-         |}
-         |int[] $out = new int[$n];
-         |if ($mx > $mn) {
-         |  double $sc = ($mx - $mn) / 255.0;
-         |  for (int $i = 0; $i < $n; $i++)
-         |    $out[$i] = (int) java.lang.Math.floor(($v[$i] - $mn) / $sc + 0.5);
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |$guarded
        """.stripMargin
     })
 

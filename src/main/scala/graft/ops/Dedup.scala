@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,15 +147,21 @@ object Dedup {
     * eval-set release (two Spark jobs: a distinct count to size the filter,
     * then `stat.bloomFilter`'s treeAggregate build), then shipped to every
     * ingest job. Deterministic for a given shingle set and `fpp`.
+    *
+    * Keying contract: the filter holds `xxhash64(shingle)` LONGS (Spark's
+    * `xxhash64`, seed 42), not strings — so [[decontaminateBloom]] can
+    * probe it with the BUILT-IN `might_contain` expression (codegen'd,
+    * `mightContainLong`) instead of a per-row UDF. A filter populated via
+    * `putString` will NOT match this probe.
     */
   def buildBenchBloom(id: Column, text: Column, n: Int, fpp: Double)(
       benchmark: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
-    val benchShingles = Texts.explodedShingles(benchmark, id, text, n)
-      .select(col("s")).distinct()
+    val benchHashes = Texts.explodedShingles(benchmark, id, text, n)
+      .select(xxhash64(col("s")).as("h")).distinct()
     // exact sizing pass: an undersized filter degrades fpp, an oversized
-    // one wastes broadcast bytes; the count is over the (small) eval set
-    val expected = math.max(benchShingles.count(), 1L)
-    benchShingles.stat.bloomFilter("s", expected, fpp)
+    // one wastes plan bytes; the count is over the (small) eval set
+    val expected = math.max(benchHashes.count(), 1L)
+    benchHashes.stat.bloomFilter("h", expected, fpp)
   }
 
   /** [[decontaminate]] with a Bloom-filter prefilter — the runtime-filter
@@ -174,21 +180,30 @@ object Dedup {
     * benchmark release ([[buildBenchBloom]]) and reused by every ingest
     * batch against it.
     *
-    * The probe is a broadcast-sketch UDF — the one boundary codegen cannot
-    * express (the sketch is runtime state, not a literal); it is a cheap
-    * xxhash-and-test per row, and the surrounding explode/join pipeline
-    * stays generated code.
+    * The probe is Spark's own `BloomFilterMightContain` expression — the
+    * one the optimizer injects for runtime row-level Bloom pushdown —
+    * over `xxhash64(s)`, with the serialized sketch riding the plan as a
+    * binary literal (deserialized once per task, not per row). The whole
+    * explode/probe/join pipeline is generated code: no UDF boundary, no
+    * per-call broadcast to leak across a long-lived session.
     */
   def decontaminateBloom(id: Column, text: Column, n: Int,
       bloom: org.apache.spark.util.sketch.BloomFilter)(
       docs: DataFrame, benchmark: DataFrame): DataFrame = {
-    val bfB = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bytes, org.apache.spark.sql.types.BinaryType),
+        GraftSqlBridge.expression(xxhash64(col("s")))))
     val benchShingles = Texts.explodedShingles(benchmark, id, text, n)
       .select(col("s")).distinct()
     val contaminated = Texts.explodedShingles(docs, id, text, n)
-      .filter(mightContain(col("s")))
+      .filter(mightContain)
       .join(benchShingles, Seq("s"), "left_semi")
       .select(col("id")).distinct()
       .withColumnRenamed("id", "__contaminated_id")

@@ -36,7 +36,7 @@ object Graph {
     * (`id` long, `rank` double).
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 250000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val spark = edges.sparkSession
@@ -52,11 +52,14 @@ object Graph {
   /** Driver path: one collect of the (long, long) edge array, then the
     * iteration over primitive arrays — the same "the model is small,
     * move it to the loop" play as the k-means/BPE trainers. Edge count
-    * is bounded by `driverMaxEdges` (64 MB of longs at the default).
+    * is bounded by `driverMaxEdges` (a few MB of specialized tuples at
+    * the default — Tuple2[Long, Long] is @specialized, so no boxed Rows
+    * land on a driver heap shared by a 140-query session).
     */
   private def pageRankDriver(spark: SparkSession, e: DataFrame,
       iters: Int, d: Double): DataFrame = {
-    val rows = e.collect()
+    import spark.implicits._
+    val rows = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
     val idx = new java.util.HashMap[Long, Integer]()
     val ids = Array.newBuilder[Long]
     def intern(id: Long): Int = {
@@ -68,7 +71,7 @@ object Graph {
     val dst = new Array[Int](rows.length)
     var i = 0
     while (i < rows.length) {
-      src(i) = intern(rows(i).getLong(0)); dst(i) = intern(rows(i).getLong(1)); i += 1
+      src(i) = intern(rows(i)._1); dst(i) = intern(rows(i)._2); i += 1
     }
     val nodeIds = ids.result()
     val n = nodeIds.length

@@ -615,9 +615,20 @@ object TextAnalysis {
     */
   def heavyHitters(text: Column, threshold: Long,
       cms: org.apache.spark.util.sketch.CountMinSketch)(
+      df: DataFrame): DataFrame =
+    heavyHitters(text, threshold,
+      df.sparkSession.sparkContext.broadcast(cms))(df)
+
+  /** [[heavyHitters]] over a CALLER-OWNED broadcast of the sketch — the
+    * long-lived-session form: a catalog serving the same sketch many
+    * times broadcasts it once and reuses the handle, instead of leaking
+    * one broadcast per invocation (broadcasts only free on driver GC).
+    */
+  def heavyHitters(text: Column, threshold: Long,
+      cmsB: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.CountMinSketch])(
       df: DataFrame): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
-    val cmsB = df.sparkSession.sparkContext.broadcast(cms)
     val est = udf((t: String) => if (t == null) 0L else cmsB.value.estimateCount(t))
     df.select(explode(Texts.tokens(text)).as("token"))
       .filter(est(col("token")) >= threshold)

@@ -241,9 +241,13 @@ class DedupSpec extends SparkSpec {
     val corpus = Seq(
       (10L, "a b c d e"), // contaminated
       (11L, "e f g h i"), (12L, "j k l m n")).toDF("doc_id", "text")
+    // keying contract of buildBenchBloom: entries are xxhash64(shingle)
+    // longs (Spark's xxhash64, seed 42), probed by might_contain
+    val hashes = (Seq("a b c d") ++ (0 until 64).map(i => s"junk $i")).toDF("s")
+      .select(xxhash64(col("s"))).collect().map(_.getLong(0))
     val saturated = org.apache.spark.util.sketch.BloomFilter.create(2, 0.5)
-    saturated.putString("a b c d") // the real bench shingle: membership contract
-    (0 until 64).foreach(i => saturated.putString(s"junk $i")) // …drowned in noise
+    // head = the real bench shingle (membership contract), drowned in noise
+    hashes.foreach(saturated.putLong)
     val out = Dedup.decontaminateBloom(col("doc_id"), col("text"), 4, saturated)(
       corpus, bench)
     assert(rowsOf(out.select(col("doc_id"))) === Set(Seq(11L), Seq(12L)))

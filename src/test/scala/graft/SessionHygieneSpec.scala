@@ -1,0 +1,68 @@
+package graft
+
+/** Bench-order-independence guard — pins the session-degradation bug class
+  * that produced round 5's driver-bench collapse (832.7 s for a catalog
+  * that runs in ~65 s isolated: blocks/broadcasts accumulated across the
+  * run until unrelated queries thrashed, and a blanket unpersist killed a
+  * memoized localCheckpoint'ed artifact for the rest of the JVM).
+  *
+  * The contract under test is Bench's inter-query protocol
+  * ([[Housekeeping.scopedBlocks]]): after any catalog entry runs, (a) no
+  * blocks it persisted survive, (b) artifacts OTHER components memoized
+  * are still alive and servable, and (c) re-running a query later in the
+  * session costs about what it cost the first time.
+  */
+class SessionHygieneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // A representative slice of the catalog: bare scans (the round-5
+  // canaries — a degraded session shows up first on these), shuffle/join
+  // shapes, and the block-heavy iterative ops (checkpoint loops, memoized
+  // artifacts) that caused the accumulation in the first place.
+  private val subset = Seq(
+    "s1_source_scan", "p2_project", "g1_groupby_keymapper",
+    "j3_interval_join", "a2_windowed_count",
+    "x1_dedup_exact", "x2e_dedup_canonical", "x7_kmeans_check",
+    "x24_pagerank_check", "x28_pca_check")
+
+  private def run(name: String): Double = {
+    val fn = SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    Housekeeping.scopedBlocks(spark) { fn(spark, dir).count() }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  test("catalog subset runs twice in one JVM with no cross-pass degradation") {
+    val first = subset.map(n => n -> run(n)).toMap
+    // interleave unrelated work between passes the way the full catalog
+    // does, then re-run: pass-2 time must stay within 3x pass-1 (+1s
+    // absolute slack so sub-100ms queries can't flake the ratio)
+    val second = subset.map(n => n -> run(n)).toMap
+    val regressions = subset.filter(n => second(n) > first(n) * 3.0 + 1.0)
+    assert(regressions.isEmpty,
+      regressions.map(n => f"$n: ${first(n)}%.2f -> ${second(n)}%.2f s")
+        .mkString("order-dependent slowdown: ", "; ", ""))
+  }
+
+  test("scoped cleanup leaves no persistent blocks behind") {
+    subset.foreach(run)
+    val leftover = spark.sparkContext.getPersistentRDDs
+    assert(leftover.isEmpty,
+      s"blocks still persisted after scoped runs: ${leftover.keySet}")
+  }
+
+  test("memoized artifacts survive another query's cleanup (r5 regression)") {
+    // prime the memo inside a scoped block — the scope must NOT reclaim
+    // the memoized artifact's backing state...
+    Housekeeping.scopedBlocks(spark) {
+      ExtensionQueries.pagerankRanks(spark, dir).count()
+    }
+    // ...run an unrelated persist-heavy query with its own cleanup...
+    run("x2e_dedup_canonical")
+    // ...and the memo must still serve (round 5: this threw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND for the rest of the JVM)
+    val n = ExtensionQueries.pagerankRanks(spark, dir).count()
+    assert(n > 0)
+  }
+}

@@ -50,15 +50,31 @@ object Bench {
     // swallow-and-record made a CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND crash
     // look like a 2.2 s pagerank. Failures are recorded by name in the
     // JSON ("errors") and counted in the summary line.
+    // SPARK_GRAFT_BENCH_DEBUG=1: per-query heap/GC telemetry on stderr —
+    // the session-degradation debugging loop (driver never sets it)
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     var errors = List.empty[(String, String)]
     val results = picked.map { case (name, fn) =>
+      val gc0 = if (debug) gcMillis else 0L
       val t0 = System.nanoTime()
       try Housekeeping.scopedBlocks(spark) { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         errors ::= name -> String.valueOf(e.getMessage).take(200)
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (debug) {
+        val rt = Runtime.getRuntime
+        val usedMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+        System.err.println(
+          f"[bench-debug] $name%-28s $sec%8.3f s  heap=${usedMb}%5d MB  gc+=${gcMillis - gc0}%5d ms")
+      }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

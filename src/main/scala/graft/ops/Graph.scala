@@ -36,7 +36,7 @@ object Graph {
     * (`id` long, `rank` double).
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      driverMaxEdges: Long = 250000L): DataFrame = {
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val spark = edges.sparkSession
@@ -49,17 +49,26 @@ object Graph {
     } finally e.unpersist()
   }
 
-  /** Driver path: one collect of the (long, long) edge array, then the
+  /** Driver path: one collect of the edge list as PRIMITIVE long arrays
+    * (one pair of arrays per partition, assembled on the executors — no
+    * boxed Row or tuple ever reaches the driver heap), then the
     * iteration over primitive arrays — the same "the model is small,
-    * move it to the loop" play as the k-means/BPE trainers. Edge count
-    * is bounded by `driverMaxEdges` (a few MB of specialized tuples at
-    * the default — Tuple2[Long, Long] is @specialized, so no boxed Rows
-    * land on a driver heap shared by a 140-query session).
+    * move it to the loop" play as the k-means/BPE trainers. At the
+    * default `driverMaxEdges` (4M) the transfer is bounded at 64 MB of
+    * longs — the round-5 version collected the same edges as
+    * GenericRows (~50 B each, ~hundreds of MB + GC churn in a shared
+    * session), which is the difference between a model-sized collect
+    * and a driver-heap incident.
     */
   private def pageRankDriver(spark: SparkSession, e: DataFrame,
       iters: Int, d: Double): DataFrame = {
-    import spark.implicits._
-    val rows = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val chunks = e.select(col("src"), col("dst")).rdd.mapPartitions { it =>
+      val sb = Array.newBuilder[Long]
+      val db = Array.newBuilder[Long]
+      it.foreach { r => sb += r.getLong(0); db += r.getLong(1) }
+      Iterator((sb.result(), db.result()))
+    }.collect()
+    val m = chunks.map(_._1.length.toLong).sum.toInt
     val idx = new java.util.HashMap[Long, Integer]()
     val ids = Array.newBuilder[Long]
     def intern(id: Long): Int = {
@@ -67,11 +76,12 @@ object Graph {
       if (hit != null) hit.intValue()
       else { val i = idx.size; idx.put(id, i); ids += id; i }
     }
-    val src = new Array[Int](rows.length)
-    val dst = new Array[Int](rows.length)
+    val src = new Array[Int](m)
+    val dst = new Array[Int](m)
     var i = 0
-    while (i < rows.length) {
-      src(i) = intern(rows(i)._1); dst(i) = intern(rows(i)._2); i += 1
+    chunks.foreach { case (ss, ds) =>
+      var j = 0
+      while (j < ss.length) { src(i) = intern(ss(j)); dst(i) = intern(ds(j)); i += 1; j += 1 }
     }
     val nodeIds = ids.result()
     val n = nodeIds.length
@@ -107,18 +117,26 @@ object Graph {
     */
   private def pageRankDistributed(e0: DataFrame, iters: Int, d: Double,
       broadcastMaxNodes: Long = 10000000L): DataFrame = {
-    // each edge carries its weight once: (src, dst, w = 1/outdeg(src))
-    val outDeg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = e0.join(outDeg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .repartition(col("src")).persist()
-    val nodes = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct().persist()
-    val dangling = nodes.join(e0.select(col("src").as("id")).distinct(),
-      Seq("id"), "left_anti").persist()
+    // ONE aggregation pass over both edge endpoints derives the whole
+    // vertex table — node set AND out-degree (dangling = outdeg 0) —
+    // instead of separate distinct/anti-join passes over the edge list
+    val verts = e0.select(col("src").as("id"), lit(1L).as("out"))
+      .union(e0.select(col("dst").as("id"), lit(0L).as("out")))
+      .groupBy(col("id")).agg(sum(col("out")).as("outdeg")).persist()
+    val nodes = verts.select(col("id"))
+    val dangling = verts.filter(col("outdeg") === 0L).select(col("id")).persist()
+    val n = verts.count()
+    val small = n <= broadcastMaxNodes
+    // each edge carries its weight once: (src, dst, w = 1/outdeg(src));
+    // the vertex table is |V|-sized, so it broadcasts into the edge
+    // scan in the small regime. Co-partitioning by src only matters in
+    // the shuffle regime — in broadcast mode the per-round rank join
+    // is map-side, so forcing an up-front |E| exchange would be waste.
+    val weights = verts.select(col("id").as("src"), col("outdeg"))
+    val weighted = e0.join(if (small) broadcast(weights) else weights, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+    val e = (if (small) weighted else weighted.repartition(col("src"))).persist()
     try {
-      val n = nodes.count()
-      val small = n <= broadcastMaxNodes
       val hasDangling = dangling.count() > 0
       var ranks = nodes.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
       var it = 0
@@ -142,6 +160,6 @@ object Graph {
         it += 1
       }
       ranks
-    } finally { e.unpersist(); nodes.unpersist(); dangling.unpersist() }
+    } finally { e.unpersist(); verts.unpersist(); dangling.unpersist() }
   }
 }

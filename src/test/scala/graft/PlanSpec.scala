@@ -227,13 +227,20 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get(aqe)
     spark.conf.set(aqe, "false")
     try {
-      for (name <- Seq("x25_bloom_decon", "x26_heavy_hitters")) {
+      // x25's Bloom probe is the BUILT-IN might_contain expression (fully
+      // codegen'd, serialized filter as a plan literal — no UDF anywhere
+      // in the plan); x26's CMS probe stays a UDF (no built-in CMS exists)
+      for ((name, probeMark) <- Seq("x25_bloom_decon" -> "might_contain",
+          "x26_heavy_hitters" -> "UDF")) {
         val exec = Queries.queries(name)(spark, dir).queryExecution.executedPlan
         val probes = exec.collect {
           case f: org.apache.spark.sql.execution.FilterExec
-              if f.condition.toString.contains("UDF") => f
+              if f.condition.toString.contains(probeMark) => f
         }
         assert(probes.nonEmpty, s"$name plans no sketch-probe filter:\n$exec")
+        if (name == "x25_bloom_decon")
+          assert(!exec.toString.contains("UDF"),
+            s"$name still plans a UDF boundary:\n$exec")
         // nothing below the probe may shuffle: the sketch cut must happen
         // before the corpus stream ever reaches an exchange — that is the
         // entire 100 TB point of prefiltering

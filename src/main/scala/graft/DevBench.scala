@@ -22,6 +22,7 @@ object DevBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // see Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sel = if (names.isEmpty) SparkEntry.queries

@@ -152,7 +152,7 @@ object ExtensionQueries {
     cmsMemo.computeIfAbsent(dir, _ => {
       val d = docs(s, dir)
       val total = d.select(sum(size(Texts.tokens(col("text")))).cast("long"))
-        .head.getLong(0)
+        .head().getLong(0)
       (s.sparkContext.broadcast(
           TextAnalysis.buildTokenCms(col("text"), eps = 1e-4, confidence = 0.99)(d)),
         math.ceil(total * 0.02).toLong)
@@ -1416,6 +1416,63 @@ object ExtensionQueries {
       "X2 k-NN graph over the whole corpus (input to graph clustering / " +
         "SemDeDup variants): OR-amplified 2-band hyperplane LSH self-join " +
         "on one reused (band, bucket) exchange, band-deduped pairs, " +
-        "bounded per-source top-k — never all-pairs")
+        "bounded per-source top-k — never all-pairs"),
+
+    Q("x37_data_card",
+      (s, dir) => TextAnalysis.dataCard(
+        col("source"), col("lang"), col("text"))(docs(s, dir)),
+      Some("""WITH pd AS (SELECT source, lang, md5(text) AS fp,
+             |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |            FROM documents),
+             |fc AS (SELECT fp, count(*) AS fp_c FROM pd GROUP BY fp)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+             |       count(DISTINCT lang) AS n_langs,
+             |       CAST(sum(CASE WHEN fp_c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+             |FROM pd JOIN fc USING (fp)
+             |GROUP BY source""".stripMargin),
+      "X3 per-source data card (the release report of a curated corpus): " +
+        "doc/token counts, token extremes, language breadth, corpus-wide " +
+        "exact-dup exposure — one fp-keyed exchange reused by aggregate and " +
+        "join, map-side-combined source rollup, all-integer (hash-safe)"),
+
+    Q("x38_split_leakage",
+      // leakage audit: near-dup pairs that STRADDLE the train/val/test
+      // boundary — the contamination a random doc-level split bakes into
+      // held-out loss. Pure composition of x2's pair generator and x6b's
+      // deterministic split; the |docs|-sized split frame broadcasts into
+      // the (tiny by construction) near-dup pair set.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
+          maxShingleDf = 1000L)(d)
+        val split = d.select(col("doc_id"),
+          TextAnalysis.assignSplit(col("doc_id"),
+            Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).as("split"))
+        pairs
+          .join(split.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+          .join(split.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("a"), col("b"), col("split_a"), col("split_b"), col("jaccard"))
+      },
+      Some {
+        val Seq(t1, t2) = TextAnalysis.splitThresholds(Seq(0.8, 0.1, 0.1))
+        s"""WITH $ngramPairsCte,
+           |sp AS (SELECT doc_id,
+           |         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
+           |              WHEN md5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+           |              ELSE 'test' END AS split
+           |       FROM documents)
+           |SELECT jp.a, jp.b, sa.split AS split_a, sb.split AS split_b, jaccard
+           |FROM jp
+           |JOIN sp sa ON sa.doc_id = jp.a
+           |JOIN sp sb ON sb.doc_id = jp.b
+           |WHERE sa.split <> sb.split""".stripMargin
+      },
+      "X2/X3 cross-split leakage audit: near-dup pairs straddling the " +
+        "train/val/test boundary (held-out contamination a doc-level " +
+        "random split admits) — x2 pair generation composed with x6b's " +
+        "md5 split, split frame broadcast onto the near-dup graph")
   )
 }

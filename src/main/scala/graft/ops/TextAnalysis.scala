@@ -838,4 +838,34 @@ object TextAnalysis {
       .join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Per-source dataset report ("data card"): doc and token counts, token
+    * length extremes, language breadth, and the exact-duplicate exposure
+    * (docs whose full-text fingerprint appears more than once CORPUS-wide,
+    * so cross-source duplication is charged to every source carrying it).
+    *
+    * Shape at scale: one map-only pass derives (source, lang, fp,
+    * n_tokens); the fingerprint frequency table reuses the SAME
+    * HashPartitioning(fp) exchange for its aggregate and the join back
+    * (the aggregate-then-join play of [[graft.ops.Dedup.dupNgramStats]]);
+    * the final source-keyed rollup rides map-side partial aggregation, so
+    * the second shuffle carries |sources| rows per mapper. Nothing here
+    * is corpus² and nothing collects to the driver.
+    */
+  def dataCard(source: Column, lang: Column, text: Column)(
+      df: DataFrame): DataFrame = {
+    val perDoc = df.select(source.as("source"), lang.as("lang"),
+      md5(text).as("fp"),
+      size(Texts.tokens(text)).cast("long").as("n_tokens"))
+    val fpCounts = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("fp_c"))
+    perDoc.join(fpCounts, "fp")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("fp_c") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_docs"))
+  }
 }

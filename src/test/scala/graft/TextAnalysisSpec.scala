@@ -507,4 +507,25 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.removeBoilerplate(col("doc_id"), col("text"), 2, 3)(df)
     assert(rowsOf(out) === Set(Seq(1L, "p q p q p q"), Seq(2L, "p q z w")))
   }
+
+  test("dataCard charges corpus-wide exact dups to every source carrying them") {
+    import spark.implicits._
+    // "same text" exists in web AND books: both sources carry 1 dup doc.
+    // "only here" is unique; web spans two langs, books one.
+    val df = Seq(
+      ("web", "en", "same text"),
+      ("web", "de", "only here and longer"),
+      ("books", "en", "same text")).toDF("source", "lang", "text")
+    val out = TextAnalysis.dataCard(col("source"), col("lang"), col("text"))(df)
+    assert(rowsOf(out) === Set(
+      Seq("web", 2L, 6L, 2L, 4L, 2L, 1L),
+      Seq("books", 1L, 2L, 2L, 2L, 1L, 1L)))
+  }
+
+  test("dataCard with no dups reports zero dup exposure") {
+    import spark.implicits._
+    val df = Seq(("a", "en", "x y"), ("a", "en", "z")).toDF("source", "lang", "text")
+    val out = TextAnalysis.dataCard(col("source"), col("lang"), col("text"))(df)
+    assert(rowsOf(out) === Set(Seq("a", 2L, 3L, 1L, 2L, 1L, 0L)))
+  }
 }

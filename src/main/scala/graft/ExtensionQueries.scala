@@ -1473,6 +1473,61 @@ object ExtensionQueries {
       "X2/X3 cross-split leakage audit: near-dup pairs straddling the " +
         "train/val/test boundary (held-out contamination a doc-level " +
         "random split admits) — x2 pair generation composed with x6b's " +
-        "md5 split, split frame broadcast onto the near-dup graph")
+        "md5 split, split frame broadcast onto the near-dup graph"),
+
+    Q("x39_length_batches",
+      (s, dir) => TextAnalysis.lengthBatches(col("doc_id"), col("text"), 8)(
+        docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents)
+             |SELECT doc_id, n_tokens,
+             |       (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 8 AS batch_id
+             |FROM t""".stripMargin),
+      "X3 length-bucketed inference batching (minimal padding waste): " +
+        "batch_id = global (n_tokens, doc_id) rank div 8, computed WITHOUT " +
+        "a single-reducer sort — range repartition + per-range local rank " +
+        "+ driver prefix-summed |partitions|-sized offsets"),
+
+    Q("x40_contamination_score",
+      // graded contamination, where x8 is a boolean drop: per corpus doc,
+      // the fraction of its DISTINCT 8-token shingles present in the eval
+      // set — the audit that decides between dropping a doc and trimming
+      // the contaminated span. Docs with < 8 tokens have no shingles and
+      // no row (x2's convention). Integer counts + one final IEEE double
+      // division, bit-equal in both engines.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val docSh = Texts.explodedShingles(
+          d.filter(col("doc_id") >= 50), col("doc_id"), col("text"), 8).distinct()
+        val benchSh = Texts.explodedShingles(
+            d.filter(col("doc_id") < 50), col("doc_id"), col("text"), 8)
+          .select(col("s")).distinct()
+        docSh.join(broadcast(benchSh.withColumn("hit", lit(1L))), Seq("s"), "left")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+          .select(col("id").as("doc_id"), col("n_shingles"), col("n_contaminated"),
+            (col("n_contaminated").cast("double") / col("n_shingles"))
+              .as("contamination"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh0 AS (SELECT doc_id,
+             |          unnest([array_to_string(toks[i:i+7], ' ')
+             |                  for i in range(1, len(toks) - 6)]) AS s
+             |        FROM toks WHERE len(toks) >= 8),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE doc_id >= 50),
+             |bs AS (SELECT DISTINCT s FROM sh0 WHERE doc_id < 50)
+             |SELECT sh.doc_id, count(*) AS n_shingles,
+             |       CAST(sum(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_contaminated,
+             |       CAST(sum(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / count(*) AS contamination
+             |FROM sh LEFT JOIN bs ON sh.s = bs.s
+             |GROUP BY sh.doc_id""".stripMargin),
+      "X2 graded contamination score (x8's boolean drop refined to a " +
+        "fraction): per corpus doc, share of its distinct 8-token shingles " +
+        "in the eval set — broadcast hit-set onto the corpus shingle " +
+        "stream, integer counts, one final IEEE division")
   )
 }

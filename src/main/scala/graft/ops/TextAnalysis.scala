@@ -852,6 +852,42 @@ object TextAnalysis {
     * the second shuffle carries |sources| rows per mapper. Nothing here
     * is corpus² and nothing collects to the driver.
     */
+  /** Length-bucketed inference batching: deterministic `batch_id` such
+    * that consecutive batches hold docs of similar token length (minimal
+    * intra-batch padding waste), defined as
+    * `batch_id = (global rank by (n_tokens, doc_id)) div batchSize`.
+    *
+    * The global rank is computed WITHOUT a single-reducer sort — the
+    * anti-pattern a naive `row_number() OVER (ORDER BY ...)` plans. Range
+    * repartition on the sort key gives disjoint ordered key ranges per
+    * partition; a per-partition window ranks locally; a |partitions|-sized
+    * count collect (model-sized, like k-means centers) prefix-sums the
+    * offsets on the driver; global rank = offset(partition) + local rank.
+    * Each action re-derives the same range bounds (deterministic sampling
+    * over identical input), and the (n_tokens, doc_id) key is unique, so
+    * the assignment is total and reproducible.
+    */
+  def lengthBatches(id: Column, text: Column, batchSize: Int)(
+      df: DataFrame): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val withLen = df.select(id.as("doc_id"),
+      size(Texts.tokens(text)).cast("long").as("n_tokens"))
+    val ranged = withLen.repartitionByRange(col("n_tokens"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offsetOf = map(counts.map(_._1).zip(offsets).flatMap {
+      case (pid, off) => Seq(lit(pid), lit(off)) }.toIndexedSeq: _*)
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    ranged
+      .withColumn("gidx",
+        element_at(offsetOf, col("pid")) + row_number().over(wLocal) - 1L)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"gidx div $batchSize").as("batch_id"))
+  }
+
   def dataCard(source: Column, lang: Column, text: Column)(
       df: DataFrame): DataFrame = {
     val perDoc = df.select(source.as("source"), lang.as("lang"),

@@ -528,4 +528,31 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.dataCard(col("source"), col("lang"), col("text"))(df)
     assert(rowsOf(out) === Set(Seq("a", 2L, 3L, 1L, 2L, 1L, 0L)))
   }
+
+  test("lengthBatches equals the global-rank spec (no single-reducer sort)") {
+    import spark.implicits._
+    // 37 docs, lengths cycling 1..7 tokens, shuffled ids: enough rows to
+    // span several range partitions and several ragged batches
+    val docs = (0 until 37).map { i =>
+      val id = (i * 13) % 37
+      (id.toLong, Seq.fill(id % 7 + 1)("w").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBatches(col("doc_id"), col("text"), 4)(df)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val expected = docs.map { case (id, t) => (id, t.count(_ == ' ').toLong + 1) }
+      .sortBy { case (id, n) => (n, id) }.zipWithIndex
+      .map { case ((id, n), rank) => id -> (n, rank.toLong / 4) }.toMap
+    assert(out === expected)
+  }
+
+  test("lengthBatches is total and deterministic across invocations") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, Seq.fill((i % 5 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.lengthBatches(col("doc_id"), col("text"), 8)(df).collect().toSet
+    val b = TextAnalysis.lengthBatches(col("doc_id"), col("text"), 8)(df).collect().toSet
+    assert(a === b)
+    assert(a.size === 50)
+  }
 }

@@ -366,6 +366,34 @@ object SupersetQueries {
              |       WHEN o_totalprice >= 100000 THEN 'mid'
              |       ELSE 'low' END AS tier
              |FROM orders""".stripMargin),
-      "DSL branch/merge: first-match routing into tagged branches, merged back (union)")
+      "DSL branch/merge: first-match routing into tagged branches, merged back (union)"),
+
+    Q("o20_funnel",
+      // times compared at MICROS in both engines: events.ts is parquet
+      // nanos read as long here but truncated to a µs TIMESTAMP by
+      // DuckDB, and a strictly-after test at nanos would pass events the
+      // µs twin rejects (same-micro, later-nano)
+      (s, dir) => graft.ops.Sequences.funnel(
+        col("user_id"), col("event_type"), expr("ts div 1000"),
+        Seq("view", "click", "purchase"))(Tables.events(s, dir)),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS u FROM events),
+             |s1 AS (SELECT user_id, min(u) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT s1.user_id, s1.t1, min(e.u) AS t2
+             |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+             |         AND e.event_type = 'click' AND e.u > s1.t1
+             |       GROUP BY s1.user_id, s1.t1),
+             |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.u) AS t3
+             |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+             |         AND e.event_type = 'purchase' AND e.u > s2.t2
+             |       GROUP BY s2.user_id, s2.t1, s2.t2)
+             |SELECT user_id, t1, t2, t3,
+             |       1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+             |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS steps_completed
+             |FROM s3""".stripMargin),
+      "ordered funnel conversion (view -> click -> purchase): first step-N " +
+        "time strictly after step N-1, per user — one keyed aggregate + " +
+        "left join per step on one reused user_id partitioning, no windows, " +
+        "no per-user event buffering")
   )
 }

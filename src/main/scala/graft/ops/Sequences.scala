@@ -39,4 +39,45 @@ object Sequences {
       .groupBy(col("__s").as("from_state"), col("__next").as("to_state"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Ordered funnel conversion: per key, `t1` = the first occurrence of
+    * `steps(0)`, `t_i` = the first occurrence of `steps(i-1)` STRICTLY
+    * after `t_{i-1}` (each step must follow the previous one in time —
+    * a step-2 event before step 1 does not count), plus the completed
+    * step count. Output has one row per key that reached step 1; later
+    * `t_i` are null where the funnel stalled.
+    *
+    * Scale: one aggregate + one left join per step, ALL keyed on the
+    * funnel key — the accumulator side's HashPartitioning(key) is
+    * satisfied once and reused down the chain, and each step's event
+    * slice is filtered before its single shuffle. No windows, no
+    * per-key event buffering: a key with millions of events costs
+    * min-aggregates, never a sort. The time column should be grained
+    * identically to the oracle's (epoch micros here — nanos would pass
+    * a strictly-after test the truncated twin fails).
+    */
+  def funnel(key: Column, state: Column, time: Column, steps: Seq[String])(
+      df: DataFrame): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = df.select(key.as("user_id"), state.as("__et"), time.as("__u"))
+    var acc = ev.filter(col("__et") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("__u")).as("t1"))
+    for (i <- 2 to steps.length) {
+      val prev = (1 until i).map(j => col(s"t$j"))
+      val step = ev.filter(col("__et") === steps(i - 1))
+        .select(col("user_id").as("__su"), col("__u").as("__sv"))
+      acc = acc
+        .join(step,
+          col("user_id") === col("__su") && col("__sv") > col(s"t${i - 1}"),
+          "left")
+        .groupBy(col("user_id") +: prev: _*)
+        .agg(min(col("__sv")).as(s"t$i"))
+    }
+    val completed = (2 to steps.length)
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    acc.select(col("user_id") +:
+      (1 to steps.length).map(i => col(s"t$i")) :+
+      completed.as("steps_completed"): _*)
+  }
 }

@@ -31,4 +31,37 @@ class SequencesSpec extends SparkSpec {
     assert(Sequences.transitionCounts(
       col("user"), Seq(col("t")), col("s"))(df).count() === 0)
   }
+
+  test("funnel requires each step strictly after the previous") {
+    val df = Seq(
+      // u1 completes in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2's clicks all precede its first view: stalls at step 1
+      (2L, "click", 5L), (2L, "click", 8L), (2L, "view", 10L),
+      // u3's purchase precedes its click: stalls at step 2
+      (3L, "view", 10L), (3L, "click", 20L), (3L, "purchase", 15L),
+      // u4 never views: no row at all
+      (4L, "click", 5L), (4L, "purchase", 6L),
+      // u5: same-time click does not count (strictly after), later one does
+      (5L, "view", 10L), (5L, "click", 10L), (5L, "click", 12L))
+      .toDF("user_id", "event_type", "u")
+    val out = rowsOf(Sequences.funnel(col("user_id"), col("event_type"),
+      col("u"), Seq("view", "click", "purchase"))(df))
+    assert(out === Set(
+      Seq(1L, 10L, 20L, 30L, 3),
+      Seq(2L, 10L, null, null, 1),
+      Seq(3L, 10L, 20L, null, 2),
+      Seq(5L, 10L, 12L, null, 2)))
+  }
+
+  test("funnel picks the FIRST qualifying time per step") {
+    val df = Seq(
+      (1L, "view", 10L), (1L, "view", 5L),          // t1 = min of views
+      (1L, "click", 7L),                            // before t1=5? no: 7 > 5 counts
+      (1L, "click", 30L))
+      .toDF("user_id", "event_type", "u")
+    val out = rowsOf(Sequences.funnel(col("user_id"), col("event_type"),
+      col("u"), Seq("view", "click"))(df))
+    assert(out === Set(Seq(1L, 5L, 7L, 2)))
+  }
 }

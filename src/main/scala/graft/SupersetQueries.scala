@@ -394,6 +394,27 @@ object SupersetQueries {
       "ordered funnel conversion (view -> click -> purchase): first step-N " +
         "time strictly after step N-1, per user — one keyed aggregate + " +
         "left join per step on one reused user_id partitioning, no windows, " +
-        "no per-user event buffering")
+        "no per-user event buffering"),
+
+    Q("o21_retention",
+      // day-grain cohorts over epoch-micros time (same µs grain as o20;
+      // 86400000000 µs per day)
+      (s, dir) => graft.ops.Sequences.retention(
+        col("user_id"), expr("ts div 1000"), 86400000000L)(
+        Tables.events(s, dir)),
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+             |              epoch_us(ts) // 86400000000 AS d FROM events),
+             |c AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id),
+             |sz AS (SELECT d0, count(*) AS cohort_size FROM c GROUP BY d0),
+             |cell AS (SELECT c.d0 AS cohort, a.d - c.d0 AS bucket_offset,
+             |           count(*) AS n_active
+             |         FROM act a JOIN c USING (user_id) GROUP BY 1, 2)
+             |SELECT cohort, bucket_offset, n_active, cohort_size,
+             |       CAST(n_active AS DOUBLE) / cohort_size AS retention
+             |FROM cell JOIN sz ON sz.d0 = cell.cohort""".stripMargin),
+      "cohort retention (day grain): per (first-active-day cohort, day " +
+        "offset) the count and fraction of cohort members active that day " +
+        "— shared key-hashed exchange for activity distinct + cohort min, " +
+        "map-side-collapsed cell rollup, broadcast cohort sizes")
   )
 }

@@ -19,7 +19,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-dev filter (comma-separated names); the driver never sets it,
+    // so its full-catalog run is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       // scoped inter-query cleanup (see Housekeeping): drop the blocks
       // this query persisted, never another component's
       try Housekeeping.scopedBlocks(spark) {

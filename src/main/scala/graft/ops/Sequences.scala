@@ -80,4 +80,35 @@ object Sequences {
       (1 to steps.length).map(i => col(s"t$i")) :+
       completed.as("steps_completed"): _*)
   }
+
+  /** Cohort retention: time is bucketed at `bucketWidth` (integer
+    * division — pass a time column and width in the same integer unit),
+    * each key's cohort is its first active bucket, and every
+    * (cohort, offset) cell reports how many and what fraction of the
+    * cohort's members were active `offset` buckets later. Offset 0 is
+    * the cohort itself (retention 1.0 by construction).
+    *
+    * Scale: the (key, bucket) distinct and the first-bucket aggregate
+    * share one key-hashed exchange; the cell rollup's groupBy collapses
+    * map-side to at most |buckets|² cells per mapper; the cohort-size
+    * side is |buckets|-sized and broadcasts. No windows, no event
+    * buffering, nothing driver-side.
+    */
+  def retention(key: Column, time: Column, bucketWidth: Long)(
+      df: DataFrame): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val act = df.select(key.as("user_id"), time.as("__t"))
+      .withColumn("d", expr(s"__t div $bucketWidth"))
+      .select(col("user_id"), col("d")).distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val sizes = cohort.groupBy(col("d0")).agg(count(lit(1)).as("cohort_size"))
+    act.join(cohort, "user_id")
+      // act is (user, bucket)-distinct, so each cohort member counts once
+      .groupBy(col("d0").as("cohort"), (col("d") - col("d0")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), col("cohort") === col("d0"))
+      .select(col("cohort"), col("bucket_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+  }
 }

@@ -64,4 +64,20 @@ class SequencesSpec extends SparkSpec {
       col("u"), Seq("view", "click"))(df))
     assert(out === Set(Seq(1L, 5L, 7L, 2)))
   }
+
+  test("retention counts each cohort member once per bucket") {
+    // bucket width 10: u1 first active bucket 0, active 0/1/2 (two events
+    // in bucket 1 count once); u2 first active bucket 1, active 1 only;
+    // u3 first active bucket 0, active 0 and 2
+    val df = Seq(
+      (1L, 1L), (1L, 12L), (1L, 17L), (1L, 25L),
+      (2L, 13L),
+      (3L, 5L), (3L, 29L)).toDF("user_id", "t")
+    val out = rowsOf(Sequences.retention(col("user_id"), col("t"), 10L)(df))
+    assert(out === Set(
+      Seq(0L, 0L, 2L, 2L, 1.0),   // u1, u3 at offset 0
+      Seq(0L, 1L, 1L, 2L, 0.5),   // u1 only
+      Seq(0L, 2L, 2L, 2L, 1.0),   // u1, u3
+      Seq(1L, 0L, 1L, 1L, 1.0)))  // u2's own cohort
+  }
 }

@@ -88,25 +88,31 @@ object Sequences {
     * cohort's members were active `offset` buckets later. Offset 0 is
     * the cohort itself (retention 1.0 by construction).
     *
-    * Scale: the (key, bucket) distinct and the first-bucket aggregate
-    * share one key-hashed exchange; the cell rollup's groupBy collapses
-    * map-side to at most |buckets|² cells per mapper; the cohort-size
-    * side is |buckets|-sized and broadcasts. No windows, no event
-    * buffering, nothing driver-side.
+    * Scale: ONE scan of the fact table and ONE key-hashed exchange over
+    * it — the per-key bucket set folds map-side via `collect_set`
+    * (bounded by |buckets|, e.g. days observed, not by events), the
+    * cohort is `array_min` of that set (no second aggregate, no join
+    * back), and cohort sizes are the offset-0 cells themselves (every
+    * member is active in their own first bucket), so the |buckets|²-row
+    * cell exchange is byte-identical in both branches and Spark's
+    * ReuseExchange computes it once. Nothing re-scans events, no
+    * windows, nothing driver-side. (A first cut joined three separate
+    * scans of events — the plan showed 3 parquet scans of the fact
+    * table; this shape shows 1.)
     */
   def retention(key: Column, time: Column, bucketWidth: Long)(
       df: DataFrame): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    val act = df.select(key.as("user_id"), time.as("__t"))
+    val cells = df.where(key.isNotNull)
+      .select(key.as("user_id"), time.as("__t"))
       .withColumn("d", expr(s"__t div $bucketWidth"))
-      .select(col("user_id"), col("d")).distinct()
-    val cohort = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
-    val sizes = cohort.groupBy(col("d0")).agg(count(lit(1)).as("cohort_size"))
-    act.join(cohort, "user_id")
-      // act is (user, bucket)-distinct, so each cohort member counts once
+      .groupBy(col("user_id")).agg(collect_set(col("d")).as("ds"))
+      .select(explode(col("ds")).as("d"), array_min(col("ds")).as("d0"))
       .groupBy(col("d0").as("cohort"), (col("d") - col("d0")).as("bucket_offset"))
       .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), col("cohort") === col("d0"))
+    val sizes = cells.where(col("bucket_offset") === 0)
+      .select(col("cohort").as("c0"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), col("cohort") === col("c0"))
       .select(col("cohort"), col("bucket_offset"), col("n_active"),
         col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size")).as("retention"))

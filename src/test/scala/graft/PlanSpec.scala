@@ -251,4 +251,39 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set(aqe, prev)
   }
+
+  test("o20 funnel pushes each step's type filter to its scan, no Window, no cartesian") {
+    val p = plan(q("o20_funnel"))
+    assert(p.contains("EqualTo(event_type,view)"), s"step filter not pushed:\n$p")
+    assert(!p.contains("Window"), s"o20 plans a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("o21 retention scans events ONCE at runtime (size branch reuses the activity exchange)") {
+    // the static plan shows two scan branches; the guarantee is the
+    // runtime one — AQE recognizes the two collect_set exchanges as
+    // identical and serves the cohort-size branch from the first stage
+    val df = q("o21_retention")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    val adaptive = p.split("== Initial Plan ==").head
+    assert(adaptive.contains("ReusedExchange"), s"o21 re-shuffled events:\n$adaptive")
+    val scans = "FileScan parquet".r.findAllIn(adaptive).length
+    assert(scans == 1, s"o21 executed $scans events scans, want 1:\n$adaptive")
+  }
+
+  test("x39 length batching plans no single-reducer stage (range partition, local ranks)") {
+    val p = plan(q("x39_length_batches"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"x39 funnels all rows through one reducer:\n$p")
+    assert(p.contains("rangepartitioning"), s"x39 missing range repartition:\n$p")
+  }
+
+  test("x40 contamination score broadcasts the eval hit-set, no Window") {
+    val p = plan(q("x40_contamination_score"))
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("Window"), s"x40 plans a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

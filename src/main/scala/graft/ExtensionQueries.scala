@@ -1528,6 +1528,58 @@ object ExtensionQueries {
       "X2 graded contamination score (x8's boolean drop refined to a " +
         "fraction): per corpus doc, share of its distinct 8-token shingles " +
         "in the eval set — broadcast hit-set onto the corpus shingle " +
-        "stream, integer counts, one final IEEE division")
+        "stream, integer counts, one final IEEE division"),
+
+    Q("x41_seeded_shuffle",
+      (s, dir) => TextAnalysis.seededShuffle(col("doc_id"), "s42", 8)(
+        docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id,
+             |            md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+             |          FROM documents),
+             |r AS (SELECT doc_id,
+             |        row_number() OVER (ORDER BY h, doc_id) - 1 AS p FROM t)
+             |SELECT doc_id, p AS shuffle_pos, p % 8 AS shard,
+             |       p // 8 AS shard_pos FROM r""".stripMargin),
+      "deterministic seeded global shuffle for training-data ordering: " +
+        "total order by md5(seed||id) with round-robin shard + " +
+        "within-shard position — reproducible across engines/runs/" +
+        "retries, ranked by the range-partition play (no single-reducer " +
+        "sort, no RNG state)"),
+
+    Q("x42_cluster_split",
+      // leakage-free split assignment — the FIX for what x38 audits:
+      // near-dup docs must land in the SAME split or eval leaks train
+      // data, so the split key is the doc's dup-cluster canonical id
+      // (x2e), not the doc id (x6b). Every member of a cluster routes
+      // together; singletons reduce to x6b's per-doc md5 routing.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
+          maxShingleDf = 1000L)(d)
+        Dedup.canonicalize(d.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("canonical"),
+            TextAnalysis.assignSplit(col("canonical"),
+              Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).as("split"))
+      },
+      Some {
+        val Seq(t1, t2) = TextAnalysis.splitThresholds(Seq(0.8, 0.1, 0.1))
+        s"""WITH RECURSIVE $ngramPairsCte,
+           |edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+           |reach AS (SELECT x, y FROM edges
+           |          UNION
+           |          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+           |canon AS (SELECT d.doc_id,
+           |            least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS canonical
+           |          FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+           |          GROUP BY d.doc_id)
+           |SELECT doc_id, canonical,
+           |  CASE WHEN md5(CAST(canonical AS VARCHAR)) < '$t1' THEN 'train'
+           |       WHEN md5(CAST(canonical AS VARCHAR)) < '$t2' THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM canon""".stripMargin
+      },
+      "leakage-free train/val/test split: route each doc by its " +
+        "dup-cluster canonical id so near-dups always share a split " +
+        "(x2e canonicalization + x6b md5 routing, composed)")
   )
 }

@@ -872,20 +872,56 @@ object TextAnalysis {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val withLen = df.select(id.as("doc_id"),
       size(Texts.tokens(text)).cast("long").as("n_tokens"))
-    val ranged = withLen.repartitionByRange(col("n_tokens"), col("doc_id"))
+    globalIndex(withLen, Seq(col("n_tokens"), col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"gidx div $batchSize").as("batch_id"))
+  }
+
+  /** Adds a dense 0-based `gidx` column: each row's global rank in the
+    * total order of `sortCols` (which must be unique across rows),
+    * WITHOUT a single-reducer sort — the anti-pattern a naive
+    * `row_number() OVER (ORDER BY ...)` plans. Range repartition on the
+    * sort key gives disjoint ordered key ranges per partition; a
+    * per-partition window ranks locally; a |partitions|-sized count
+    * collect (model-sized, like k-means centers) prefix-sums the offsets
+    * on the driver; global rank = offset(partition) + local rank. Each
+    * action re-derives the same range bounds (deterministic sampling
+    * over identical input), so the assignment is total and reproducible.
+    */
+  private def globalIndex(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*)
       .withColumn("pid", spark_partition_id())
     val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init
     val offsetOf = map(counts.map(_._1).zip(offsets).flatMap {
       case (pid, off) => Seq(lit(pid), lit(off)) }.toIndexedSeq: _*)
-    val wLocal = Window.partitionBy(col("pid"))
-      .orderBy(col("n_tokens"), col("doc_id"))
-    ranged
-      .withColumn("gidx",
-        element_at(offsetOf, col("pid")) + row_number().over(wLocal) - 1L)
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"gidx div $batchSize").as("batch_id"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
+    ranged.withColumn("gidx",
+      element_at(offsetOf, col("pid")) + row_number().over(wLocal) - 1L)
+  }
+
+  /** Deterministic seeded global shuffle — the training-data ordering
+    * op: every row gets a pseudo-random but fully reproducible position
+    * in a total order keyed by `md5(seed || id)` (ties, i.e. md5
+    * collisions, broken by id), plus a round-robin shard assignment
+    * (`shard` = position mod nShards — shard sizes differ by at most
+    * one) and the within-shard position. Same seed + same data → the
+    * same order on any engine, any run, any retry; a new seed is a
+    * fresh independent shuffle. No RNG state, no driver-side ordering:
+    * the total order materializes via [[globalIndex]]'s range-partition
+    * rank play, so no single task ever sees more than its key range.
+    */
+  def seededShuffle(id: Column, seed: String, nShards: Int)(
+      df: DataFrame): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val keyed = df.select(id.as("doc_id"),
+      md5(concat(lit(seed + ":"), id.cast("string"))).as("h"))
+    globalIndex(keyed, Seq(col("h"), col("doc_id")))
+      .select(col("doc_id"),
+        col("gidx").as("shuffle_pos"),
+        expr(s"gidx % $nShards").as("shard"),
+        expr(s"gidx div $nShards").as("shard_pos"))
   }
 
   def dataCard(source: Column, lang: Column, text: Column)(

@@ -252,4 +252,30 @@ class DedupSpec extends SparkSpec {
       corpus, bench)
     assert(rowsOf(out.select(col("doc_id"))) === Set(Seq(11L), Seq(12L)))
   }
+
+  test("cluster split routes near-dup docs to ONE split even when per-doc routing differs") {
+    import graft.ops.TextAnalysis
+    // pick two ids that per-doc md5 routing would send to DIFFERENT
+    // splits — the exact leakage x38 audits for and this op prevents
+    val t1 = TextAnalysis.splitThresholds(Seq(0.8, 0.1, 0.1)).head
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val a = (1L to 200L).find(i => md5hex(i.toString) < t1).get
+    val b = (1L to 200L).find(i => md5hex(i.toString) >= t1).get
+    val text = "one two three four five six seven eight nine ten"
+    val df = Seq((a, text), (b, text),
+      (301L, "completely unrelated words with zero shared shingles at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
+      maxShingleDf = 1000L)(df)
+    val out = Dedup.canonicalize(df.select(col("doc_id").as("id")), pairs)
+      .select(col("id"), col("canonical"),
+        TextAnalysis.assignSplit(col("canonical"),
+          Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).as("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(a)._1 === out(b)._1, "near-dups must share a canonical")
+    assert(out(a)._2 === out(b)._2, "near-dups must share a split")
+    assert(out(math.min(a, b))._2 === out(a)._2) // routed by the min id
+  }
 }

@@ -280,6 +280,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), s"x39 missing range repartition:\n$p")
   }
 
+  test("x41 seeded shuffle plans no single-reducer stage (range partition, local ranks)") {
+    val p = plan(q("x41_seeded_shuffle"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"x41 funnels all rows through one reducer:\n$p")
+    assert(p.contains("rangepartitioning"), s"x41 missing range repartition:\n$p")
+  }
+
   test("x40 contamination score broadcasts the eval hit-set, no Window") {
     val p = plan(q("x40_contamination_score"))
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")

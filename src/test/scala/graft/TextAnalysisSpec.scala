@@ -555,4 +555,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
     assert(a.size === 50)
   }
+
+  test("seededShuffle equals the md5-order spec, positions are a dense permutation") {
+    import spark.implicits._
+    val ids = (0L until 41L).map(i => (i * 29) % 41) // shuffled input order
+    val df = ids.map(Tuple1(_)).toDF("doc_id")
+    val out = TextAnalysis.seededShuffle(col("doc_id"), "sA", 4)(df)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val md5hex = { (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val expected = ids.sortBy(id => (md5hex(s"sA:$id"), id)).zipWithIndex
+      .map { case (id, p) => id -> (p.toLong, p.toLong % 4, p.toLong / 4) }.toMap
+    assert(out === expected)
+  }
+
+  test("seededShuffle shards balance within one and a new seed reorders") {
+    import spark.implicits._
+    val df = (1L to 100L).map(Tuple1(_)).toDF("doc_id")
+    val a = TextAnalysis.seededShuffle(col("doc_id"), "s1", 8)(df).collect()
+    val byShard = a.groupBy(_.getLong(2)).view.mapValues(_.length)
+    assert(byShard.values.max - byShard.values.min <= 1)
+    assert(a.map(_.getLong(1)).sorted.toSeq === (0L until 100L))
+    val b = TextAnalysis.seededShuffle(col("doc_id"), "s2", 8)(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aMap = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aMap !== b) // different seed, different permutation
+  }
 }

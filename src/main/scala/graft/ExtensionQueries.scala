@@ -1109,6 +1109,39 @@ object ExtensionQueries {
         "(budget*weight/total, floor-quantized to the md5 sampling grid), then a " +
         "deterministic map-only stratified sample — the corpus is never shuffled"),
 
+    Q("x43_temperature_mix",
+      // x19 with the weights DERIVED from the data: w_s = tokens_s^0.7 /
+      // sum tokens^0.7 (temperature sampling — flattens the skew so small
+      // sources are up-weighted relative to their natural share). Same
+      // plan shape as x19: one K-row stats aggregate, then a map-only
+      // deterministic keep filter; the corpus is never shuffled.
+      (s, dir) => TextAnalysis.mixByTemperature(
+          col("doc_id"), col("source"), size(Texts.tokens(col("text"))),
+          0.7, 2000L)(docs(s, dir))
+        .select(col("doc_id"), col("source")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+             |        FROM toks GROUP BY 1 HAVING sum(n_tokens) > 0),
+             |z AS (SELECT sum(pow(CAST(total AS DOUBLE), 0.7)) AS z FROM tot),
+             |rates AS (
+             |  SELECT tot.source,
+             |         CAST(2000 AS DOUBLE) * (pow(CAST(total AS DOUBLE), 0.7) / z.z)
+             |           / CAST(total AS DOUBLE) AS raw,
+             |         CAST(floor(CAST(2000 AS DOUBLE)
+             |                    * (pow(CAST(total AS DOUBLE), 0.7) / z.z)
+             |                    / CAST(total AS DOUBLE) * 16777216) AS BIGINT) AS bucket
+             |  FROM tot, z)
+             |SELECT d.doc_id, d.source
+             |FROM toks d JOIN rates r ON d.source = r.source
+             |WHERE r.raw >= 1.0
+             |   OR (r.bucket > 0 AND
+             |       md5(CAST(d.doc_id AS VARCHAR)) < lower(lpad(to_hex(r.bucket), 6, '0')))""".stripMargin),
+      "X3 temperature-sampled data mixture: per-source weights tokens^alpha / " +
+        "sum(tokens^alpha) from one stats pass, then the same deterministic " +
+        "map-only stratified sample as x19 — zero corpus shuffle"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

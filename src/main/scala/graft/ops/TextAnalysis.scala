@@ -205,6 +205,40 @@ object TextAnalysis {
     else df.filter(stratifiedSample(id, source, rates))
   }
 
+  /** Temperature-derived mixture weights: `w_s = t_s^alpha / sum_r t_r^alpha`
+    * over observed per-source token totals — the standard pretraining
+    * scheme for flattening a skewed source distribution (alpha = 1 keeps
+    * the natural proportions, alpha = 0 is uniform, alpha in between
+    * up-weights small sources relative to their share). Pure driver-side
+    * arithmetic over the K-row totals map; summed in sorted-key order so
+    * the weights are bit-identical across runs.
+    */
+  def temperatureWeights(totals: Map[String, Long], alpha: Double): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    val pows = totals.toSeq.filter(_._2 > 0L).sortBy(_._1)
+      .map { case (s, t) => s -> math.pow(t.toDouble, alpha) }
+    val z = pows.foldLeft(0.0)(_ + _._2)
+    pows.map { case (s, p) => s -> p / z }.toMap
+  }
+
+  /** [[mixToTokenBudget]] with the target weights DERIVED from the data by
+    * [[temperatureWeights]] instead of supplied: one stats pass yields the
+    * per-source token totals, the temperature transform sets each source's
+    * share of the budget, and the keep-decision is the same deterministic
+    * map-only [[stratifiedSample]] expression. Same 100 TB posture as the
+    * fixed-weight mixture: one tiny aggregate, zero corpus shuffle.
+    */
+  def mixByTemperature(id: Column, source: Column, tokens: Column,
+      alpha: Double, budgetTokens: Long)(df: DataFrame): DataFrame = {
+    val totals = df.groupBy(source.as("__s")).agg(sum(tokens.cast("long")).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    val weights = temperatureWeights(totals, alpha)
+    if (weights.isEmpty) df.filter(lit(false))
+    else df.filter(stratifiedSample(id, source,
+      mixtureRates(totals, weights, budgetTokens)))
+  }
+
   /** Hex thresholds over the first 6 md5 digits for cumulative split
     * fractions — shared between [[assignSplit]] and its SQL oracle so both
     * engines route on identical literals.

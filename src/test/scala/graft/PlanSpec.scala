@@ -293,4 +293,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"x40 plans a Window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x43 temperature mix: the corpus pass is a join-free map-only filter") {
+    // the stats pass runs eagerly inside the query builder (K-row collect);
+    // the RETURNED plan — the one that would scan 100 TB — must be scan +
+    // filter on md5 literals only: no join, no exchange, no Window
+    val p = plan(q("x43_temperature_mix"))
+    assert(!p.contains("Join"), s"x43 joins the corpus:\n$p")
+    assert(!p.contains("Exchange"), s"x43 shuffles the corpus:\n$p")
+    assert(!p.contains("Window"), s"x43 plans a Window:\n$p")
+  }
 }

@@ -334,6 +334,46 @@ class TextAnalysisSpec extends SparkSpec {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 6000L)(df).select("id")))
   }
 
+  test("temperatureWeights: alpha=1 natural, alpha=0 uniform, in between flattens") {
+    val totals = Map("big" -> 9000L, "small" -> 1000L, "empty" -> 0L)
+    val natural = TextAnalysis.temperatureWeights(totals, 1.0)
+    assert(math.abs(natural("big") - 0.9) < 1e-12)
+    assert(math.abs(natural("small") - 0.1) < 1e-12)
+    assert(!natural.contains("empty"))                 // zero-total dropped
+    val uniform = TextAnalysis.temperatureWeights(totals, 0.0)
+    assert(math.abs(uniform("big") - 0.5) < 1e-12)
+    assert(math.abs(uniform("small") - 0.5) < 1e-12)
+    val flat = TextAnalysis.temperatureWeights(totals, 0.7)
+    assert(math.abs(flat.values.sum - 1.0) < 1e-12)
+    // temperature up-weights the small source relative to its natural share
+    assert(flat("small") > natural("small") && flat("small") < uniform("small"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.temperatureWeights(totals, 1.5)
+    }
+  }
+
+  test("mixByTemperature == mixToTokenBudget with the derived weights") {
+    val df = Seq.tabulate(600) { i =>
+      // skewed: 500 web docs vs 100 book docs, 50 tokens each
+      val src = if (i < 500) "web" else "books"
+      (i.toLong, src, "t " * 49 + "t")
+    }.toDF("id", "src", "text")
+    val toks = size(split(col("text"), " "))
+    val derived = TextAnalysis.temperatureWeights(
+      Map("web" -> 25000L, "books" -> 5000L), 0.7)
+    assert(rowsOf(TextAnalysis.mixByTemperature(col("id"), col("src"), toks,
+        0.7, 6000L)(df).select("id")) ===
+      rowsOf(TextAnalysis.mixToTokenBudget(col("id"), col("src"), toks,
+        derived, 6000L)(df).select("id")))
+    // and the flattening is visible end-to-end: books' kept share exceeds
+    // its natural 1/6 corpus share
+    val kept = TextAnalysis.mixByTemperature(col("id"), col("src"), toks,
+      0.7, 6000L)(df)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("books").toDouble / (kept("web") + kept("books")) > 1.0 / 6.0)
+  }
+
   test("bpeTrain learns merges in frequency order with deterministic tiebreaks") {
     // aaab x2 + ab x1: pair counts round 1 are (a,a)=4, (a,b)=3 -> merge
     // (a,a); round 2 (a,b)=3 beats (aa,a)=2; round 3 only (aa,ab) remains

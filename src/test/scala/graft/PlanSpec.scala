@@ -294,6 +294,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x42 cluster split routes on the canonical id with no cartesian, no Window") {
+    // canonicalize + assignSplit: the split expression is a pure map over
+    // the canonical frame — no pair amplification beyond the (bounded)
+    // near-dup pair pipeline, no Window, no per-cluster sort
+    val p = plan(q("x42_cluster_split"))
+    assert(!p.contains("CartesianProduct"), s"x42 plans a cartesian:\n$p")
+    assert(!p.contains("Window"), s"x42 plans a Window:\n$p")
+  }
+
   test("x43 temperature mix: the corpus pass is a join-free map-only filter") {
     // the stats pass runs eagerly inside the query builder (K-row collect);
     // the RETURNED plan — the one that would scan 100 TB — must be scan +

@@ -102,7 +102,11 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val errJson = errors.reverse
+    // a query that fails in BOTH timed rounds lands in `errors` twice —
+    // dedupe by name so the JSON object has unique keys and n_errors
+    // counts failing queries, not failing attempts
+    val errList = errors.reverse.distinctBy(_._1)
+    val errJson = errList
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     // "value"/"sf" come AFTER the (large) per-query map, and a short
     // standalone summary line is printed LAST: at 78+ queries the map
@@ -110,7 +114,7 @@ object Bench {
     // "value" field was truncated away (BENCH_r03 "parsed": null). Any
     // tail window now retains the total twice over.
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"value":$total,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errList.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

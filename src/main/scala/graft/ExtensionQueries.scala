@@ -1110,27 +1110,33 @@ object ExtensionQueries {
         "deterministic map-only stratified sample — the corpus is never shuffled"),
 
     Q("x43_temperature_mix",
-      // x19 with the weights DERIVED from the data: w_s = tokens_s^0.7 /
-      // sum tokens^0.7 (temperature sampling — flattens the skew so small
-      // sources are up-weighted relative to their natural share). Same
-      // plan shape as x19: one K-row stats aggregate, then a map-only
+      // x19 with the weights DERIVED from the data: w_s = sqrt(tokens_s) /
+      // sum sqrt(tokens) (temperature sampling at alpha = 0.5 — flattens
+      // the skew so small sources are up-weighted relative to their
+      // natural share). alpha = 0.5 on purpose: IEEE requires sqrt to be
+      // correctly rounded, so Spark and DuckDB derive bit-identical
+      // weights (pow(x, 0.7) carries no such guarantee, and a last-ulp
+      // difference can flip the floor-quantized keep bucket); the z sum
+      // is ORDER BY source on both sides for the same reason. Same plan
+      // shape as x19: one K-row stats aggregate, then a map-only
       // deterministic keep filter; the corpus is never shuffled.
       (s, dir) => TextAnalysis.mixByTemperature(
           col("doc_id"), col("source"), size(Texts.tokens(col("text"))),
-          0.7, 2000L)(docs(s, dir))
+          0.5, 2000L)(docs(s, dir))
         .select(col("doc_id"), col("source")),
       Some("""WITH toks AS (
              |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
              |  FROM documents),
              |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
              |        FROM toks GROUP BY 1 HAVING sum(n_tokens) > 0),
-             |z AS (SELECT sum(pow(CAST(total AS DOUBLE), 0.7)) AS z FROM tot),
+             |z AS (SELECT sum(sqrt(CAST(total AS DOUBLE)) ORDER BY source) AS z
+             |      FROM tot),
              |rates AS (
              |  SELECT tot.source,
-             |         CAST(2000 AS DOUBLE) * (pow(CAST(total AS DOUBLE), 0.7) / z.z)
+             |         CAST(2000 AS DOUBLE) * (sqrt(CAST(total AS DOUBLE)) / z.z)
              |           / CAST(total AS DOUBLE) AS raw,
              |         CAST(floor(CAST(2000 AS DOUBLE)
-             |                    * (pow(CAST(total AS DOUBLE), 0.7) / z.z)
+             |                    * (sqrt(CAST(total AS DOUBLE)) / z.z)
              |                    / CAST(total AS DOUBLE) * 16777216) AS BIGINT) AS bucket
              |  FROM tot, z)
              |SELECT d.doc_id, d.source

@@ -125,18 +125,23 @@ object Graph {
       .groupBy(col("id")).agg(sum(col("out")).as("outdeg")).persist()
     val nodes = verts.select(col("id"))
     val dangling = verts.filter(col("outdeg") === 0L).select(col("id")).persist()
-    val n = verts.count()
-    val small = n <= broadcastMaxNodes
-    // each edge carries its weight once: (src, dst, w = 1/outdeg(src));
-    // the vertex table is |V|-sized, so it broadcasts into the edge
-    // scan in the small regime. Co-partitioning by src only matters in
-    // the shuffle regime — in broadcast mode the per-round rank join
-    // is map-side, so forcing an up-front |E| exchange would be waste.
-    val weights = verts.select(col("id").as("src"), col("outdeg"))
-    val weighted = e0.join(if (small) broadcast(weights) else weights, Seq("src"))
-      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
-    val e = (if (small) weighted else weighted.repartition(col("src"))).persist()
+    // every JOB runs inside the try (persist() calls above are lazy), so
+    // a failure anywhere — including the first verts.count() — still
+    // unpersists all three frames instead of leaking blocks into the
+    // long-lived session
+    var e: DataFrame = null
     try {
+      val n = verts.count()
+      val small = n <= broadcastMaxNodes
+      // each edge carries its weight once: (src, dst, w = 1/outdeg(src));
+      // the vertex table is |V|-sized, so it broadcasts into the edge
+      // scan in the small regime. Co-partitioning by src only matters in
+      // the shuffle regime — in broadcast mode the per-round rank join
+      // is map-side, so forcing an up-front |E| exchange would be waste.
+      val weights = verts.select(col("id").as("src"), col("outdeg"))
+      val weighted = e0.join(if (small) broadcast(weights) else weights, Seq("src"))
+        .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      e = (if (small) weighted else weighted.repartition(col("src"))).persist()
       val hasDangling = dangling.count() > 0
       var ranks = nodes.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
       var it = 0
@@ -160,6 +165,9 @@ object Graph {
         it += 1
       }
       ranks
-    } finally { e.unpersist(); verts.unpersist(); dangling.unpersist() }
+    } finally {
+      if (e != null) e.unpersist()
+      verts.unpersist(); dangling.unpersist()
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -215,8 +215,17 @@ object TextAnalysis {
     */
   def temperatureWeights(totals: Map[String, Long], alpha: Double): Map[String, Double] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
-    val pows = totals.toSeq.filter(_._2 > 0L).sortBy(_._1)
-      .map { case (s, t) => s -> math.pow(t.toDouble, alpha) }
+    // null source keys carry no weight (a null stratum can never match the
+    // md5-routed stratifiedSample) and would NPE the sortBy below
+    val pows = totals.toSeq.filter { case (s, t) => s != null && t > 0L }
+      .sortBy(_._1)
+      // alpha = 0.5 routes through sqrt, which IEEE-754 requires to be
+      // correctly rounded — bit-identical across JVMs AND across engines
+      // (DuckDB's sqrt is exact-rounded too). pow carries no such
+      // guarantee, so 0.5 is the alpha an exact cross-engine oracle uses.
+      .map { case (s, t) =>
+        s -> (if (alpha == 0.5) math.sqrt(t.toDouble)
+              else math.pow(t.toDouble, alpha)) }
     val z = pows.foldLeft(0.0)(_ + _._2)
     pows.map { case (s, p) => s -> p / z }.toMap
   }
@@ -894,12 +903,12 @@ object TextAnalysis {
     * The global rank is computed WITHOUT a single-reducer sort — the
     * anti-pattern a naive `row_number() OVER (ORDER BY ...)` plans. Range
     * repartition on the sort key gives disjoint ordered key ranges per
-    * partition; a per-partition window ranks locally; a |partitions|-sized
-    * count collect (model-sized, like k-means centers) prefix-sums the
-    * offsets on the driver; global rank = offset(partition) + local rank.
-    * Each action re-derives the same range bounds (deterministic sampling
-    * over identical input), and the (n_tokens, doc_id) key is unique, so
-    * the assignment is total and reproducible.
+    * partition; an in-partition sort orders each range; a
+    * |partitions|-sized count job (model-sized, like k-means centers)
+    * prefix-sums the offsets on the driver; global rank = partition
+    * offset + in-partition position, all derived from ONE materialized
+    * shuffle (see [[globalIndex]]). The (n_tokens, doc_id) key is
+    * unique, so the assignment is total and reproducible.
     */
   def lengthBatches(id: Column, text: Column, batchSize: Int)(
       df: DataFrame): DataFrame = {
@@ -915,24 +924,39 @@ object TextAnalysis {
     * total order of `sortCols` (which must be unique across rows),
     * WITHOUT a single-reducer sort — the anti-pattern a naive
     * `row_number() OVER (ORDER BY ...)` plans. Range repartition on the
-    * sort key gives disjoint ordered key ranges per partition; a
-    * per-partition window ranks locally; a |partitions|-sized count
-    * collect (model-sized, like k-means centers) prefix-sums the offsets
-    * on the driver; global rank = offset(partition) + local rank. Each
-    * action re-derives the same range bounds (deterministic sampling
-    * over identical input), so the assignment is total and reproducible.
+    * sort key gives disjoint ordered key ranges per partition; an
+    * in-partition sort orders each range; a |partitions|-sized count job
+    * (model-sized, like k-means centers) prefix-sums the offsets on the
+    * driver; global rank = partition offset + in-partition position.
+    *
+    * Both the count job and the rank pass run over the SAME RDD
+    * instance, so the range exchange's sampled bounds are materialized
+    * exactly once and every downstream action reuses that one shuffle
+    * output (Spark's RangePartitioner seeds its reservoir sample with
+    * the RDD id — re-executing an unpersisted range exchange can derive
+    * DIFFERENT bounds per action, which would let rows shift partitions
+    * between the counts collect and the rank pass and silently break
+    * the dense/total contract at scale).
     */
   private def globalIndex(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-    val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft(0L)(_ + _._2).init
-    val offsetOf = map(counts.map(_._1).zip(offsets).flatMap {
-      case (pid, off) => Seq(lit(pid), lit(off)) }.toIndexedSeq: _*)
-    val wLocal = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
-    ranged.withColumn("gidx",
-      element_at(offsetOf, col("pid")) + row_number().over(wLocal) - 1L)
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    // one RDD instance shared by the count job and the rank pass: the
+    // shuffle map stage runs once; later jobs reuse its output
+    val rdd = sorted.rdd
+    val counts = spark.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+    })
+    val offsets = counts.scanLeft(0L)(_ + _).init
+    val indexed = rdd.mapPartitionsWithIndex({ (pid, it) =>
+      var i = offsets(pid) - 1L
+      it.map { r => i += 1L; Row.fromSeq(r.toSeq :+ i) }
+    }, preservesPartitioning = true)
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("gidx",
+          org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   /** Deterministic seeded global shuffle — the training-data ordering

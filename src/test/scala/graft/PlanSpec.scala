@@ -274,17 +274,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x39 length batching plans no single-reducer stage (range partition, local ranks)") {
+    // the range exchange + rank live inside the one materialized RDD the
+    // globalIndex play builds (bounds sampled once, reused by every
+    // action) — the visible plan is a scan of that RDD, and must contain
+    // neither a single-reducer exchange nor a global Window
     val p = plan(q("x39_length_batches"))
     assert(!p.contains("Exchange SinglePartition"),
       s"x39 funnels all rows through one reducer:\n$p")
-    assert(p.contains("rangepartitioning"), s"x39 missing range repartition:\n$p")
+    assert(!p.contains("Window"), s"x39 plans a Window:\n$p")
+    assert(p.contains("ExistingRDD"), s"x39 missing materialized rank scan:\n$p")
   }
 
   test("x41 seeded shuffle plans no single-reducer stage (range partition, local ranks)") {
     val p = plan(q("x41_seeded_shuffle"))
     assert(!p.contains("Exchange SinglePartition"),
       s"x41 funnels all rows through one reducer:\n$p")
-    assert(p.contains("rangepartitioning"), s"x41 missing range repartition:\n$p")
+    assert(!p.contains("Window"), s"x41 plans a Window:\n$p")
+    assert(p.contains("ExistingRDD"), s"x41 missing materialized rank scan:\n$p")
   }
 
   test("x40 contamination score broadcasts the eval hit-set, no Window") {

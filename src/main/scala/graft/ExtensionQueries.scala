@@ -138,23 +138,21 @@ object ExtensionQueries {
   /** One corpus token count-min sketch (plus the exact total-token count
     * that sizes the heavy-hitter threshold) per sf dir, memoized like
     * [[trainedModel]]. Seeded build — deterministic. The memo holds the
-    * BROADCAST handle, not the raw sketch: one broadcast per dir for the
-    * life of the session, instead of one per x26 invocation (per-call
-    * broadcasts only free on driver GC and accumulate across a
-    * 140-query catalog run twice by Bench).
+    * raw sketch: the codegen probe ([[graft.functions.CmsEstimateCount]])
+    * ships it with the stage's broadcast task binary, so the session
+    * never allocates a `SparkContext.broadcast` handle for it at all
+    * (per-call broadcasts only free on driver GC and accumulated across
+    * a 140-query catalog run twice by Bench).
     */
   private val cmsMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.broadcast.Broadcast[
-      org.apache.spark.util.sketch.CountMinSketch], Long)]()
+    String, (org.apache.spark.util.sketch.CountMinSketch, Long)]()
   private[graft] def tokenCms(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.broadcast.Broadcast[
-          org.apache.spark.util.sketch.CountMinSketch], Long) =
+      : (org.apache.spark.util.sketch.CountMinSketch, Long) =
     cmsMemo.computeIfAbsent(dir, _ => {
       val d = docs(s, dir)
       val total = d.select(sum(size(Texts.tokens(col("text")))).cast("long"))
         .head().getLong(0)
-      (s.sparkContext.broadcast(
-          TextAnalysis.buildTokenCms(col("text"), eps = 1e-4, confidence = 0.99)(d)),
+      (TextAnalysis.buildTokenCms(col("text"), eps = 1e-4, confidence = 0.99)(d),
         math.ceil(total * 0.02).toLong)
     })
 

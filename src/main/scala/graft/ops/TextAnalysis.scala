@@ -658,26 +658,28 @@ object TextAnalysis {
     */
   def heavyHitters(text: Column, threshold: Long,
       cms: org.apache.spark.util.sketch.CountMinSketch)(
-      df: DataFrame): DataFrame =
-    heavyHitters(text, threshold,
-      df.sparkSession.sparkContext.broadcast(cms))(df)
+      df: DataFrame): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    // native codegen probe (the Bloom might_contain play, CMS flavor):
+    // the sketch ships once per stage with the broadcast task binary and
+    // the filter stays inside whole-stage codegen — no per-row Scala UDF
+    // boundary on a pass that touches EVERY token of the corpus
+    df.select(explode(Texts.tokens(text)).as("token"))
+      .filter(graft.functions.CmsEstimateCount(col("token"), cms) >= threshold)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
 
-  /** [[heavyHitters]] over a CALLER-OWNED broadcast of the sketch — the
-    * long-lived-session form: a catalog serving the same sketch many
-    * times broadcasts it once and reuses the handle, instead of leaking
-    * one broadcast per invocation (broadcasts only free on driver GC).
+  /** [[heavyHitters]] over a caller-owned broadcast handle — kept for API
+    * compatibility with sessions that already manage the sketch as a
+    * broadcast; the probe itself no longer needs one (the codegen
+    * expression rides the stage's task binary).
     */
   def heavyHitters(text: Column, threshold: Long,
       cmsB: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.CountMinSketch])(
-      df: DataFrame): DataFrame = {
-    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
-    val est = udf((t: String) => if (t == null) 0L else cmsB.value.estimateCount(t))
-    df.select(explode(Texts.tokens(text)).as("token"))
-      .filter(est(col("token")) >= threshold)
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= threshold)
-  }
+      df: DataFrame): DataFrame =
+    heavyHitters(text, threshold, cmsB.value)(df)
 
   /** Corpus-frequent block removal — the C4-style boilerplate cut, at block
     * rather than line granularity (the fixture's documents are single-line):

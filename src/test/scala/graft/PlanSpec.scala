@@ -227,20 +227,19 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get(aqe)
     spark.conf.set(aqe, "false")
     try {
-      // x25's Bloom probe is the BUILT-IN might_contain expression (fully
-      // codegen'd, serialized filter as a plan literal — no UDF anywhere
-      // in the plan); x26's CMS probe stays a UDF (no built-in CMS exists)
+      // x25's Bloom probe is the BUILT-IN might_contain expression; x26's
+      // CMS probe is the repo's codegen CmsEstimateCount twin — both are
+      // fully generated code, so NEITHER plan may contain a UDF boundary
       for ((name, probeMark) <- Seq("x25_bloom_decon" -> "might_contain",
-          "x26_heavy_hitters" -> "UDF")) {
+          "x26_heavy_hitters" -> "cmsestimatecount")) {
         val exec = Queries.queries(name)(spark, dir).queryExecution.executedPlan
         val probes = exec.collect {
           case f: org.apache.spark.sql.execution.FilterExec
-              if f.condition.toString.contains(probeMark) => f
+              if f.condition.toString.toLowerCase.contains(probeMark) => f
         }
         assert(probes.nonEmpty, s"$name plans no sketch-probe filter:\n$exec")
-        if (name == "x25_bloom_decon")
-          assert(!exec.toString.contains("UDF"),
-            s"$name still plans a UDF boundary:\n$exec")
+        assert(!exec.toString.contains("UDF"),
+          s"$name still plans a UDF boundary:\n$exec")
         // nothing below the probe may shuffle: the sketch cut must happen
         // before the corpus stream ever reaches an exchange — that is the
         // entire 100 TB point of prefiltering

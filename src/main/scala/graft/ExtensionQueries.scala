@@ -793,7 +793,11 @@ object ExtensionQueries {
         val lex = Search.bm25(col("doc_id"), col("text"),
           Seq("spark", "vector", "hash"))(docs(s, dir))
         val e = Tables.embeddings(s, dir)
-        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        // limit(1) makes the one-row bound STATIC (a GlobalLimit 1 is a
+        // scalar side to the cartesian guardrail); the filter alone is
+        // only one row by data knowledge the planner can't see
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec")).limit(1)
         // raw cosine: bit-identical to list_cosine_similarity (probed at
         // sf0.1 — 9995/9995 exact), so ranks need no rounding mask here
         val sem = e.crossJoin(broadcast(qv))

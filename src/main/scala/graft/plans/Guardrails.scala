@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Dataset, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate, Join, LocalRelation, LogicalPlan, OneRowRelation, UnaryNode, Unpivot}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate, GlobalLimit, Join, LocalRelation, LogicalPlan, OneRowRelation, UnaryNode, Unpivot}
 
 /** Plan GUARDRAILS — validation hooks for the mistakes that are merely
   * slow at test scale but fatal at 100 TB. First (and worst): the
@@ -41,6 +42,12 @@ object Guardrails {
     case a: Aggregate                         => a.groupingExpressions.isEmpty
     case l: LocalRelation                     => l.data.lengthCompare(1) <= 0
     case _: OneRowRelation                    => true
+    // a literal LIMIT <= 1 statically bounds the side regardless of what
+    // sits beneath it (`df.limit(1)` — the query-vector idiom)
+    case g: GlobalLimit => g.limitExpr match {
+      case Literal(n: Int, _) if n <= 1 => true
+      case _                            => scalarSide(g.child)
+    }
     case _: Generate | _: Expand | _: Unpivot => false
     case j: Join                              => scalarSide(j.left) && scalarSide(j.right)
     case u: UnaryNode                         => scalarSide(u.child)

@@ -30,6 +30,15 @@ class GuardrailsSpec extends SparkSpec {
     Guardrails.assertNoCartesian(a.crossJoin(stats))
   }
 
+  test("a literal limit(1) side (the query-vector idiom) is exempt; limit(2) is not") {
+    Guardrails.assertNoCartesian(
+      a.crossJoin(broadcast(b.filter(col("id") === 0).limit(1))))
+    val err = intercept[IllegalStateException] {
+      Guardrails.assertNoCartesian(a.crossJoin(b.limit(2)))
+    }
+    assert(err.getMessage.contains("cartesian"))
+  }
+
   test("an explode over a one-row side is NOT scalar — the blowup is caught") {
     val oneRow = Seq(Tuple1((0 until 100).toArray)).toDF("arr")
       .select(explode(col("arr")).as("x"))

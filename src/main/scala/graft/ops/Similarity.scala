@@ -476,18 +476,42 @@ object Similarity {
     * through a (src, dst) hash aggregate BEFORE the bounded per-source
     * top-k, so OR-amplification costs shuffle volume proportional to
     * true collisions, not to bands × corpus².
+    *
+    * HOT-BUCKET CAP: `nBits` bounds bucket population only
+    * probabilistically — a degenerate embedding distribution (many
+    * near-identical vectors) lands one bucket with O(corpus) members and
+    * the self-join goes quadratic. So the CANDIDATE (dst) side of every
+    * (band, bucket) over `capPerBucket` members is thinned to ~cap by a
+    * deterministic hash gate (`xxhash64(id, band, bucket) mod pop < cap`
+    * — no RNG, no Window, same graph on every run/engine), while the
+    * source side keeps ALL members: every vector still probes its
+    * buckets, against at most ~cap candidates, so worst-case pair count
+    * is corpus × cap × bands — LINEAR in the corpus — and no vector
+    * loses graph coverage. Members of an over-cap bucket are
+    * near-interchangeable by construction (that is what made the bucket
+    * hot), so top-k quality degrades gracefully, not catastrophically.
+    * The population aggregate and the gate join both ride the same
+    * (band, bucket) exchange the self-join already needs.
     */
   def knnGraph(corpus: DataFrame, nBits: Int, dim: Int, k: Int,
-      bands: Int = 1): DataFrame = {
+      bands: Int = 1, capPerBucket: Int = 1024): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(capPerBucket >= 1, s"capPerBucket must be >= 1, got $capPerBucket")
     val buckets = array((0 until bands).map(b =>
       hyperplaneBucket(col("vec"), nBits, dim, firstPlane = b * nBits)): _*)
     val exploded = corpus
       .select(col("id"), col("vec"), posexplode(buckets))
       .select(col("id"), col("vec"), col("pos").as("band"), col("col").as("bucket"))
       .repartition(col("band"), col("bucket")) // one exchange, both join sides
+    val pops = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__pop"))
+    val cand = exploded.join(pops, Seq("band", "bucket"))
+      .filter(col("__pop") <= capPerBucket ||
+        pmod(xxhash64(col("id"), col("band"), col("bucket")), col("__pop"))
+          < capPerBucket)
+      .drop("__pop")
     val edges = exploded.as("l")
-      .join(exploded.as("r"),
+      .join(cand.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
           && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("src"), col("r.id").as("dst"),

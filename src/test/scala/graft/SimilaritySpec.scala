@@ -361,6 +361,45 @@ class SimilaritySpec extends SparkSpec {
     assert(g.filter(col("src") === col("dst")).count() === 0)
   }
 
+  test("knnGraph hot-bucket cap: a degenerate corpus stays linear, coverage total") {
+    // 1000 near-identical vectors — every one lands in the SAME bucket of
+    // every band, the distribution nBits cannot bound. Uncapped, the
+    // self-join emits ~1000² × bands = 2M pairs; the cap gate must hold
+    // the candidate side to ~capPerBucket so pair count is linear in the
+    // corpus, while every source keeps full k coverage.
+    val n = 1000
+    val degenerate = (0L until n.toLong)
+      .map(i => (i, Array(1.0f, 1e-6f * i, 0.0f)))
+      .toDF("id", "vec")
+    // AQE off so the join node (and its numOutputRows metric) is directly
+    // visible in the executed plan
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    spark.conf.set(aqe, "false")
+    try {
+      val g = Similarity.knnGraph(degenerate, nBits = 2, dim = 3, k = 3,
+        bands = 2, capPerBucket = 16)
+      val rows = g.collect()
+      // total coverage: every vector probes its bucket and gets k edges
+      assert(rows.map(_.getLong(0)).distinct.length === n)
+      assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 3))
+      // no self edges, ranks dense 1..3
+      assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+      // the pair stream is bounded by corpus × ~cap × bands, not corpus²:
+      // the hash gate keeps ~cap of 1000 per (band, bucket) (binomial,
+      // std ~4), so the join emits ~n × kept × bands ≈ 32k pairs. Assert
+      // with 4x slack — far below the 2M an uncapped self-join produces.
+      val joinRows = g.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.condition.nonEmpty =>
+          j.metrics("numOutputRows").value
+      }.max
+      assert(joinRows > 0, "pair-join metric not found")
+      assert(joinRows < 4L * n * 16 * 2,
+        s"hot bucket went quadratic: $joinRows pairs")
+    } finally spark.conf.set(aqe, prev)
+  }
+
   test("int8 quantization: hand values, constant-vector guard, dequant bound") {
     import graft.functions.QuantizeInt8
     // [0, 1, 2] → mn=0, sc=2/255; codes round((x)/sc): 0, 127.5→128, 255

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale-factor synthesizer (NOT part of the library surface):
+  * scales the driver-generated testdata N× by unioning key-offset copies
+  * of each fact table, for local scale rehearsal above the largest
+  * driver-provided SF.
+  *
+  * Design choices, so sf(N×) rehearses the same workload SHAPE instead of
+  * a degenerate one:
+  *
+  *  - `region`/`nation` stay constant (TPC-H dimension semantics — their
+  *    cardinality does not scale with SF), so dimension joins and
+  *    nationkey/regionkey ranges are unchanged.
+  *  - Every fact copy offsets its OWN primary/foreign keys by `i * 1e8`
+  *    (both sides of each FK equally), so referential integrity holds
+  *    and per-key group sizes — items per order, orders per customer,
+  *    events per user — stay constant while key cardinality scales.
+  *  - Copy 0 is byte-identical to the source, so catalog queries pinned
+  *    to concrete keys (the `vec_id = 0` query vector, the `doc_id < 50`
+  *    benchmark slice) keep their referents.
+  *  - `documents.text` in copies > 0 tags every 5th token with a
+  *    copy-suffix: near-dup/exact-dup structure WITHIN a copy is
+  *    preserved (so dedup families scale linearly), while cross-copy
+  *    shingle overlap collapses (so pair counts do not grow
+  *    quadratically in the number of copies). Single-space joining keeps
+  *    the tokenizer's `sum_token_len = n_chars - (n_tokens - 1)`
+  *    arithmetic exact; `n_chars` is recomputed.
+  *  - `embeddings.embedding` in copies > 0 gets a small deterministic
+  *    per-(copy, dimension) jitter, so vector copies are near but not
+  *    exact duplicates — ANN/clustering rehearse realistic density
+  *    instead of 10 exactly-coincident points per vector.
+  *
+  * `events.ts` arrives as epoch-nano BIGINT (read under
+  * `nanosAsLong=true`) and is written back as plain BIGINT — Spark-side
+  * consumers already treat it as nanos (`ts div 1000`); the DuckDB
+  * compare script converts it back to TIMESTAMP_NS when registering the
+  * view (see tools/check_oracle.py).
+  *
+  * Usage: `runMain graft.DevSynth <srcSfDir> <outDir> <copies>`
+  */
+object DevSynth {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, copiesS) = args
+    val copies = copiesS.toInt
+    require(copies >= 1, s"copies must be >= 1, got $copies")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stride = 100000000L // far above any source key
+
+    new java.io.File(outDir).mkdirs()
+
+    // single .parquet FILE per table (matching the driver layout, which
+    // both Tables.table and the DuckDB compare expect)
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = new java.io.File(s"$outDir/__tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $name"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$outDir/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmp.listFiles().foreach(_.delete())
+      tmp.delete()
+      println(s"[synth] $name done")
+    }
+
+    def scaled(name: String, keys: Seq[String],
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      val out = (0 until copies)
+        .map { i =>
+          val offset = keys.foldLeft(src)((d, k) =>
+            d.withColumn(k, col(k) + lit(i * stride)))
+          extra(offset, i)
+        }
+        .reduce(_ unionByName _)
+      writeOne(out, name)
+    }
+
+    writeOne(spark.read.parquet(s"$srcDir/region.parquet"), "region")
+    writeOne(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")
+    scaled("customer", Seq("c_custkey"))
+    scaled("supplier", Seq("s_suppkey"))
+    scaled("part", Seq("p_partkey"))
+    scaled("orders", Seq("o_orderkey", "o_custkey"))
+    scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    scaled("events", Seq("event_id", "user_id"))
+    scaled("documents", Seq("doc_id"), (d, i) =>
+      if (i == 0) d
+      else {
+        val tagged = array_join(
+          transform(split(col("text"), " "),
+            (t, p) => when(p % 5 === 0, concat(t, lit(s"c$i"))).otherwise(t)),
+          " ")
+        d.withColumn("text", tagged)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      })
+    scaled("embeddings", Seq("vec_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          x + (pmod(lit(i) * 31 + j, lit(13)) - lit(6)).cast("double") * lit(1e-3))
+          .cast("array<float>")))
+    spark.stop()
+  }
+}

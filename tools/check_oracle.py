@@ -21,6 +21,17 @@ con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # DevSynth-scaled events carry ts as epoch-nano BIGINT (Spark cannot
+    # write TIMESTAMP_NS parquet); re-type so the oracles' epoch_us(ts)
+    # etc. see the same TIMESTAMP_NS as the driver-generated files
+    if name == "events":
+        (t,) = [r[1] for r in con.execute(f"DESCRIBE {name}").fetchall()
+                if r[0] == "ts"]
+        if t == "BIGINT":
+            con.execute(f"DROP VIEW {name}")
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * REPLACE "
+                f"(make_timestamp_ns(ts) AS ts) FROM '{p}'")
 
 fails = 0
 for name in sorted(os.listdir(out_dir)):

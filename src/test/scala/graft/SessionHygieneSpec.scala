@@ -45,6 +45,36 @@ class SessionHygieneSpec extends SparkSpec {
         .mkString("order-dependent slowdown: ", "; ", ""))
   }
 
+  test("driver heap and broadcast count return to envelope after a double pass") {
+    // The r5 collapse was a LEAK class (blocks, broadcasts, boxed collects
+    // accumulating across a catalog run). Pin it at the resource level,
+    // not just the timing level: after running the subset twice, forced
+    // GC must bring used heap back to within a fixed envelope of the
+    // post-first-pass floor, and no broadcast blocks may pile up.
+    def usedHeapMb: Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) / (1 << 20)
+    }
+    def broadcastBlocks: Int =
+      org.apache.spark.GraftSparkTestBridge.broadcastBlockCount(spark.sparkContext)
+    subset.foreach(run)
+    val heap1 = usedHeapMb
+    val bc1 = broadcastBlocks
+    subset.foreach(run)
+    val heap2 = usedHeapMb
+    val bc2 = broadcastBlocks
+    // envelope: a second identical pass may not retain more than 256 MB
+    // over the first pass's floor (memoized artifacts are already resident
+    // after pass 1, so pass 2 should add ~nothing)
+    assert(heap2 <= heap1 + 256,
+      s"driver heap grew across an identical pass: $heap1 MB -> $heap2 MB")
+    // broadcast blocks must not accumulate linearly with passes; allow a
+    // small constant for torrent chunks pending ContextCleaner GC
+    assert(bc2 <= bc1 + 24,
+      s"broadcast blocks accumulated across an identical pass: $bc1 -> $bc2")
+  }
+
   test("scoped cleanup leaves no persistent blocks behind") {
     subset.foreach(run)
     val leftover = spark.sparkContext.getPersistentRDDs

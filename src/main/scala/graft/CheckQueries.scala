@@ -408,7 +408,7 @@ object CheckQueries {
       (s, dir) => {
         val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
         val res = Similarity.semDedup(corpus,
-          ExtensionQueries.trainedModel(s, dir).centers, 0.35)
+          ExtensionQueries.semdedupModel(s, dir).centers, 0.35)
         // all within-cluster (a < b) pairs, cosine recomputed through a
         // DIFFERENT implementation than the op's L2Normalize∘DotProduct:
         // the fused native CosineSimilarity (single-pass dot/(|a||b|),
@@ -584,7 +584,7 @@ object CheckQueries {
       (s, dir) => {
         val corpus = emb(s, dir)
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val g = Similarity.knnGraph(corpus, nBits = 4, dim = 64, k = 3, bands = 2)
+        val g = Similarity.knnGraph(corpus, nBits = 0, dim = 64, k = 3, bands = 2)
           .localCheckpoint() // one evaluation feeds all three invariants
         // every edge's sim re-verified against the interpreted cosine of
         // the ACTUAL endpoint vectors (the exact-precision twin)

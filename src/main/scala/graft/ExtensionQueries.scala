@@ -67,6 +67,29 @@ object ExtensionQueries {
       Clustering.trainKMeans(Tables.embeddings(s, dir),
         col("vec_id"), col("embedding"), k = 8, maxIter = 10))
 
+  /** SemDeDup's OWN clustering, k scale-derived as ~sqrt(N) (clamped to
+    * [8, 2048]): SemDeDup's cost is Σ|cluster|² ≈ N²/k, so a FIXED k
+    * makes the per-cluster pairwise pass quadratic in the corpus
+    * (measured 16× time for 10× rows at k=8 in the sf1 rehearsal) while
+    * k ~ sqrt(N) holds both the assignment cost (N·k) and the pairwise
+    * cost (N²/k) at N^1.5 — the regime the SemDeDup paper runs (its
+    * 100M-scale config keeps clusters near-constant size). Memoized per
+    * dir like [[trainedModel]]; the 8-center model stays the shared
+    * index for the IVF/mixture consumers whose nprobe/rebalance math
+    * expects a small nlist.
+    */
+  private val semdedupMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Clustering.KMeansModel]()
+  private[graft] def semdedupModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): Clustering.KMeansModel =
+    semdedupMemo.computeIfAbsent(dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+      val k = math.min(2048L, math.max(8L,
+        math.ceil(math.sqrt(emb.count().toDouble)).toLong)).toInt
+      Clustering.trainKMeans(emb, col("vec_id"), col("embedding"),
+        k = k, maxIter = 10)
+    })
+
   /** Trained PQ codebooks, memoized like [[trainedModel]] (train once,
     * serve many): 4 subvectors of dim 16, 16 entries each, spherical
     * k-means per slice — the in-engine replacement for the seed-slice
@@ -769,11 +792,12 @@ object ExtensionQueries {
       (s, dir) => Similarity.semDedup(
         Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        trainedModel(s, dir).centers, 0.35),
+        semdedupModel(s, dir).centers, 0.35),
       None, // cluster ids come from in-engine k-means (not SQL-reproducible);
             // the keep/drop rule is re-verified by x11_semdedup_check
       "X2 SemDeDup: drop vectors with a lower-id cluster-mate above cosine " +
-        "0.35 — per-cluster pairwise only, one reused exchange on cid"),
+        "0.35 — per-cluster pairwise only, one reused exchange on cid, " +
+        "k ~ sqrt(N) clustering so the pairwise pass stays near-linear"),
 
     Q("x12_unigram_lm",
       (s, dir) => TextAnalysis.unigramLogProb(col("doc_id"), col("text"))(docs(s, dir)),
@@ -1449,7 +1473,7 @@ object ExtensionQueries {
       (s, dir) => {
         val corpus = Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        Similarity.knnGraph(corpus, nBits = 4, dim = 64, k = 3, bands = 2)
+        Similarity.knnGraph(corpus, nBits = 0, dim = 64, k = 3, bands = 2)
           .select(col("src"), col("rank"), col("dst"), round(col("sim"), 4).as("sim"))
       },
       None, // hash-derived hyperplanes are not SQL-reproducible;
@@ -1457,7 +1481,8 @@ object ExtensionQueries {
       "X2 k-NN graph over the whole corpus (input to graph clustering / " +
         "SemDeDup variants): OR-amplified 2-band hyperplane LSH self-join " +
         "on one reused (band, bucket) exchange, band-deduped pairs, " +
-        "bounded per-source top-k — never all-pairs"),
+        "bounded per-source top-k — never all-pairs; nBits=0 derives the " +
+        "bucket width from corpus size so candidate volume stays linear"),
 
     Q("x37_data_card",
       (s, dir) => TextAnalysis.dataCard(

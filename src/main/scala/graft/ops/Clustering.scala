@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{DotProduct, L2Normalize}
+import graft.functions.{DotProduct, L2Normalize, NearestCenter}
 
 /** Distributed k-means — the trainer that closes the ANN index-build story:
   * [[Similarity.ivfTopK]] and [[Similarity.pqTopK]] take centroids/codebooks
@@ -76,15 +76,32 @@ object Clustering {
       DotProduct(vec, typedlit(c)) - lit(half)
     }: _*)
 
+  /** Per-center score offsets under the model's geometry: |c|²/2 for
+    * Euclidean (so argmax dot−offset = argmin squared distance), zero
+    * for spherical. The SAME fold order as [[euclideanScores]]'s
+    * literals, so [[NearestCenter]] scores are bit-identical to the
+    * unrolled twin (pinned in ClusteringSpec).
+    */
+  private def offsetsFor(centers: Array[Array[Double]], euclidean: Boolean): Array[Double] =
+    if (euclidean) centers.map(c => c.map(x => x * x).sum / 2.0)
+    else Array.fill(centers.length)(0.0)
+
+  /** Best (bucket, score) against the centers as a
+    * `struct<bucket int, score double>` — ONE compile-stable codegen'd
+    * expression ([[NearestCenter]]) instead of k unrolled DotProducts,
+    * so serving and every Lloyd's round share a single compiled class
+    * no matter how large k grows or how often the centers move.
+    */
+  private[graft] def nearest(vec: Column, centers: Array[Array[Double]],
+      euclidean: Boolean): Column =
+    NearestCenter(vec, centers, offsetsFor(centers, euclidean))
+
   /** 0-based id of the nearest center under the model's geometry (first-max
     * tiebreak = lowest cid — the same deterministic rule as ivfTopK's
     * routing). Spherical models expect a UNIT vector input.
     */
-  def assignTo(vec: Column, model: KMeansModel): Column = {
-    val scores = if (model.euclidean) euclideanScores(vec, model.centers)
-                 else simsToCenters(vec, model.centers)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
+  def assignTo(vec: Column, model: KMeansModel): Column =
+    nearest(vec, model.centers, model.euclidean).getField("bucket")
 
   /** Spherical-model argmax over raw centers (back-compat form used by the
     * catalog's check queries).
@@ -133,19 +150,19 @@ object Clustering {
     var moved = Double.MaxValue
     var round = 0
     while (round < maxIter && moved > tol) {
-      // ONE job: assign (map-only literal argmax), explode dims, partial
-      // hash-aggregate to (bucket, pos) cells, collect k*dim rows.
-      val scores = if (euclidean) euclideanScores(col("x"), centers)
-                   else simsToCenters(col("x"), centers)
+      // ONE job: assign (map-only compile-stable argmax — see [[nearest]]:
+      // the round's centers ride as codegen references, NOT source
+      // literals, so round 2..maxIter reuse round 1's compiled class),
+      // explode dims, partial hash-aggregate to (bucket, pos) cells,
+      // collect k*dim rows.
       // per-row objective contribution: best cosine (spherical) or
       // |x|^2 - 2*bestScore = squared distance to the chosen center
       val contrib = if (euclidean)
-        DotProduct(col("x"), col("x")) - lit(2.0) * array_max(col("scores"))
-      else array_max(col("scores"))
+        DotProduct(col("x"), col("x")) - lit(2.0) * col("nc").getField("score")
+      else col("nc").getField("score")
       val stats = prepared
-        .withColumn("scores", scores)
-        .withColumn("bucket",
-          (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+        .withColumn("nc", nearest(col("x"), centers, euclidean))
+        .withColumn("bucket", col("nc").getField("bucket"))
         .withColumn("contrib", contrib)
         .select(col("bucket"), col("contrib"), posexplode(col("x")))
         .groupBy(col("bucket"), col("pos"))

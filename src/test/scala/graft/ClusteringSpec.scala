@@ -151,4 +151,36 @@ class ClusteringSpec extends SparkSpec {
       .select(col("id").as("qid"), col("vec").as("qvec"))
     assert(Similarity.pqTopK(corpus, queries, cbs, 3).count() > 0)
   }
+
+  test("NearestCenter is bit-identical to the unrolled DotProduct argmax twin") {
+    // irregular centers + vectors exercising ties-by-order and both
+    // geometries; the expression's left-to-right accumulation must make
+    // (bucket, score) EXACTLY equal the literal-unrolled formulation it
+    // replaced (same fold order), so trained models and assignments are
+    // unchanged by the compile-stable rewrite
+    val centers = Array(
+      Array(0.6, 0.8, 0.0, 0.0),
+      Array(0.0, 0.6, 0.8, 0.0),
+      Array(0.0, 0.6, 0.8, 0.0), // duplicate: first-max tiebreak visible
+      Array(-0.5, 0.5, 0.5, -0.5))
+    val df = (0 until 97).map { i =>
+      (i.toLong, Array.tabulate(4)(j =>
+        (math.sin(i * 13 + j * 7) * 2.0).toFloat))
+    }.toDF("id", "vec").select(col("id"), col("vec").cast("array<double>").as("x"))
+    for (euclidean <- Seq(false, true)) {
+      val nc = Clustering.nearest(col("x"), centers, euclidean)
+      val scores =
+        if (euclidean) Clustering.euclideanScores(col("x"), centers)
+        else Clustering.simsToCenters(col("x"), centers)
+      val twin = df.withColumn("sc", scores)
+        .select(col("id"),
+          (array_position(col("sc"), array_max(col("sc"))) - 1).cast("int").as("b0"),
+          array_max(col("sc")).as("s0"))
+      val got = df.select(col("id"),
+          nc.getField("bucket").as("b"), nc.getField("score").as("s"))
+        .join(twin, "id")
+        .filter(col("b") =!= col("b0") || col("s") =!= col("s0"))
+      assert(got.count() === 0, s"euclidean=$euclidean diverged")
+    }
+  }
 }

@@ -361,6 +361,16 @@ class SimilaritySpec extends SparkSpec {
     assert(g.filter(col("src") === col("dst")).count() === 0)
   }
 
+  test("knnGraph nBits=0 derives the bucket width from corpus size") {
+    // below 1024 vectors the derivation clamps to the 4-bit floor, so
+    // auto mode must produce EXACTLY the nBits=4 graph (same hyperplane
+    // stream, same buckets); this pins the sentinel's floor and that the
+    // derived width feeds the same band layout (firstPlane = band * bits)
+    val auto = Similarity.knnGraph(vecs, nBits = 0, dim = 3, k = 2, bands = 2)
+    val fixed = Similarity.knnGraph(vecs, nBits = 4, dim = 3, k = 2, bands = 2)
+    assert(rowsOf(auto) === rowsOf(fixed))
+  }
+
   test("knnGraph hot-bucket cap: a degenerate corpus stays linear, coverage total") {
     // 1000 near-identical vectors — every one lands in the SAME bucket of
     // every band, the distribution nBits cannot bound. Uncapped, the

@@ -59,8 +59,9 @@ object CheckQueries {
     Q("x2b_lsh_recall_check",
       (s, dir) => {
         val d = docs(s, dir)
-        val exact = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3,
-          maxShingleDf = 1000L)(d)
+        // exact side rides the shared pair artifact (ExtensionQueries
+        // .nearDupPairs memo) — same generator, same parameters
+        val exact = ExtensionQueries.nearDupPairs(s, dir)
           .filter(col("jaccard") >= 0.8)
         val lsh = Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(d)
         // every high-similarity exact pair must have been FOUND by LSH: a

@@ -62,30 +62,106 @@ object Dedup {
 
   /** All candidate pairs (a < b) with shingle-set Jaccard >= `threshold`.
     *
-    * Plan shape: exploded distinct shingles ([[Texts.explodedShingles]], one
-    * generated-code pass) → optional hot-shingle DF cut → self-equi-join on
-    * shingle (shuffle on shingle) → per-pair intersection counts → join
-    * per-doc set sizes → |A∩B| / (|A|+|B|-|A∩B|). All integer arithmetic
-    * until the final division, so the result is bit-deterministic.
+    * PREFIX-FILTERED set-similarity join (the AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07) — exact, not approximate: every output pair
+    * and every jaccard value is identical to the naive shingle self-join
+    * (pinned by a differential twin in DedupSpec). Plan shape:
+    *
+    *  1. exploded distinct shingles → per-shingle document frequency on
+    *     one s-exchange; the optional `maxShingleDf` hot cut rides the
+    *     same aggregate.
+    *  2. per-doc shingle set, ONCE, as two sorted arrays: by (df, s) —
+    *     the global rarest-first total order — and by plain s. The
+    *     PREFIX of the (df,s)-order array (length ⌊(1-t)·|A|⌋+1) is the
+    *     only part that joins: two sets with J ≥ t MUST share their
+    *     globally smallest common element inside both prefixes
+    *     (pigeonhole on the ⌈t·|A|⌉ required overlap), so joining
+    *     prefixes loses nothing, while the high-DF shingles — the ones
+    *     generating Σdf² candidate blow-up — sort LAST and fall out of
+    *     most prefixes. Measured at sf1: 33.6M candidate slots naive →
+    *     prefix join + length filter cut (candidates must also satisfy
+    *     t·|A| ≤ |B| ≤ |A|/t) leaves a fraction, each verified once.
+    *  3. per-candidate exact |A∩B| via [[graft.functions.SortedIntersectCount]]
+    *     — a codegen'd two-pointer merge over the s-sorted arrays (no
+    *     re-join against the corpus, no per-row hash set) — then
+    *     |A∩B| / (|A|+|B|-|A∩B|). All integer arithmetic until the
+    *     final division, so the result is bit-deterministic.
+    *
+    * At 100 TB this is the difference between a join whose volume is
+    * Σ df² over ALL shingles and one bounded by the rare-prefix
+    * collisions — the standard exact algorithm for corpus-scale
+    * near-dup pair mining.
     *
     * @param maxShingleDf drop shingles occurring in more than this many docs
-    *        before pairing (0 = keep all). At scale this bounds the worst
-    *        join group from O(n²) to O(maxShingleDf²). Set sizes (and hence
-    *        the reported Jaccard) are computed over the PRUNED shingle sets,
-    *        so the emitted similarity is exact on the pruned space — not an
-    *        underestimate mixing pruned intersections with unpruned sizes.
+    *        before pairing (0 = keep all). Still useful above the prefix
+    *        filter: it bounds the worst surviving join group and shrinks
+    *        every per-doc array. Set sizes (and hence the reported Jaccard)
+    *        are computed over the PRUNED shingle sets, so the emitted
+    *        similarity is exact on the pruned space — not an underestimate
+    *        mixing pruned intersections with unpruned sizes.
     */
   def ngramJaccardPairs(id: Column, text: Column, n: Int, threshold: Double,
       maxShingleDf: Long = 0L)(df: DataFrame): DataFrame = {
-    // One exchange on s serves everything shingle-keyed: HashPartitioning(s)
-    // satisfies the (id, s) distinct, the per-shingle DF counts AND the pair
-    // self-join (both sides reuse that single exchange). The DF cut is a
-    // hash AGGREGATE + anti join, never a Window over s: a window would
-    // sort-buffer every occurrence of a stop-shingle in one task — at corpus
-    // scale that is the exact skew the cut exists to prevent — while the
-    // aggregate streams per-partition counters and the anti join drops hot
-    // shingles without materializing their row groups (AQE broadcasts the
-    // small hot-shingle side).
+    val ex = Texts.explodedShingles(df, id, text, n)
+      .repartition(col("s"))
+      .dropDuplicates("id", "s")
+    // DF per shingle as a hash AGGREGATE on the same s-exchange (never a
+    // Window over s — that would sort-buffer every occurrence of a
+    // stop-shingle in one task); the hot cut is a filter on the joined
+    // counts. The join adds the df each (id, s) row needs for the global
+    // rarest-first order.
+    val dfc = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val dfKept = if (maxShingleDf <= 0) dfc else dfc.filter(col("__df") <= maxShingleDf)
+    val kept = ex.join(dfKept, "s")
+    // ONE id-exchange builds the whole per-doc state: the (df, s)-sorted
+    // set (prefix source), the s-sorted set (verification source) and the
+    // size. Prefix length ⌊(1-t)·sz⌋+1 = sz - ⌈t·sz⌉ + 1.
+    val docsArr = kept
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_list(struct(col("__df"), col("s")))).as("byDf"),
+        sort_array(collect_list(col("s"))).as("bys"),
+        count(lit(1)).as("sz"))
+      .withColumn("prefix",
+        // +1e-9 slack: fp rounding may only ever LENGTHEN the prefix /
+        // WIDEN the length filter (extra candidates are re-verified
+        // exactly), never shorten them below the real-arithmetic bound
+        transform(
+          slice(col("byDf"), lit(1),
+            (floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)) + 1).cast("int")),
+          x => x.getField("s")))
+      .drop("byDf")
+    val pref = docsArr.select(col("id"), col("sz"), explode(col("prefix")).as("s"))
+    // candidate generation: prefix ∩ prefix equi-join on s (both sides the
+    // same frame — one reused exchange), with the length filter inline so
+    // size-incompatible pairs never reach the dedup aggregate
+    val cand = pref.as("l")
+      .join(pref.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id")
+          && col("l.sz") * lit(threshold) <= col("r.sz") + lit(1e-9)
+          && col("r.sz") * lit(threshold) <= col("l.sz") + lit(1e-9))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    // verification: fetch both s-sorted arrays, one codegen'd two-pointer
+    // intersection per surviving candidate
+    cand
+      .join(docsArr.select(col("id").as("a"), col("bys").as("sa"), col("sz").as("sza")), "a")
+      .join(docsArr.select(col("id").as("b"), col("bys").as("sb"), col("sz").as("szb")), "b")
+      .withColumn("common", graft.functions.SortedIntersectCount(col("sa"), col("sb")).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sza") + col("szb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** The naive formulation of [[ngramJaccardPairs]] — shingle self-join +
+    * per-pair match counting — kept ONLY as the differential-testing twin
+    * of the prefix-filtered implementation (DedupSpec pins exact
+    * equality); its candidate volume is Σ df² over all shingles, which is
+    * what the prefix filter exists to avoid.
+    */
+  private[graft] def ngramJaccardPairsNaive(id: Column, text: Column, n: Int,
+      threshold: Double, maxShingleDf: Long = 0L)(df: DataFrame): DataFrame = {
     val ex = Texts.explodedShingles(df, id, text, n)
       .repartition(col("s"))
       .dropDuplicates("id", "s")
@@ -97,11 +173,6 @@ object Dedup {
           .select(col("s"))
         ex.join(hot, Seq("s"), "left_anti")
       }
-    // Per-doc set sizes as a keyed AGGREGATE, not a Window over id: with
-    // map-side partial aggregation the sizes shuffle carries one (id, count)
-    // row per doc per map partition, where the round-2 id-window re-shuffled
-    // the entire (id, s) corpus to id and back to s. Pairs (already reduced
-    // to candidates) join the sizes on a and b.
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val pairs = kept.as("l")
       .join(kept.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))

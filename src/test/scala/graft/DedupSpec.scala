@@ -75,6 +75,36 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("X2 prefix-filtered join equals the naive self-join twin (exact, all corpora)") {
+    // the prefix filter must be LOSSLESS: identical pair sets AND
+    // bit-identical jaccard values vs the naive Σdf² formulation, on
+    //  (a) the hand fixture (exact dups, a sub-threshold doc, a no-shingle doc)
+    //  (b) an adversarial corpus saturated with df-ties and shared hot
+    //      shingles (the order's tiebreak and the prefix boundary both
+    //      get exercised at several set sizes and thresholds)
+    //  (c) the real sf0.001 documents corpus with the catalog parameters
+    val adversarial = (0L until 60L).map { i =>
+      val fam = i % 3 // three families sharing a hot core
+      val core = s"core$fam x core$fam y core$fam z w$fam a b"
+      val tail = if (i % 2 == 0) s" t${i % 5} u${i % 7}" else ""
+      (i, core + tail)
+    }.toDF("doc_id", "text")
+    val cases = Seq(
+      (docs, 3, 0.3, 0L),
+      (docs, 3, 0.74, 0L), // threshold right at the 0.75 pair boundary
+      (adversarial, 3, 0.3, 0L),
+      (adversarial, 3, 0.5, 40L),
+      (adversarial, 2, 0.8, 0L),
+      (Tables.documents(spark, "/root/testdata/sf0.001"), 3, 0.3, 1000L))
+    for ((corpus, n, t, cut) <- cases) {
+      val fast = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), n, t,
+        maxShingleDf = cut)(corpus)
+      val naive = Dedup.ngramJaccardPairsNaive(col("doc_id"), col("text"), n, t,
+        maxShingleDf = cut)(corpus)
+      assert(rowsOf(fast) === rowsOf(naive), s"diverged at n=$n t=$t cut=$cut")
+    }
+  }
+
   test("X2 MinHash+LSH finds the same pairs as exact Jaccard on this corpus") {
     val exact = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.3)(docs)
     val lsh = Dedup.minhashLshPairs(col("doc_id"), col("text"), 3, 16, 4, 0.3)(docs)

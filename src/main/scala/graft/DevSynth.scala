@@ -33,11 +33,11 @@ import org.apache.spark.sql.functions._
   *    exact duplicates — ANN/clustering rehearse realistic density
   *    instead of 10 exactly-coincident points per vector.
   *
-  * `events.ts` arrives as epoch-nano BIGINT (read under
-  * `nanosAsLong=true`) and is written back as plain BIGINT — Spark-side
-  * consumers already treat it as nanos (`ts div 1000`); the DuckDB
-  * compare script converts it back to TIMESTAMP_NS when registering the
-  * view (see tools/check_oracle.py).
+  * `events.ts` is copied through with whatever physical type the source
+  * generation used (epoch-nano BIGINT under `nanosAsLong=true`, or a
+  * plain µs timestamp) — [[Tables.normalizeEvents]] makes consumers
+  * type-agnostic, and the DuckDB compare script re-types a BIGINT `ts`
+  * back to TIMESTAMP_NS when registering the view (tools/check_oracle.py).
   *
   * Usage: `runMain graft.DevSynth <srcSfDir> <outDir> <copies>`
   */

@@ -25,14 +25,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS); Spark 4 refuses it unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, which reads it as epoch-nano
-    * bigint. We add two derived columns:
-    *  - `ts_us` — epoch microseconds via INTEGER division (`ts div 1000`).
-    *    Integer division is exact truncation, matching how DuckDB (the
-    *    correctness oracle) truncates TIMESTAMP_NS → TIMESTAMP(µs). A
+  /** `events.ts` has shipped in two physical parquet types across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (readable only under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, arriving as epoch-nano
+    * bigint) and TIMESTAMP(µs) / TIMESTAMP_NTZ. [[normalizeEvents]] maps
+    * either onto one engine-side contract so every consumer is
+    * generation-agnostic:
+    *  - `ts`    — epoch NANOseconds, bigint (the original engine contract;
+    *    all downstream code does integer `ts div 1000`);
+    *  - `ts_us` — epoch microseconds. Integer truncation, matching how
+    *    DuckDB (the correctness oracle) truncates TIMESTAMP_NS → µs. A
     *    floating-point `ts / 1000` would round (nanos exceed 2^53) and
-    *    disagree with the oracle near boundaries.
+    *    disagree with the oracle near boundaries;
     *  - `ts_ts` — a proper TimestampType column for `window()` /
     *    `session_window()` (session TZ is UTC).
     */
@@ -40,12 +44,27 @@ object Tables {
     // The engine's entry points (Verify/Bench/DevBench) set this at session
     // build; the guarded set here covers ad-hoc sessions (tests, shells)
     // without re-mutating an already-configured session on every call.
+    // Harmless when the files carry a plain timestamp instead of nanos.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+    normalizeEvents(table(spark, dir, "events"))
   }
+
+  /** See [[events]]. Works on batch and streaming frames alike (pure column
+    * ops). The TIMESTAMP_NTZ → TIMESTAMP cast interprets wall-clock in the
+    * session time zone, which the engine pins to UTC, so the instant is
+    * preserved exactly.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // epoch-nano bigint
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ at µs precision
+        raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+          .withColumn("ts", col("ts_us") * lit(1000L))
+    }
 
   /** The GlobalKTable stand-in (FIXTURES.md §C): a small, fully-replicated
     * dimension mapping market segment ("profile") → discount factor.

@@ -608,8 +608,8 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       watched.resolve("events.parquet"))
-    val streamed = Sources.fileStream(spark, watched.toString, raw.schema)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = Tables.normalizeEvents(
+      Sources.fileStream(spark, watched.toString, raw.schema))
     val windowed = graft.ops.Relational.windowedCountByKey(
       col("ts_ts"), "10 seconds", col("user_id"), "user_id")(streamed)
     val name = freshTable()

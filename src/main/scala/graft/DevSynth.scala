@@ -31,7 +31,19 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` in copies > 0 gets a small deterministic
   *    per-(copy, dimension) jitter, so vector copies are near but not
   *    exact duplicates — ANN/clustering rehearse realistic density
-  *    instead of 10 exactly-coincident points per vector.
+  *    instead of N exactly-coincident points per vector. Copies are
+  *    additionally banded into GROUPS of 10 (group = copy / 10), and
+  *    groups > 0 get a large per-(group, dimension) offset: within a
+  *    group the ≤10 copies of a vector are mutual near-twins (cosine
+  *    ≈ 0.9996, same as before), while across groups the offset (norm
+  *    ≈ 1.6 vs unit vectors) pushes cosine far below any near-dup
+  *    threshold. This keeps the TRUE near-dup clique size — and so the
+  *    correct pair-output cardinality per original vector — bounded at
+  *    ~10 regardless of the copy count; without it, 100 copies would be
+  *    100 mutual near-twins and any correct engine's pair output would
+  *    grow quadratically in SF, making scaling ratios unreadable.
+  *    Copies 0–9 are group 0 (no offset), so ≤10-copy synthesis (sf1)
+  *    is bit-identical to the pre-banding behavior.
   *
   * `events.ts` is copied through with whatever physical type the source
   * generation used (epoch-nano BIGINT under `nanosAsLong=true`, or a
@@ -106,10 +118,16 @@ object DevSynth {
       })
     scaled("embeddings", Seq("vec_id"), (d, i) =>
       if (i == 0) d
-      else d.withColumn("embedding",
-        transform(col("embedding"), (x, j) =>
-          x + (pmod(lit(i) * 31 + j, lit(13)) - lit(6)).cast("double") * lit(1e-3))
-          .cast("array<float>")))
+      else {
+        val g = i / 10 // near-twin band; see scaladoc
+        d.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            x + (pmod(lit(i) * 31 + j, lit(13)) - lit(6)).cast("double") * lit(1e-3)
+              + (if (g == 0) lit(0.0)
+                 else (pmod(hash(lit(g), j), lit(1001)).cast("double") / lit(500.0)
+                   - lit(1.0)) * lit(0.35)))
+            .cast("array<float>"))
+      })
     spark.stop()
   }
 }

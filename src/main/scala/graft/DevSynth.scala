@@ -21,13 +21,20 @@ import org.apache.spark.sql.functions._
   *  - Copy 0 is byte-identical to the source, so catalog queries pinned
   *    to concrete keys (the `vec_id = 0` query vector, the `doc_id < 50`
   *    benchmark slice) keep their referents.
-  *  - `documents.text` in copies > 0 tags every 5th token with a
+  *  - `documents.text` in copies > 0 tags every 2nd token with a
   *    copy-suffix: near-dup/exact-dup structure WITHIN a copy is
   *    preserved (so dedup families scale linearly), while cross-copy
-  *    shingle overlap collapses (so pair counts do not grow
-  *    quadratically in the number of copies). Single-space joining keeps
-  *    the tokenizer's `sum_token_len = n_chars - (n_tokens - 1)`
-  *    arithmetic exact; `n_chars` is recomputed.
+  *    shingle overlap is exactly ZERO — any 3 consecutive positions
+  *    contain an even one, so every 3-token shingle carries a
+  *    copy-suffixed token. (An earlier every-5th-token variant left 2/5
+  *    of shingles untagged and shared across ALL copies: each base doc
+  *    then had copies-1 cross-copy twins at Jaccard exactly 0.25 — just
+  *    under the catalog's 0.3 threshold — so the exact set-similarity
+  *    join had to generate and verify O(copies²) near-miss candidates
+  *    per base doc, drowning scaling ratios in a synthetic artifact no
+  *    real corpus shape produces.) Single-space joining keeps the
+  *    tokenizer's `sum_token_len = n_chars - (n_tokens - 1)` arithmetic
+  *    exact; `n_chars` is recomputed.
   *  - `embeddings.embedding` in copies > 0 gets a small deterministic
   *    per-(copy, dimension) jitter, so vector copies are near but not
   *    exact duplicates — ANN/clustering rehearse realistic density
@@ -111,7 +118,7 @@ object DevSynth {
       else {
         val tagged = array_join(
           transform(split(col("text"), " "),
-            (t, p) => when(p % 5 === 0, concat(t, lit(s"c$i"))).otherwise(t)),
+            (t, p) => when(p % 2 === 0, concat(t, lit(s"c$i"))).otherwise(t)),
           " ")
         d.withColumn("text", tagged)
           .withColumn("n_chars", length(col("text")).cast("long"))

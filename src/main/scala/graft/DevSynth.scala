@@ -40,15 +40,25 @@ import org.apache.spark.sql.functions._
   *    exact duplicates — ANN/clustering rehearse realistic density
   *    instead of N exactly-coincident points per vector. Copies are
   *    additionally banded into GROUPS of 10 (group = copy / 10), and
-  *    groups > 0 get a large per-(group, dimension) offset: within a
-  *    group the ≤10 copies of a vector are mutual near-twins (cosine
-  *    ≈ 0.9996, same as before), while across groups the offset (norm
-  *    ≈ 1.6 vs unit vectors) pushes cosine far below any near-dup
-  *    threshold. This keeps the TRUE near-dup clique size — and so the
-  *    correct pair-output cardinality per original vector — bounded at
-  *    ~10 regardless of the copy count; without it, 100 copies would be
+  *    groups > 0 get a large per-(BASE vector, group, dimension)
+  *    offset: within a group the ≤10 copies of a vector share their
+  *    offset and stay mutual near-twins (cosine ≈ 0.9996, same as
+  *    before), while across groups — and between different base
+  *    vectors anywhere — the independent offsets (norm ≈ 1.6 vs unit
+  *    vectors) push cosine far below any near-dup threshold. This
+  *    keeps the TRUE near-dup clique size — and so the correct
+  *    pair-output cardinality per original vector — bounded at ~10
+  *    regardless of the copy count; without it, 100 copies would be
   *    100 mutual near-twins and any correct engine's pair output would
-  *    grow quadratically in SF, making scaling ratios unreadable.
+  *    grow quadratically in SF, making scaling ratios unreadable. The
+  *    offset is keyed on the base vector id, NOT just the group: a
+  *    per-(group, dim)-only offset concentrated every vector of a
+  *    non-zero group into one tight cone (pairwise cosine ≈ 0.7
+  *    between unrelated vectors), so above 10 copies a third or more
+  *    of the corpus became one angular hot spot, hyperplane-LSH
+  *    buckets went degenerate, and the knn family's scaling ratio
+  *    measured the hot-bucket cap instead of the workload (16× at 3×
+  *    rows) — an artifact no real corpus produces at that fraction.
   *    Copies 0–9 are group 0 (no offset), so ≤10-copy synthesis (sf1)
   *    is bit-identical to the pre-banding behavior.
   *
@@ -131,7 +141,8 @@ object DevSynth {
           transform(col("embedding"), (x, j) =>
             x + (pmod(lit(i) * 31 + j, lit(13)) - lit(6)).cast("double") * lit(1e-3)
               + (if (g == 0) lit(0.0)
-                 else (pmod(hash(lit(g), j), lit(1001)).cast("double") / lit(500.0)
+                 else (pmod(hash(lit(g), pmod(col("vec_id"), lit(stride)), j),
+                     lit(1001)).cast("double") / lit(500.0)
                    - lit(1.0)) * lit(0.35)))
             .cast("array<float>"))
       })

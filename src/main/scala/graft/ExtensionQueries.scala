@@ -1216,6 +1216,34 @@ object ExtensionQueries {
         "sum(tokens^alpha) from one stats pass, then the same deterministic " +
         "map-only stratified sample as x19 — zero corpus shuffle"),
 
+    Q("x44_dsir_score",
+      // src0 plays the in-domain seed set; every doc (target rows
+      // included) gets the log-ratio score. Rounded to 4 decimals like
+      // x12: both engines sum tf-weighted doubles in arbitrary order, and
+      // the rounding absorbs the ~1e-12 reassociation noise.
+      (s, dir) => TextAnalysis.dsirScore(
+        col("doc_id"), col("text"), col("source") === lit("src0"))(docs(s, dir)),
+      Some("""WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+             |               unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, tgt, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+             |c AS (SELECT term, sum(tf) AS c,
+             |        sum(CASE WHEN tgt THEN tf ELSE 0 END) AS ct
+             |      FROM tf GROUP BY term),
+             |t AS (SELECT CAST(sum(c) AS DOUBLE) AS t_all,
+             |             CAST(sum(ct) AS DOUBLE) AS t_tgt,
+             |             CAST(count(*) AS DOUBLE) AS vocab FROM c)
+             |SELECT doc_id, sum(tf) AS n_tokens,
+             |       round(sum(CAST(tf AS DOUBLE)
+             |               * (ln((CAST(ct AS DOUBLE) + 1.0) / (t_tgt + vocab))
+             |                  - ln((CAST(c AS DOUBLE) + 1.0) / (t_all + vocab))))
+             |             / CAST(sum(tf) AS DOUBLE), 4) AS dsir
+             |FROM tf JOIN c USING (term) CROSS JOIN t
+             |GROUP BY doc_id""".stripMargin),
+      "X3 DSIR importance score: tf-weighted mean log-ratio of target-domain " +
+        "vs corpus add-1 unigram LMs from one tokenize pass — the " +
+        "importance-resampling ranking key for tilting a crawl toward a " +
+        "domain given a small seed set"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -367,6 +367,46 @@ object TextAnalysis {
           / sum(col("tf")).cast("double"), 4).as("avg_logp"))
   }
 
+  /** DSIR-style importance score (the ranking key of importance
+    * resampling for pretraining data selection): per document, the
+    * tf-weighted mean log-ratio between a TARGET-domain unigram LM and
+    * the corpus unigram LM, both add-1 smoothed over the shared corpus
+    * vocabulary. Positive means "closer to the target domain than the
+    * corpus average" — with only a small in-domain seed set (the rows
+    * where `isTarget`), this tilts a whole-crawl corpus toward a quality
+    * domain; selection is then a threshold, a top-fraction via
+    * [[qualityTiers]]'s in-plan quantile play, or a Gumbel-top-k sample.
+    *
+    * Scale: the same shape as [[unigramLogProb]] — ONE tokenize pass
+    * serves both LMs (the target flag rides the token stream; the
+    * counts side folds it as a conditional sum), hot terms reach the
+    * scoring join pre-aggregated at (doc, term) grain (a term in 5% of
+    * the corpus costs one count row, never 5% of the stream in one
+    * task), and the three corpus constants (T, T_target, V) broadcast
+    * as a one-row aggregate.
+    */
+  def dsirScore(id: Column, text: Column, isTarget: Column)(df: DataFrame): DataFrame = {
+    val tok = df.select(id.as("doc_id"), isTarget.as("tgt"),
+      explode(Texts.tokens(text)).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("tgt"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("term")).agg(
+      sum(col("tf")).as("c"),
+      sum(when(col("tgt"), col("tf")).otherwise(lit(0L))).as("ct"))
+    val totals = counts.agg(
+      sum(col("c")).cast("double").as("t_all"),
+      sum(col("ct")).cast("double").as("t_tgt"),
+      count(lit(1)).cast("double").as("vocab"))
+    tf.join(counts, "term")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf").cast("double")
+            * (log((col("ct").cast("double") + lit(1.0)) / (col("t_tgt") + col("vocab")))
+              - log((col("c").cast("double") + lit(1.0)) / (col("t_all") + col("vocab")))))
+          / sum(col("tf")).cast("double"), 4).as("dsir"))
+  }
+
   /** BPE merge-candidate mining — the counting pass of one
     * byte-pair-encoding training round: the `topN` most frequent adjacent
     * token pairs across the corpus (ties broken lexicographically, so the

@@ -272,6 +272,26 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(1L, 2L, r4((pa + pb) / 2.0))))
   }
 
+  test("dsirScore matches hand-computed target-vs-corpus log-ratios") {
+    // target doc 1: "a a b"; non-target doc 2: "c c"
+    // counts: a (c=2, ct=2), b (c=1, ct=1), c (c=2, ct=0)
+    // T_all=5, T_tgt=3, V=3
+    val df = Seq((1L, "a a b", "tgt"), (2L, "c c", "other"))
+      .toDF("id", "text", "source")
+    val ra = math.log(3.0 / 6.0) - math.log(3.0 / 8.0)
+    val rb = math.log(2.0 / 6.0) - math.log(2.0 / 8.0)
+    val rc = math.log(1.0 / 6.0) - math.log(3.0 / 8.0)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = rowsOf(TextAnalysis.dsirScore(
+      col("id"), col("text"), col("source") === lit("tgt"))(df))
+    assert(out === Set(
+      Seq(1L, 3L, r4((2 * ra + rb) / 3.0)),
+      Seq(2L, 2L, r4(rc))))
+    // the in-domain doc ranks above the out-of-domain doc
+    assert((2 * ra + rb) / 3.0 > rc)
+  }
+
   test("chunkSliding covers every token with overlapping windows, exact boundaries") {
     // 10 tokens, size 4, stride 3 → chunks [0,4) [3,7) [6,10): tail exact
     val df = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")

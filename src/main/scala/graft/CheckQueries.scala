@@ -291,7 +291,7 @@ object CheckQueries {
     Q("x3d_embdup_check",
       (s, dir) => {
         val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val pairs = Similarity.embeddingDupPairs(corpus, 4, 64, 0.35)
+        val pairs = Similarity.embeddingDupPairs(corpus, 0, 64, 0.35, bands = 2)
         pairs
           .join(corpus.select(col("id").as("a"), col("vec").as("va")), "a")
           .join(corpus.select(col("id").as("b"), col("vec").as("vb")), "b")

@@ -639,12 +639,15 @@ object ExtensionQueries {
         val corpus = Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         // 0.35 ≈ the 99.9th percentile of pairwise cosine on this synthetic
-        // corpus — "near-dup" relative to its random baseline
-        Similarity.embeddingDupPairs(corpus, 4, 64, 0.35)
+        // corpus — "near-dup" relative to its random baseline. nBits = 0:
+        // scale-derived bucket width (fixed 4 bits = 16 buckets made the
+        // self-join quadratic in N); bands = 2 OR-amplifies recall back.
+        Similarity.embeddingDupPairs(corpus, 0, 64, 0.35, bands = 2)
           .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
       },
       None, // LSH buckets are hash-derived; unit test bounds recall/precision
-      "X2 embedding-cosine near-dup pairs: hyperplane bucket self-join, exact cosine verify"),
+      "X2 embedding-cosine near-dup pairs: scale-derived hyperplane bucket " +
+        "self-join (2-band OR-amplified, hot-bucket capped), exact cosine verify"),
 
     Q("x4g_rolling_fp",
       (s, dir) => TextAnalysis.rollingFingerprints(col("doc_id"), col("text"), 8)(docs(s, dir)),

@@ -208,25 +208,59 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Embedding near-DUP pairs at scale: all (a < b) with cosine >=
+  /** Embedding near-DUP pairs at scale: (a < b) with cosine >=
     * `threshold`, candidates generated by a hyperplane-LSH bucket
     * self-join (vectors at small angles collide) and verified with the
     * exact codegen'd cosine — the embedding twin of
     * [[graft.ops.Dedup.minhashLshPairs]]: equi-join-shaped candidate
-    * generation, never all-pairs. Fewer bits ⇒ higher recall, bigger
-    * buckets; near-identical vectors (dedup territory, cos ≈ 1) collide
-    * with near-certainty at any nBits.
+    * generation, never all-pairs.
+    *
+    * Scale machinery shared with [[knnGraph]] (same rationale, see its
+    * scaladoc): `nBits = 0` derives the bucket width from the corpus
+    * (`ceil(log2(N/64))` clamped [4, 20] — constant mean bucket
+    * population, linear candidate volume; a FIXED width makes the
+    * self-join quadratic in N: measured 3.9× pairs time at 3× rows at
+    * nBits=4), `bands` OR-amplifies recall (a pair is a candidate if it
+    * collides in ANY band; duplicates fold in the (a, b) aggregate
+    * before the threshold filter), and over-`capPerBucket` buckets thin
+    * their candidate side by the deterministic xxhash gate so a
+    * degenerate angular distribution cannot go quadratic. Recall: at
+    * dedup thresholds (cos → 1) per-band collision stays near 1 at any
+    * derived width, so bands = 1–2 suffices; moderate thresholds trade
+    * recall for scale and buy it back with more bands.
     */
   def embeddingDupPairs(corpus: DataFrame, nBits: Int, dim: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, bands: Int = 1, capPerBucket: Int = 1024): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(capPerBucket >= 1, s"capPerBucket must be >= 1, got $capPerBucket")
+    require(nBits >= 0, s"nBits must be >= 0 (0 = derive from corpus size), got $nBits")
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = corpus.count()
+        math.min(20, math.max(4,
+          math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt))
+      }
+    val buckets = array((0 until bands).map(b =>
+      hyperplaneBucket(col("vec"), bits, dim, firstPlane = b * bits)): _*)
     val bucketed = corpus
-      .select(col("id"), col("vec"), hyperplaneBucket(col("vec"), nBits, dim).as("bucket"))
-      .repartition(col("bucket")) // one reused exchange for both join sides
+      .select(col("id"), col("vec"), posexplode(buckets))
+      .select(col("id"), col("vec"), col("pos").as("band"), col("col").as("bucket"))
+      .repartition(col("band"), col("bucket")) // one reused exchange: both sides + pops
+    val pops = bucketed.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__pop"))
+    val cand = bucketed.join(pops, Seq("band", "bucket"))
+      .filter(col("__pop") <= capPerBucket ||
+        pmod(xxhash64(col("id"), col("band"), col("bucket")), col("__pop"))
+          < capPerBucket)
+      .drop("__pop")
     bucketed.as("l")
-      .join(bucketed.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .join(cand.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         cosine(col("l.vec"), col("r.vec")).as("cos"))
+      .groupBy(col("a"), col("b")).agg(max(col("cos")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

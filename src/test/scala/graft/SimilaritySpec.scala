@@ -180,6 +180,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L })
   }
 
+  test("embeddingDupPairs: cap bounds a degenerate corpus, bands dedup to one row per pair") {
+    // 600 near-identical vectors: one hot bucket in every band. The gate
+    // must hold the candidate side to ~cap so the pair join is linear in
+    // the corpus, and a pair colliding in both bands must emit ONE row.
+    val n = 600
+    val degenerate = (0L until n.toLong)
+      .map(i => (i, Array(1.0f, 1e-6f * i, 0.0f)))
+      .toDF("id", "vec")
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    spark.conf.set(aqe, "false")
+    try {
+      val p = Similarity.embeddingDupPairs(degenerate, 2, 3, 0.99,
+        bands = 2, capPerBucket = 16)
+      val rows = p.collect()
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.distinct.length === pairs.length, "band duplicates not folded")
+      assert(pairs.forall { case (a, b) => a < b })
+      rows.foreach(r => assert(r.getDouble(2) >= 0.99))
+      val joinRows = p.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.condition.nonEmpty =>
+          j.metrics("numOutputRows").value
+      }.max
+      assert(joinRows > 0, "pair-join metric not found")
+      assert(joinRows < 4L * n * 16 * 2,
+        s"hot bucket went quadratic: $joinRows pairs")
+    } finally spark.conf.set(aqe, prev)
+  }
+
   test("hyperplaneTopK returns correctly-ranked results within buckets") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
     val out = Similarity.hyperplaneTopK(vecs, queries, 2, 3, 3)

@@ -16,9 +16,15 @@ object DevBench {
     val names = args.filterNot(_.startsWith("-"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Decoupled from the thread count for scale rehearsal: at sf10 a
+    // 32-partition shuffle holds ~10x the per-partition bytes the configs
+    // were sized for (spill-bound), while 128 THREADS on the same heap
+    // OOMs — more partitions, same parallelism, is the cluster-correct
+    // lever. The driver never sets this, so recorded benches use cpus.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

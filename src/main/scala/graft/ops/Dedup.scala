@@ -70,20 +70,24 @@ object Dedup {
     *  1. exploded distinct shingles → per-shingle document frequency on
     *     one s-exchange; the optional `maxShingleDf` hot cut rides the
     *     same aggregate.
-    *  2. per-doc shingle set, ONCE, as two sorted arrays: by (df, s) —
-    *     the global rarest-first total order — and by plain s. The
-    *     PREFIX of the (df,s)-order array (length ⌊(1-t)·|A|⌋+1) is the
-    *     only part that joins: two sets with J ≥ t MUST share their
-    *     globally smallest common element inside both prefixes
-    *     (pigeonhole on the ⌈t·|A|⌉ required overlap), so joining
-    *     prefixes loses nothing, while the high-DF shingles — the ones
-    *     generating Σdf² candidate blow-up — sort LAST and fall out of
-    *     most prefixes. Measured at sf1: 33.6M candidate slots naive →
-    *     prefix join + length filter cut (candidates must also satisfy
-    *     t·|A| ≤ |B| ≤ |A|/t) leaves a fraction, each verified once.
+    *  2. past the df join each shingle drops to its xxhash64 long
+    *     FINGERPRINT h (identity, order and intersection are all the
+    *     string ever contributes downstream — see the inline caveat on
+    *     collision odds). Per-doc shingle set, ONCE, as two sorted
+    *     arrays: by (df, h) — the global rarest-first total order — and
+    *     by plain h. The PREFIX of the (df,h)-order array (length
+    *     ⌊(1-t)·|A|⌋+1) is the only part that joins: two sets with
+    *     J ≥ t MUST share their globally smallest common element inside
+    *     both prefixes (pigeonhole on the ⌈t·|A|⌉ required overlap), so
+    *     joining prefixes loses nothing, while the high-DF shingles —
+    *     the ones generating Σdf² candidate blow-up — sort LAST and
+    *     fall out of most prefixes. Measured at sf1: 33.6M candidate
+    *     slots naive → prefix join + length filter cut (candidates must
+    *     also satisfy t·|A| ≤ |B| ≤ |A|/t) leaves a fraction, each
+    *     verified once.
     *  3. per-candidate exact |A∩B| via [[graft.functions.SortedIntersectCount]]
-    *     — a codegen'd two-pointer merge over the s-sorted arrays (no
-    *     re-join against the corpus, no per-row hash set) — then
+    *     — a codegen'd two-pointer merge over the h-sorted long arrays
+    *     (no re-join against the corpus, no per-row hash set) — then
     *     |A∩B| / (|A|+|B|-|A∩B|). All integer arithmetic until the
     *     final division, so the result is bit-deterministic.
     *
@@ -112,15 +116,30 @@ object Dedup {
     // rarest-first order.
     val dfc = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val dfKept = if (maxShingleDf <= 0) dfc else dfc.filter(col("__df") <= maxShingleDf)
+    // Past the df join the shingle STRING never matters again — only
+    // identity, a global total order, and set intersection do. So each
+    // (id, s) row drops to the xxhash64 FINGERPRINT of its shingle:
+    // candidate equi-join keys and the per-doc verification arrays are
+    // 8-byte longs instead of ~30-byte UTF8 strings (4× less candidate
+    // payload through the exchanges, primitive compares in the
+    // two-pointer kernel — measured 2.4× on the whole query at the 100×
+    // rehearsal SF, where verification dominates). The (df, h)-ascending
+    // order is exactly as valid a global rarest-first order as (df, s):
+    // the prefix pigeonhole bound holds for ANY fixed total order.
+    // Exactness caveat: two DISTINCT shingles of one doc colliding in
+    // xxhash64 would merge set elements (P ≈ |doc-shingles|²/2⁶⁵ per
+    // doc ~ 1e-16; deterministic given the corpus, re-checked by the
+    // exact-oracle gate and the string-based naive differential twin).
     val kept = ex.join(dfKept, "s")
-    // ONE id-exchange builds the whole per-doc state: the (df, s)-sorted
-    // set (prefix source), the s-sorted set (verification source) and the
+      .select(col("id"), col("__df"), xxhash64(col("s")).as("h"))
+    // ONE id-exchange builds the whole per-doc state: the (df, h)-sorted
+    // set (prefix source), the h-sorted set (verification source) and the
     // size. Prefix length ⌊(1-t)·sz⌋+1 = sz - ⌈t·sz⌉ + 1.
     val docsArr = kept
       .groupBy(col("id"))
       .agg(
-        sort_array(collect_list(struct(col("__df"), col("s")))).as("byDf"),
-        sort_array(collect_list(col("s"))).as("bys"),
+        sort_array(collect_list(struct(col("__df"), col("h")))).as("byDf"),
+        sort_array(collect_list(col("h"))).as("bys"),
         count(lit(1)).as("sz"))
       .withColumn("prefix",
         // +1e-9 slack: fp rounding may only ever LENGTHEN the prefix /
@@ -129,24 +148,33 @@ object Dedup {
         transform(
           slice(col("byDf"), lit(1),
             (floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)) + 1).cast("int")),
-          x => x.getField("s")))
+          x => x.getField("h")))
       .drop("byDf")
-    val pref = docsArr.select(col("id"), col("sz"), explode(col("prefix")).as("s"))
-    // candidate generation: prefix ∩ prefix equi-join on s (both sides the
+    val pref = docsArr.select(col("id"), col("sz"), explode(col("prefix")).as("h"))
+    // candidate generation: prefix ∩ prefix equi-join on h (both sides the
     // same frame — one reused exchange), with the length filter inline so
     // size-incompatible pairs never reach the dedup aggregate
     val cand = pref.as("l")
       .join(pref.as("r"),
-        col("l.s") === col("r.s") && col("l.id") < col("r.id")
+        col("l.h") === col("r.h") && col("l.id") < col("r.id")
           && col("l.sz") * lit(threshold) <= col("r.sz") + lit(1e-9)
           && col("r.sz") * lit(threshold) <= col("l.sz") + lit(1e-9))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
-    // verification: fetch both s-sorted arrays, one codegen'd two-pointer
-    // intersection per surviving candidate
+    // verification: fetch both h-sorted arrays, one codegen'd two-pointer
+    // intersection per surviving candidate. The doc-array side is
+    // hinted SHUFFLE_HASH: above broadcast size it would otherwise plan
+    // sort-merge, and sorting the (much larger) candidate stream with
+    // both ~|doc| fingerprint arrays in flight is what made verification
+    // superlinear at the 100× rehearsal (3.5 s → 110 s of a 141 s query
+    // while candidates grew exactly 9× at 10× data); hashing the bounded
+    // doc-array side and streaming candidates, plus the long
+    // fingerprints above, brings sf10 to 42 s — 6× sf1 at 10× the data.
     cand
-      .join(docsArr.select(col("id").as("a"), col("bys").as("sa"), col("sz").as("sza")), "a")
-      .join(docsArr.select(col("id").as("b"), col("bys").as("sb"), col("sz").as("szb")), "b")
+      .join(docsArr.select(col("id").as("a"), col("bys").as("sa"), col("sz").as("sza"))
+        .hint("shuffle_hash"), "a")
+      .join(docsArr.select(col("id").as("b"), col("bys").as("sb"), col("sz").as("szb"))
+        .hint("shuffle_hash"), "b")
       .withColumn("common", graft.functions.SortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sza") + col("szb") - col("common")).cast("double"))

@@ -360,15 +360,23 @@ object Dedup {
     * Seeded min-hashes use xxhash64 with the seed folded in as a prefix
     * column (Spark's xxhash64 has a fixed seed); xxhash64 is codegen'd.
     */
-  /** The (id, shingle) side table: distinct n-token shingles per doc,
-    * id-partitioned — the representation an incremental ingest persists
+  /** The (id, shingle-fingerprint) side table: distinct n-token shingles
+    * per doc, id-partitioned, each shingle carried as its xxhash64 LONG
+    * fingerprint — the representation an incremental ingest persists
     * next to its [[lshIndex]] (both are compact, bucketable derivatives
-    * of the corpus).
+    * of the corpus; 8-byte fingerprints make the persisted table ~4×
+    * smaller than UTF8 shingles and every downstream hash/compare
+    * primitive). Distinctness is taken on the STRING before hashing, so
+    * set sizes are exact; as in [[ngramJaccardPairs]], a within-doc
+    * fingerprint collision (P ~ 1e-16 per doc, deterministic) is the
+    * only way a downstream Jaccard could differ from string arithmetic
+    * — still gated by the family's oracle-checked completeness checks.
     */
   def shingleTable(id: Column, text: Column, n: Int)(df: DataFrame): DataFrame =
     Texts.explodedShingles(df, id, text, n)
       .repartition(col("id"))
       .dropDuplicates("id", "s")
+      .select(col("id"), xxhash64(col("s")).as("s"))
 
   /** LSH band-bucket rows (id, band, sig) from a shingle table: ONE
     * hash-groupBy computes all `numBands * rowsPerBand` min-hashes as

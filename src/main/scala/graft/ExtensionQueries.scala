@@ -1247,6 +1247,59 @@ object ExtensionQueries {
         "importance-resampling ranking key for tilting a crawl toward a " +
         "domain given a small seed set"),
 
+    Q("x45_token_entropy",
+      // rounded to 4 decimals like x12/x44: Σ c·ln c accumulates in
+      // engine-dependent order (row-local HashMap here, group aggregate
+      // there) and ln differs by ulps across libm/JVM — the rounding
+      // absorbs the ~1e-12 reassociation noise
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        size(Texts.tokens(col("text"))).cast("long").as("n_tokens"),
+        round(graft.functions.TokenEntropy(col("text")), 4).as("entropy")),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |       round(ln(CAST(sum(c) AS DOUBLE))
+             |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+             |               / CAST(sum(c) AS DOUBLE), 4) AS entropy
+             |FROM tf GROUP BY doc_id""".stripMargin),
+      "X3 token-distribution Shannon entropy per doc (information-density " +
+        "quality signal) as a native codegen expression: one map-only pass " +
+        "over the documents scan, zero shuffle — where the SQL form must " +
+        "explode the corpus into tokens and aggregate it twice"),
+
+    Q("x46_curriculum_order",
+      // x18's tier oracle verbatim, plus the rank: best tier first,
+      // seeded-hash shuffle inside each tier, dense 0-based position
+      (s, dir) => TextAnalysis.curriculumOrder(
+        col("doc_id"), col("text"), "cur")(docs(s, dir)),
+      Some(s"""WITH sc AS (SELECT doc_id,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |    + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |    + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+              |q AS (SELECT quantile_cont(quality, 0.25) AS q1,
+              |             quantile_cont(quality, 0.5) AS q2,
+              |             quantile_cont(quality, 0.75) AS q3 FROM sc),
+              |t AS (SELECT doc_id,
+              |        CAST(CASE WHEN quality < q1 THEN 0
+              |                  WHEN quality < q2 THEN 1
+              |                  WHEN quality < q3 THEN 2
+              |                  ELSE 3 END AS INT) AS tier
+              |      FROM sc CROSS JOIN q)
+              |SELECT doc_id, tier,
+              |       row_number() OVER (
+              |         ORDER BY 3 - tier,
+              |                  md5('cur:' || CAST(doc_id AS VARCHAR)),
+              |                  doc_id) - 1 AS position
+              |FROM t""".stripMargin),
+      "X3 curriculum ordering: quality-tier-descending training order with " +
+        "a deterministic seeded shuffle inside each tier, dense global " +
+        "position via the range-partition rank play — no single-reducer " +
+        "sort, reproducible across engines/runs/retries"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -107,6 +107,22 @@ object Queries {
              |FROM events GROUP BY 1, 2""".stripMargin),
       "A2 tumbling 10s windowed aggregate, epoch-aligned (KSA:142, KSA:146-148)"),
 
+    Q("a2b_hopping_window",
+      // size 20s / hop 10s: every event belongs to exactly two
+      // epoch-aligned windows, starts floor(t/10)*10 and that minus 10 —
+      // the oracle enumerates them per event and re-groups
+      (s, dir) => hoppingCountByKey(col("ts_ts"), "20 seconds", "10 seconds",
+        col("user_id"), "user_id")(Tables.events(s, dir)),
+      Some("""SELECT user_id, ws AS window_start, count(*) AS cnt
+             |FROM (SELECT user_id,
+             |        unnest([epoch_us(ts) // 10000000 * 10 - 10,
+             |                epoch_us(ts) // 10000000 * 10]) AS ws
+             |      FROM events)
+             |GROUP BY 1, 2""".stripMargin),
+      "A2 superset: HOPPING windows (size 20s, advance 10s — Kafka Streams " +
+        "TimeWindows.advanceBy); in-scan window assignment + one map-side-" +
+        "combined hash aggregate, no self-join"),
+
     // ================= joins (SURVEY §2.4) =================
 
     Q("j1_stream_table_join",

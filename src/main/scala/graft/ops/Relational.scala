@@ -81,6 +81,22 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .select(col(as), col("window.start").cast("long").as("window_start"), col("cnt"))
 
+  /** A2 superset — HOPPING event-time windows (Kafka Streams
+    * `TimeWindows.of(size).advanceBy(hop)`; the reference uses only the
+    * tumbling special case size == hop, KSA:142). Each event lands in
+    * size/hop overlapping epoch-aligned windows; Spark's `window(ts, size,
+    * hop)` generates those assignments INSIDE the scan projection (an
+    * explode of size/hop structs per row — no self-join, no window
+    * function), then one hash aggregate with map-side combine, so the
+    * shuffle carries (key, window) partial counts, not size/hop copies of
+    * the raw stream. Same output contract as [[windowedCountByKey]].
+    */
+  def hoppingCountByKey(ts: Column, windowDuration: String, hopDuration: String,
+      key: Column, as: String)(df: DataFrame): DataFrame =
+    df.groupBy(window(ts, windowDuration, hopDuration), key.as(as))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(as), col("window.start").cast("long").as("window_start"), col("cnt"))
+
   /** S3 batch semantics — compacted-topic KTable (`builder.table`,
     * KSA:156-157; `cleanup.policy=compact` KSA:35): latest value per key.
     * Also A3's final state (`ktable.toStream`, KSA:150 — in batch the

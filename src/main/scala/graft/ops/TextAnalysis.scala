@@ -1024,6 +1024,32 @@ object TextAnalysis {
         expr(s"gidx div $nShards").as("shard_pos"))
   }
 
+  /** Curriculum ordering for training: documents sorted best-tier-first
+    * (the corpus-relative quartile tiers of [[qualityTiers]]) with a
+    * DETERMINISTIC seeded shuffle inside each tier, emitting each doc's
+    * dense 0-based `position` in the training order — anneal-style
+    * curricula (clean data early, noisy tail late) need exactly this
+    * total order, and reproducibility across engines/runs/retries is the
+    * same requirement [[seededShuffle]] solves for the unordered case.
+    *
+    * Scale shape: one quality pass + the scalar quartile broadcast (the
+    * [[qualityTiers]] plan unchanged), then the [[globalIndex]]
+    * range-partition rank play over (3 − tier, md5(seed‖id), id) — no
+    * single-reducer sort, no RNG state; each task ranks only its
+    * disjoint key range. The sort key embeds the seed-hash so intra-tier
+    * order is an independent permutation per seed, while tier boundaries
+    * stay fixed by the data.
+    */
+  def curriculumOrder(id: Column, text: Column, seed: String)(
+      df: DataFrame): DataFrame = {
+    val keyed = qualityTiers(id, text)(df)
+      .select(col("doc_id"), col("tier"),
+        (lit(3) - col("tier")).as("rev"),
+        md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("h"))
+    globalIndex(keyed, Seq(col("rev"), col("h"), col("doc_id")))
+      .select(col("doc_id"), col("tier"), col("gidx").as("position"))
+  }
+
   def dataCard(source: Column, lang: Column, text: Column)(
       df: DataFrame): DataFrame = {
     val perDoc = df.select(source.as("source"), lang.as("lang"),

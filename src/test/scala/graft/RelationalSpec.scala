@@ -73,6 +73,29 @@ class RelationalSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq("u", base, 1L), Seq("u", base + 10, 2L)))
   }
 
+  test("A2 superset: hopping windows assign each event to size/hop overlapping windows") {
+    // size 20s / hop 10s: 00:00:25 is in [10,30) and [20,40)
+    val df = Seq(
+      ("u", ts("2024-01-01T00:00:25.000Z")),
+      ("u", ts("2024-01-01T00:00:05.000Z")),
+      ("v", ts("2024-01-01T00:00:10.000Z"))).toDF("user", "ts")
+    val out = hoppingCountByKey(col("ts"), "20 seconds", "10 seconds",
+      col("user"), "user")(df)
+    val base = Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    // every event lands in exactly 2 windows; 00:00:05 in [-10,10) and [0,20)
+    assert(rowsOf(out) === Set(
+      Seq("u", base - 10, 1L), Seq("u", base, 1L),
+      Seq("u", base + 10, 1L), Seq("u", base + 20, 1L),
+      Seq("v", base, 1L), Seq("v", base + 10, 1L)))
+    // differential: hopping(size=2*hop) == union of the two tumbling grids
+    // (the epoch-aligned grid and nothing else — starts are hop multiples)
+    val grid0 = windowedCountByKey(col("ts"), "20 seconds", col("user"), "user")(df)
+    val grid1 = windowedCountByKey(col("ts"), "20 seconds", col("user"), "user")(
+      df.withColumn("ts", col("ts") + expr("INTERVAL 10 SECONDS")))
+      .withColumn("window_start", col("window_start") - 10)
+    assert(rowsOf(out) === rowsOf(grid0.unionByName(grid1)))
+  }
+
   test("S3 compactLatest keeps the latest value per key with deterministic ties (KSA:156-157)") {
     val df = Seq(
       ("alice", 1L, "v1"), ("alice", 3L, "v3"), ("alice", 2L, "v2"),

@@ -644,4 +644,68 @@ class TextAnalysisSpec extends SparkSpec {
     val aMap = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(aMap !== b) // different seed, different permutation
   }
+
+  test("TokenEntropy: hand-computed values, empty/degenerate rows, null") {
+    import graft.functions.TokenEntropy
+    val df = Seq(
+      (1L, "a b c d"),       // uniform over 4 → ln 4
+      (2L, "a a a a"),       // single symbol → 0
+      (3L, "a a b"),         // ln 3 − (2 ln 2)/3
+      (4L, ""),              // one empty token → 0
+      (5L, "solo"),          // single token → 0
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TokenEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(math.abs(out(1L).asInstanceOf[Double] - math.log(4.0)) < 1e-12)
+    assert(out(2L) === 0.0)
+    assert(math.abs(out(3L).asInstanceOf[Double] -
+      (math.log(3.0) - 2.0 * math.log(2.0) / 3.0)) < 1e-12)
+    assert(out(4L) === 0.0)
+    assert(out(5L) === 0.0)
+    assert(out(6L) === null)
+  }
+
+  test("TokenEntropy matches the explode-aggregate form on varied corpora") {
+    import spark.implicits._
+    // includes repeated tokens, doubled spaces (empty tokens count), unicode
+    val df = Seq(
+      (1L, "the cat the cat the"), (2L, "x  y  x"), (3L, "ü ü ö"),
+      (4L, "one two three four five six seven"), (5L, "a"))
+      .toDF("doc_id", "text")
+    val viaExpr = df.select(col("doc_id"),
+      round(graft.functions.TokenEntropy(col("text")), 9).as("h"))
+    val tf = df.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").count()
+    val viaAgg = tf.groupBy("doc_id").agg(
+      round(when(sum(col("count")) <= 1L, lit(0.0)).otherwise(
+        log(sum(col("count")).cast("double")) -
+          sum(col("count").cast("double") * log(col("count").cast("double")))
+            / sum(col("count")).cast("double")), 9).as("h"))
+    assert(rowsOf(viaExpr) === rowsOf(viaAgg))
+  }
+
+  test("curriculumOrder: dense positions, tier-descending, seed-reproducible") {
+    import spark.implicits._
+    // quality = diversity*0.5 + stop*0.25 + meanLen*0.05 — vary diversity
+    // so tiers split; exact tier values come from qualityTiers itself
+    val docs = (1L to 40L).map { i =>
+      val reps = (i % 4 + 1).toInt // 4 distinct diversity levels
+      (i, (1 to 8).map(j => s"w${j % (9 - reps * 2)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.curriculumOrder(col("doc_id"), col("text"), "sA")(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // dense total order 0..N-1
+    assert(out.map(_._3).sorted.toSeq === (0L until 40L))
+    // tier never increases as position grows (best tier first)
+    val byPos = out.sortBy(_._3).map(_._2)
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a >= b })
+    // same seed → identical order; the intra-tier key is the seed hash
+    val again = TextAnalysis.curriculumOrder(col("doc_id"), col("text"), "sA")(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet === again.toSet)
+    val other = TextAnalysis.curriculumOrder(col("doc_id"), col("text"), "sB")(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.map(r => r._1 -> r._3).toMap !== other)
+  }
 }

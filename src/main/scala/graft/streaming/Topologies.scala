@@ -70,6 +70,20 @@ object Topologies {
       Relational.flatMapValues(Seq(col("user"), col("ts")), col("products"), "product")(
         orders.withWatermark("ts", grace)))
 
+  /** Hopping variant of [[productsPerUserWindowed]] (Kafka Streams
+    * `TimeWindows.of(size).advanceBy(hop)` — the reference only uses the
+    * tumbling size == hop case): each event is counted into size/hop
+    * overlapping epoch-aligned windows. Streaming state holds size/hop
+    * live (user, window) cells per key; append mode emits each window
+    * exactly once when the watermark passes its end — same
+    * lateness/grace mapping as the tumbling topology.
+    */
+  def productsPerUserHopping(orders: DataFrame, window: String = "20 seconds",
+      hop: String = "10 seconds", grace: String = "24 hours"): DataFrame =
+    Relational.hoppingCountByKey(col("ts"), window, hop, col("user"), "user")(
+      Relational.flatMapValues(Seq(col("user"), col("ts")), col("products"), "product")(
+        orders.withWatermark("ts", grace)))
+
   /** Streaming document curation — the batch curation pipeline
     * (normalize → quality gate → fingerprint dedup) applied to a LIVE
     * document stream, the shape an ingestion-time curation service runs:

@@ -103,6 +103,20 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq("alice", base, 2L), Seq("bob", base, 1L)))
   }
 
+  test("A2 superset: watermarked HOPPING windows reach the batch fixpoint (overlapping cells)") {
+    val onTime = orders.take(3)
+    val flush = OrderEvent("flush", "zz", Seq("x"), 1.0, ts("2024-01-03T00:00:00Z"))
+    val out = runStream(
+      Seq(onTime, Seq(flush)), "append")(
+      Topologies.productsPerUserHopping(_, "20 seconds", "10 seconds", "1 hour"))
+    val batch = Topologies.productsPerUserHopping(
+      onTime.toDF(), "20 seconds", "10 seconds", "1 hour")
+    assert(rowsOf(out) === rowsOf(batch))
+    // every on-time product landed in exactly size/hop = 2 windows
+    val products = onTime.map(_.products.size).sum
+    assert(out.agg(sum(col("cnt"))).collect()(0).getLong(0) === 2L * products)
+  }
+
   test("chained streaming aggregations: per-window trending key reaches the batch fixpoint") {
     // windowed count THEN per-window argmax — two stateful operators in
     // one append-mode query (Spark 4 multiple-stateful-operator support)

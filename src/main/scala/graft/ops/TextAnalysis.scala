@@ -1042,10 +1042,17 @@ object TextAnalysis {
     */
   def curriculumOrder(id: Column, text: Column, seed: String)(
       df: DataFrame): DataFrame = {
+    // materialized before ranking: globalIndex necessarily executes its
+    // input once for the range-bound sample and once for the shuffle map
+    // stage, and the quality pipeline upstream (full-text scoring + the
+    // quantile aggregate) is the expensive side — the keyed frame is 4
+    // narrow columns, the x21b localCheckpoint play (measured 5.5 s →
+    // ~2 s at sf1; scoped block cleanup reclaims it per query)
     val keyed = qualityTiers(id, text)(df)
       .select(col("doc_id"), col("tier"),
         (lit(3) - col("tier")).as("rev"),
         md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("h"))
+      .localCheckpoint()
     globalIndex(keyed, Seq(col("rev"), col("h"), col("doc_id")))
       .select(col("doc_id"), col("tier"), col("gidx").as("position"))
   }

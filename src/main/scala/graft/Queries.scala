@@ -173,6 +173,36 @@ object Queries {
              | AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 300000000 AND epoch_us(p.ts) + 300000000""".stripMargin),
       "J3 stream-stream windowed join: same key within ±5 min, inclusive (KSA:177-186)"),
 
+    Q("j3b_outer_interval_join",
+      // the DSL outerJoin flavor of j3: every purchase AND every error
+      // appears, null-padded when the other side has no row in the ±5 min
+      // band for that user; the emitted user_id is whichever side exists
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id"), col("ts_us").as("p_us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("e_event_id"), col("user_id").as("e_user_id"),
+            col("ts_us").as("e_us"))
+        intervalJoin(errors, col("user_id") === col("e_user_id"),
+            col("p_us"), col("e_us"), 300000000L, "full_outer")(purchases)
+          .select(col("p_event_id"), col("e_event_id"),
+            coalesce(col("user_id"), col("e_user_id")).as("user_id"))
+      },
+      Some("""WITH p AS (SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_us
+             |          FROM events WHERE event_type = 'purchase'),
+             |     e AS (SELECT event_id AS e_event_id, user_id AS e_user_id,
+             |                  epoch_us(ts) AS e_us
+             |          FROM events WHERE event_type = 'error')
+             |SELECT p_event_id, e_event_id,
+             |       coalesce(user_id, e_user_id) AS user_id
+             |FROM p FULL OUTER JOIN e
+             |  ON user_id = e_user_id
+             | AND e_us BETWEEN p_us - 300000000 AND p_us + 300000000""".stripMargin),
+      "J3 superset: FULL OUTER windowed stream-stream join (the DSL " +
+        "outerJoin — both unmatched sides survive null-padded); streaming " +
+        "twin Topologies.paidOrdersFullOuter"),
+
     Q("j4_filtered_join",
       (s, dir) => filteredJoin(
           Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment").as("profile")),

@@ -134,8 +134,10 @@ object Relational {
     * ends). `leftTs`/`rightTs` must be the same unit (we use epoch micros).
     */
   def intervalJoin(right: DataFrame, eq: Column, leftTs: Column, rightTs: Column,
-      toleranceUs: Long)(left: DataFrame): DataFrame =
-    left.join(right, eq && (rightTs >= leftTs - toleranceUs) && (rightTs <= leftTs + toleranceUs))
+      toleranceUs: Long, joinType: String = "inner")(left: DataFrame): DataFrame =
+    left.join(right,
+      eq && (rightTs >= leftTs - toleranceUs) && (rightTs <= leftTs + toleranceUs),
+      joinType)
 
   /** J4 — filtered join (joiner returning `Option`, KSA:179-180 +
     * `flatMapValues(_.toIterable)` KSA:185): an inner join with a residual

@@ -136,6 +136,24 @@ class RelationalSpec extends SparkSpec {
       Set(Seq(1000000000L - tolUs), Seq(1000000000L + tolUs)))
   }
 
+  test("J3 superset: full-outer interval join null-pads BOTH unmatched sides") {
+    val tolUs = 300000000L
+    val left = Seq(("k", 1000000000L), ("lonely", 5L)).toDF("k", "lts")
+    val right = Seq(
+      ("k", 1000000000L + tolUs),      // matched at the inclusive edge
+      ("k", 9000000000L),              // same key, out of band: null-padded
+      ("other", 1000000000L)           // no matching key: null-padded
+    ).toDF("rk", "rts")
+    val out = intervalJoin(right, col("k") === col("rk"), col("lts"), col("rts"),
+      tolUs, "full_outer")(left)
+      .select(col("k"), col("rk"), col("rts"))
+    assert(rowsOf(out) === Set(
+      Seq("k", "k", 1000000000L + tolUs),
+      Seq("lonely", null, null),
+      Seq(null, "k", 9000000000L),
+      Seq(null, "other", 1000000000L)))
+  }
+
   test("branch routes first-match-wins with a default branch; merge reunites losslessly") {
     val df = Seq((1, Some(350)), (2, Some(150)), (3, Some(50)), (4, None))
       .toDF("id", "v")

@@ -1300,6 +1300,39 @@ object ExtensionQueries {
         "position via the range-partition rank play — no single-reducer " +
         "sort, reproducible across engines/runs/retries"),
 
+    Q("x47_fixed_sample",
+      // exact-size uniform sample: the k lowest seeded doc hashes — the
+      // deterministic way to carve a fixed-size eval/holdout set (x6c's
+      // rate sampling gives binomial sizes; this gives EXACTLY k). Plans
+      // as TakeOrderedAndProject: per-partition top-k then one k-row
+      // merge, never a global sort
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit("fs:"), col("doc_id").cast("string"))).as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(200),
+      Some("""SELECT doc_id, md5('fs:' || CAST(doc_id AS VARCHAR)) AS h
+             |FROM documents ORDER BY h, doc_id LIMIT 200""".stripMargin),
+      "X3 deterministic exact-k uniform sample (k lowest seeded hashes): " +
+        "fixed-size eval-set carving as a TakeOrdered top-k, no global sort"),
+
+    Q("x48_interleave_sources",
+      (s, dir) => TextAnalysis.interleaveSources(
+        col("doc_id"), col("source"), "il")(docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |            md5('il:' || CAST(doc_id AS VARCHAR)) AS h
+             |          FROM documents),
+             |r AS (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1
+             |          AS source_pos
+             |      FROM t)
+             |SELECT doc_id, source, source_pos,
+             |       row_number() OVER (ORDER BY source_pos, source, doc_id) - 1
+             |         AS position
+             |FROM r""".stripMargin),
+      "X3 source-interleaved training order: strict round-robin across " +
+        "sources via two range-partition ranks and a |sources|-row offset " +
+        "broadcast — no per-source window sort, no single-reducer stage"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -1057,6 +1057,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("tier"), col("gidx").as("position"))
   }
 
+  /** Source-interleaved training order: strict round-robin across
+    * sources — every source's 0th document (in a seeded per-source
+    * shuffle) comes before any source's 1st, and so on — the mixing
+    * order that stops a sequential reader from seeing long single-source
+    * runs even when sources differ wildly in size (the tail of the order
+    * degrades to the surviving big sources once small ones exhaust).
+    *
+    * Scale shape: per-source rank WITHOUT `Window.partitionBy(source)` —
+    * a hot source would funnel into one task there. Instead the global
+    * (source, h, id) rank from [[globalIndex]]'s range-partition play,
+    * minus each source's first global rank (a |sources|-row broadcast),
+    * gives the per-source position; a second range-rank over
+    * (source_pos, source, id) materializes the interleaved total order.
+    * Both ranks are range-exchanges over the full key space — no
+    * single-reducer stage, no per-source hot partition, deterministic
+    * for a given seed.
+    */
+  def interleaveSources(id: Column, source: Column, seed: String)(
+      df: DataFrame): DataFrame = {
+    val keyed = df.select(id.as("doc_id"), source.as("source"),
+      md5(concat(lit(seed + ":"), id.cast("string"))).as("h"))
+    val g1 = globalIndex(keyed, Seq(col("source"), col("h"), col("doc_id")))
+    val offsets = g1.groupBy(col("source")).agg(min(col("gidx")).as("off"))
+    val ranked = g1.join(broadcast(offsets), "source")
+      .select(col("doc_id"), col("source"),
+        (col("gidx") - col("off")).as("source_pos"))
+    globalIndex(ranked, Seq(col("source_pos"), col("source"), col("doc_id")))
+      .select(col("doc_id"), col("source"), col("source_pos"),
+        col("gidx").as("position"))
+  }
+
   def dataCard(source: Column, lang: Column, text: Column)(
       df: DataFrame): DataFrame = {
     val perDoc = df.select(source.as("source"), lang.as("lang"),

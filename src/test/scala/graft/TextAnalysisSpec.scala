@@ -685,6 +685,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rowsOf(viaExpr) === rowsOf(viaAgg))
   }
 
+  test("interleaveSources: strict round-robin, dense per-source and global positions") {
+    import spark.implicits._
+    // skewed sources: a=6 docs, b=3, c=1
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "a"), (6L, "a"),
+      (7L, "b"), (8L, "b"), (9L, "b"), (10L, "c")).toDF("doc_id", "source")
+    val out = TextAnalysis.interleaveSources(col("doc_id"), col("source"), "il")(df)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._4).sorted.toSeq === (0L until 10L)) // dense global
+    // per-source positions dense 0..n_s-1
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length))
+    }
+    // round-robin: global order sorted by (source_pos, source)
+    val byPos = out.sortBy(_._4)
+    assert(byPos.map(r => (r._3, r._2)).toSeq === byPos.map(r => (r._3, r._2)).sortBy(identity).toSeq)
+    // first |sources| positions are one doc from EACH source
+    assert(byPos.take(3).map(_._2).toSet === Set("a", "b", "c"))
+    // differential vs the window-function formulation
+    val w = org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col("doc_id"), col("source"),
+      md5(concat(lit("il:"), col("doc_id").cast("string"))).as("h"))
+    val expected = keyed
+      .withColumn("source_pos",
+        row_number().over(w.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))) - 1)
+      .withColumn("position",
+        row_number().over(w.orderBy(col("source_pos"), col("source"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("source"), col("source_pos").cast("long"),
+        col("position").cast("long"))
+    assert(out.toSet === expected.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
   test("curriculumOrder: dense positions, tier-descending, seed-reproducible") {
     import spark.implicits._
     // quality = diversity*0.5 + stop*0.25 + meanLen*0.05 — vary diversity

@@ -614,6 +614,32 @@ object CheckQueries {
         "TRUE AS found_edges, TRUE AS degree_bounded, TRUE AS ranks_monotone"),
       "invariant for x36: every graph edge's sim equals the interpreted " +
         "cosine of its endpoints, no self loops, out-degree <= k with " +
-        "dense ranks, ranking monotone")
+        "dense ranks, ranking monotone"),
+
+    Q("x49_compression_check",
+      (s, dir) => {
+        // the ratio is a pure function of the text bytes: (1) defined and
+        // in (0, 1.2] for every non-trivial doc (raw-deflate overhead is
+        // <= ~11 bytes, so >= 64-byte docs cannot exceed 1.2; fixture docs
+        // are far longer); (2) deterministic — re-evaluating through a
+        // value-identical but tree-distinct input (reverse∘reverse blocks
+        // subexpression merging) must give bit-equal ratios
+        val r = docs(s, dir).select(col("doc_id"), length(col("text")).as("len"),
+          graft.functions.DeflateRatio(col("text")).as("ratio"),
+          graft.functions.DeflateRatio(reverse(reverse(col("text")))).as("ratio2"))
+        r.agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(col("len") >= 64 &&
+              (col("ratio") <= 0.0 || col("ratio") > 1.2), 1L)
+            .otherwise(0L)).as("n_out_of_range"),
+          sum(when(col("ratio") =!= col("ratio2"), 1L).otherwise(0L))
+            .as("n_nondeterministic"))
+      },
+      Some("SELECT count(*) AS n_checked, CAST(0 AS BIGINT) AS n_out_of_range, " +
+        "CAST(0 AS BIGINT) AS n_nondeterministic FROM documents"),
+      "invariant for x49: every doc's DEFLATE ratio is in-range (overhead " +
+        "bound for >= 64-byte docs) and bit-deterministic across " +
+        "re-evaluation; the oracle pins the corpus size so an empty check " +
+        "cannot pass silently")
   )
 }

@@ -1333,6 +1333,40 @@ object ExtensionQueries {
         "sources via two range-partition ranks and a |sources|-row offset " +
         "broadcast — no per-source window sort, no single-reducer stage"),
 
+    Q("x49_compression_ratio",
+      // no SQL oracle can deflate — paired with the oracle-checked
+      // x49_compression_check invariant twin (CheckQueries)
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.DeflateRatio(col("text")).as("ratio")),
+      None,
+      "X3 DEFLATE compression-ratio quality signal (Gopher-style " +
+        "repetitiveness filter: LZ77 catches phrase/block repeats that " +
+        "token entropy misses) — native codegen scalar over the scan, " +
+        "zero shuffle, thread-local zlib state"),
+
+    Q("x37b_vocab_stats",
+      // x37's data card extended with corpus-linguistics stats: per-source
+      // vocabulary size and type-token ratio (Heaps-law style vocabulary
+      // growth diagnostic — a source whose TTR collapses as it grows is
+      // template/boilerplate-heavy). Two-phase distinct aggregate: the
+      // token stream collapses to (source, term) cells map-side first
+      (s, dir) => docs(s, dir)
+        .select(col("source"), explode(Texts.tokens(col("text"))).as("term"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("term")).as("vocab"),
+          count(lit(1)).as("total_tokens"))
+        .select(col("source"), col("vocab"), col("total_tokens"),
+          round(col("vocab").cast("double") / col("total_tokens"), 6).as("ttr")),
+      Some("""SELECT source, count(DISTINCT term) AS vocab,
+             |       count(*) AS total_tokens,
+             |       round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6) AS ttr
+             |FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+             |      FROM documents)
+             |GROUP BY source""".stripMargin),
+      "X3 per-source vocabulary stats (vocab size, type-token ratio): the " +
+        "Heaps-law vocabulary-growth diagnostic for the data card"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

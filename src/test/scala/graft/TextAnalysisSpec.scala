@@ -685,6 +685,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rowsOf(viaExpr) === rowsOf(viaAgg))
   }
 
+  test("DeflateRatio: repetitive text compresses far below diverse text; edge cases") {
+    import graft.functions.DeflateRatio
+    val rng = new scala.util.Random(7)
+    val diverse = (1 to 200).map(_ => rng.alphanumeric.take(8).mkString).mkString(" ")
+    val repetitive = Seq.fill(200)("lorem ipsum dolor sit amet").mkString(" ")
+    val df = Seq(
+      (1L, repetitive), (2L, diverse), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), DeflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val rep = out(1L).asInstanceOf[Double]
+    val div = out(2L).asInstanceOf[Double]
+    assert(rep > 0.0 && div > 0.0 && div <= 1.2)
+    assert(rep < div / 5) // block repeats collapse under LZ77
+    assert(out(3L) === 1.0) // empty: neutral
+    assert(out(4L) === null)
+    // deterministic across evaluations (thread-local Deflater reset)
+    val again = df.select(col("doc_id"), DeflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === again)
+  }
+
+  test("DeflateRatio catches phrase repetition that token entropy cannot") {
+    import graft.functions.{DeflateRatio, TokenEntropy}
+    // a doc repeating one 8-token paragraph: near-max unigram surprise per
+    // paragraph but trivially compressible; vs the same tokens shuffled once
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val repeated = Seq.fill(50)(para).mkString(" ")
+    val shuffled = new scala.util.Random(3)
+      .shuffle(repeated.split(" ").toSeq).mkString(" ")
+    val df = Seq((1L, repeated), (2L, shuffled)).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TokenEntropy(col("text")).as("h"),
+        DeflateRatio(col("text")).as("c"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // entropies identical (same token multiset) — the unigram signal is blind
+    assert(math.abs(r(1L)._1 - r(2L)._1) < 1e-12)
+    // but the repeated form compresses at least 2x better
+    assert(r(1L)._2 < r(2L)._2 / 2)
+  }
+
   test("interleaveSources: strict round-robin, dense per-source and global positions") {
     import spark.implicits._
     // skewed sources: a=6 docs, b=3, c=1

@@ -1367,6 +1367,51 @@ object ExtensionQueries {
       "X3 per-source vocabulary stats (vocab size, type-token ratio): the " +
         "Heaps-law vocabulary-growth diagnostic for the data card"),
 
+    Q("x6h_curation_v3",
+      // the round-7 signals COMPOSED: information-density gate (x45's
+      // rounded entropy >= 3.0 — the round-4 value is engine-exact, so
+      // the keep set cannot flip) → curriculum ordering of the survivors
+      // (x46 unchanged; tiers re-quantiled on the gated subset)
+      (s, dir) => TextAnalysis.curriculumOrder(col("doc_id"), col("text"), "v3")(
+        docs(s, dir).filter(
+          round(graft.functions.TokenEntropy(col("text")), 4) >= 3.0)),
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, term, count(*) AS c
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |        FROM documents)
+              |  GROUP BY 1, 2),
+              |ent AS (
+              |  SELECT doc_id,
+              |         round(ln(CAST(sum(c) AS DOUBLE))
+              |               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+              |                 / CAST(sum(c) AS DOUBLE), 4) AS entropy
+              |  FROM tf GROUP BY doc_id),
+              |kept AS (SELECT d.doc_id, d.text FROM documents d
+              |         JOIN ent USING (doc_id) WHERE ent.entropy >= 3.0),
+              |sc AS (SELECT doc_id,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |    + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |    + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)),
+              |q AS (SELECT quantile_cont(quality, 0.25) AS q1,
+              |             quantile_cont(quality, 0.5) AS q2,
+              |             quantile_cont(quality, 0.75) AS q3 FROM sc),
+              |t AS (SELECT doc_id,
+              |        CAST(CASE WHEN quality < q1 THEN 0
+              |                  WHEN quality < q2 THEN 1
+              |                  WHEN quality < q3 THEN 2
+              |                  ELSE 3 END AS INT) AS tier
+              |      FROM sc CROSS JOIN q)
+              |SELECT doc_id, tier,
+              |       row_number() OVER (
+              |         ORDER BY 3 - tier,
+              |                  md5('v3:' || CAST(doc_id AS VARCHAR)),
+              |                  doc_id) - 1 AS position
+              |FROM t""".stripMargin),
+      "X3 curation pipeline v3: round-7 ops composed unchanged — entropy " +
+        "gate (map-only native expression) feeding curriculum ordering of " +
+        "the survivors, all oracle-exact"),
+
     // ================= X4 multimodal =================
 
     Q("x5_multimodal_features",

@@ -61,6 +61,31 @@ object Queries {
              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin),
       "S3 compacted-topic KTable + A3 toStream fixpoint: latest value per key (KSA:156-157, KSA:150)"),
 
+    Q("s3b_tombstone_compaction",
+      // the tombstone half of the KTable contract: error events play the
+      // null-value delete marker for their user key — a user whose LATEST
+      // event is an error vanishes from the table; an older error is
+      // overridden by any newer re-insert
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("v",
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")))
+        compactLatestWithTombstones(
+            Seq(col("user_id")), Seq(expr("ts div 1000"), col("event_id")), col("v"))(ev)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("v").as("last_value"))
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, v AS last_value FROM (
+             |  SELECT user_id, event_id,
+             |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             |  FROM events
+             |  QUALIFY row_number() OVER (PARTITION BY user_id
+             |                             ORDER BY ts DESC, event_id DESC) = 1)
+             |WHERE v IS NOT NULL""".stripMargin),
+      "S3 tombstone semantics: null value = Kafka delete marker; the key " +
+        "drops only when the tombstone is the newest record (election " +
+        "before the null filter)"),
+
     // ================= stateless ops (SURVEY §2.2) =================
 
     Q("p1_filter_expensive",

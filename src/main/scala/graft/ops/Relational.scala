@@ -109,6 +109,19 @@ object Relational {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
+  /** S3 with TOMBSTONES — the full compacted-topic KTable contract: a
+    * null value at a key is a delete marker (Kafka tombstone,
+    * `cleanup.policy=compact` removes the key once the tombstone is the
+    * newest record), so the table's fixpoint drops keys whose LATEST
+    * record is null-valued. Election first, then the null filter: a
+    * tombstone only deletes if nothing newer re-inserted the key — an
+    * eager `filter(value.isNotNull)` BEFORE compaction would wrongly
+    * resurrect the previous value.
+    */
+  def compactLatestWithTombstones(partitionKeys: Seq[Column], order: Seq[Column],
+      value: Column)(df: DataFrame): DataFrame =
+    compactLatest(partitionKeys, order)(df).filter(value.isNotNull)
+
   // ---- joins (SURVEY §2.4) ----
 
   /** J1 — stream–table equi-join (`stream.join(ktable)`, KSA:162-165):

@@ -136,6 +136,15 @@ class RelationalSpec extends SparkSpec {
       Set(Seq(1000000000L - tolUs), Seq(1000000000L + tolUs)))
   }
 
+  test("S3 tombstones: key drops only when the newest record is a delete marker") {
+    val df = Seq(
+      ("alice", 1L, Some("v1")), ("alice", 2L, None), // tombstone newest → gone
+      ("bob", 1L, None), ("bob", 2L, Some("b2")),     // re-insert beats old tombstone
+      ("carol", 1L, Some("c1"))).toDF("user", "seq", "v")
+    val out = compactLatestWithTombstones(Seq(col("user")), Seq(col("seq")), col("v"))(df)
+    assert(rowsOf(out) === Set(Seq("bob", 2L, "b2"), Seq("carol", 1L, "c1")))
+  }
+
   test("J3 superset: full-outer interval join null-pads BOTH unmatched sides") {
     val tolUs = 300000000L
     val left = Seq(("k", 1000000000L), ("lonely", 5L)).toDF("k", "lts")

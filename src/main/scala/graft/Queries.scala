@@ -125,6 +125,35 @@ object Queries {
       Some("SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey"),
       "G2 groupByKey + A1 unwindowed count → KTable fixpoint (KSA:140, KSA:144)"),
 
+    Q("g3_cogroup",
+      // the DSL cogroup (2.5+): order totals and purchase-event values
+      // aggregated into ONE keyed table — one shuffle of the tagged
+      // union, never a join of per-stream aggregates; money through
+      // decimal(18,2) so both engines sum exactly (Queries header rule)
+      (s, dir) => cogroupAgg("user_id", Seq(
+          ("orders", Tables.orders(s, dir),
+            col("o_custkey"), col("o_totalprice").cast("decimal(18,2)")),
+          ("purchases", Tables.events(s, dir).filter(col("event_type") === "purchase"),
+            col("user_id"), col("value").cast("decimal(18,2)"))))
+        .select(col("user_id"),
+          col("orders_sum").cast("double").as("orders_sum"), col("orders_cnt"),
+          col("purchases_sum").cast("double").as("purchases_sum"), col("purchases_cnt")),
+      Some("""SELECT k AS user_id,
+             |  CAST(sum(CASE WHEN src = 'orders' THEN v ELSE 0 END) AS DOUBLE) AS orders_sum,
+             |  count(*) FILTER (WHERE src = 'orders') AS orders_cnt,
+             |  CAST(sum(CASE WHEN src = 'purchases' THEN v ELSE 0 END) AS DOUBLE) AS purchases_sum,
+             |  count(*) FILTER (WHERE src = 'purchases') AS purchases_cnt
+             |FROM (
+             |  SELECT o_custkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             |         'orders' AS src FROM orders
+             |  UNION ALL
+             |  SELECT user_id, CAST(value AS DECIMAL(18,2)), 'purchases'
+             |  FROM events WHERE event_type = 'purchase')
+             |GROUP BY k""".stripMargin),
+      "G superset: COGROUP (KGroupedStream.cogroup) — several streams " +
+        "aggregated into one keyed table via a tagged union and a single " +
+        "hash aggregate (the DSL's one-state-store property; one shuffle)"),
+
     Q("a2_windowed_count",
       (s, dir) => windowedCountByKey(col("ts_ts"), "10 seconds", col("user_id"), "user_id")(
         Tables.events(s, dir)),

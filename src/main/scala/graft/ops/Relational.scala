@@ -159,6 +159,30 @@ object Relational {
   def filteredJoin(right: DataFrame, eq: Column, residual: Column)(left: DataFrame): DataFrame =
     left.join(right, eq).filter(residual)
 
+  /** G-superset — COGROUP (Kafka Streams `KGroupedStream.cogroup`, DSL
+    * 2.5+): aggregate several differently-shaped streams into ONE keyed
+    * table. The DSL's defining property is a single state store fed by
+    * all inputs; the batch analog is union-with-tags into a single hash
+    * aggregate — ONE shuffle of the combined stream with map-side
+    * partials, never a join of per-stream aggregates (which would
+    * shuffle each input separately and then join the results).
+    *
+    * Each input contributes (tag, frame, key, value); the output is one
+    * row per key with `<tag>_sum` / `<tag>_cnt` per input (absent
+    * streams contribute 0 — the DSL aggregator's initializer).
+    */
+  def cogroupAgg(as: String, inputs: Seq[(String, DataFrame, Column, Column)]): DataFrame = {
+    require(inputs.nonEmpty, "cogroup needs at least one input")
+    val tagged = inputs.map { case (tag, df, key, value) =>
+      df.select(key.as(as), value.as("__v"), lit(tag).as("__src"))
+    }.reduce(_ unionByName _)
+    val aggs = inputs.flatMap { case (tag, _, _, _) => Seq(
+      sum(when(col("__src") === tag, col("__v")).otherwise(lit(0))).as(s"${tag}_sum"),
+      sum(when(col("__src") === tag, 1L).otherwise(0L)).as(s"${tag}_cnt"))
+    }
+    tagged.groupBy(col(as)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Cap the number of rows per key at `k`, deterministically — "at most
     * N documents per source/domain", the standard cardinality-control step
     * in corpus curation. Survivors are selected by descending 48-bit

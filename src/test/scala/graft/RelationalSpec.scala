@@ -136,6 +136,23 @@ class RelationalSpec extends SparkSpec {
       Set(Seq(1000000000L - tolUs), Seq(1000000000L + tolUs)))
   }
 
+  test("G superset: cogroup folds several streams into one keyed table in ONE shuffle") {
+    val a = Seq(("u1", 10.0), ("u1", 5.0), ("u2", 1.0)).toDF("k", "v")
+    val b = Seq(("u1", 2.0), ("u3", 7.0)).toDF("k", "v")
+    val out = cogroupAgg("user",
+      Seq(("x", a, col("k"), col("v")), ("y", b, col("k"), col("v"))))
+    assert(rowsOf(out) === Set(
+      Seq("u1", 15.0, 2L, 2.0, 1L),
+      Seq("u2", 1.0, 1L, 0.0, 0L),
+      Seq("u3", 0.0, 0L, 7.0, 1L)))
+    // the DSL's one-state-store property: a single exchange feeds the
+    // aggregate (tagged union, not per-stream aggregates joined); count
+    // in the plan string — AQE wraps the exec tree so collect() sees none
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE toString repeats the plan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("S3 tombstones: key drops only when the newest record is a delete marker") {
     val df = Seq(
       ("alice", 1L, Some("v1")), ("alice", 2L, None), // tombstone newest → gone

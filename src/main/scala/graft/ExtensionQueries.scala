@@ -1300,6 +1300,34 @@ object ExtensionQueries {
         "position via the range-partition rank play — no single-reducer " +
         "sort, reproducible across engines/runs/retries"),
 
+    Q("x50_containment_pairs",
+      // directed near-superset detection at C >= 0.5 over 3-shingles,
+      // same DF cut as x2; containment = common/sz_src is one exact IEEE
+      // division of two ints — engine-identical, no rounding needed
+      (s, dir) => Dedup.containmentPairs(col("doc_id"), col("text"), 3, 0.5,
+        maxShingleDf = 1000L)(docs(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ex AS (SELECT DISTINCT doc_id,
+             |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                 for i in range(1, len(toks) - 1)]) AS s
+             |       FROM toks WHERE len(toks) >= 3),
+             |kept AS (SELECT doc_id, s FROM ex
+             |         QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+             |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+             |dp AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS common
+             |       FROM kept a JOIN kept b
+             |         ON a.s = b.s AND a.doc_id <> b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT src, dst,
+             |       CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+             |FROM dp JOIN sz sa ON sa.doc_id = dp.src
+             |WHERE CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.5""".stripMargin),
+      "X2 directed near-superset pairs (containment |A∩B|/|A|): catches a " +
+        "doc quoted whole inside a larger one, where the size imbalance " +
+        "drags Jaccard below any symmetric threshold — asymmetric " +
+        "source-prefix filter against the full fingerprint index, exact " +
+        "two-pointer verification"),
+
     Q("x47_fixed_sample",
       // exact-size uniform sample: the k lowest seeded doc hashes — the
       // deterministic way to carve a fixed-size eval/holdout set (x6c's

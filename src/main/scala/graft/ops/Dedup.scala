@@ -182,6 +182,103 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Directed near-SUPERSET pairs: containment C(src→dst) =
+    * |S(src) ∩ S(dst)| / |S(src)| over distinct n-token shingles, emitted
+    * for every ordered pair with C ≥ threshold. The curation case Jaccard
+    * structurally misses: a short document quoted whole inside a much
+    * larger one has containment 1.0 while the size imbalance drags
+    * Jaccard to |A|/|B| — so a symmetric near-dup pass keeps both copies.
+    *
+    * [[ngramJaccardPairs]]'s machinery with the ASYMMETRIC prefix bound:
+    * C ≥ t requires overlap o = ⌈t·sz_src⌉, which depends on the source
+    * side only — so only the SOURCE prefixes (first sz − o + 1 of the
+    * rarest-first (df, h) order; pigeonhole: if no common fingerprint is
+    * in the prefix, at most o − 1 exist at all), while the destination
+    * side must expose its FULL fingerprint set (the common elements can
+    * hide anywhere in a superset). Candidates = source-prefix ⋈ full
+    * index on the fingerprint with the one valid length cut
+    * (sz_dst ≥ t·sz_src, since overlap ≤ sz_dst), both frames derived
+    * from the SAME per-doc aggregate (one id-exchange); verification is
+    * the same codegen two-pointer intersect over the h-sorted arrays,
+    * doc-array sides SHUFFLE_HASH-hinted like the Jaccard pass.
+    */
+  def containmentPairs(id: Column, text: Column, n: Int, threshold: Double,
+      maxShingleDf: Long = 0L)(df: DataFrame): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val ex = Texts.explodedShingles(df, id, text, n)
+      .repartition(col("s"))
+      .dropDuplicates("id", "s")
+    val dfc = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val dfKept = if (maxShingleDf <= 0) dfc else dfc.filter(col("__df") <= maxShingleDf)
+    val kept = ex.join(dfKept, "s")
+      .select(col("id"), col("__df"), xxhash64(col("s")).as("h"))
+    val docsArr = kept
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_list(struct(col("__df"), col("h")))).as("byDf"),
+        sort_array(collect_list(col("h"))).as("bys"),
+        count(lit(1)).as("sz"))
+      .withColumn("prefix",
+        // sz − ⌈t·sz⌉ + 1 elements; the 1e-9 slack can only LENGTHEN the
+        // prefix (extra candidates are exactly re-verified), never lose one
+        transform(
+          slice(col("byDf"), lit(1),
+            (floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)) + 1).cast("int")),
+          x => x.getField("h")))
+      .drop("byDf")
+    val pref = docsArr.select(col("id").as("src"), col("sz").as("ssz"),
+      explode(col("prefix")).as("h"))
+    val idx = docsArr.select(col("id").as("dst"), col("sz").as("dsz"),
+      explode(col("bys")).as("h"))
+    val cand = pref
+      .join(idx,
+        pref("h") === idx("h") && col("src") =!= col("dst")
+          && col("dsz").cast("double") >= lit(threshold) * col("ssz") - lit(1e-9))
+      .select(col("src"), col("dst"))
+      .distinct()
+    cand
+      .join(docsArr.select(col("id").as("src"), col("bys").as("sa"), col("sz").as("sza"))
+        .hint("shuffle_hash"), "src")
+      .join(docsArr.select(col("id").as("dst"), col("bys").as("sb"))
+        .hint("shuffle_hash"), "dst")
+      .withColumn("common",
+        graft.functions.SortedIntersectCount(col("sa"), col("sb")).cast("long"))
+      .withColumn("containment",
+        col("common").cast("double") / col("sza").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("src"), col("dst"), col("containment"))
+  }
+
+  /** The naive formulation of [[containmentPairs]] — differential twin
+    * only (DedupSpec pins exact set-equality against the prefix-filtered
+    * implementation, the same role [[ngramJaccardPairsNaive]] plays).
+    */
+  private[graft] def containmentPairsNaive(id: Column, text: Column, n: Int,
+      threshold: Double, maxShingleDf: Long = 0L)(df: DataFrame): DataFrame = {
+    val ex = Texts.explodedShingles(df, id, text, n)
+      .repartition(col("s"))
+      .dropDuplicates("id", "s")
+    val kept =
+      if (maxShingleDf <= 0) ex
+      else {
+        val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select(col("s"))
+        ex.join(hot, Seq("s"), "left_anti")
+      }
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    kept.as("l")
+      .join(kept.as("r"), col("l.s") === col("r.s") && col("l.id") =!= col("r.id"))
+      .groupBy(col("l.id").as("src"), col("r.id").as("dst"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("src"), col("sz").as("sza")), "src")
+      .withColumn("containment",
+        col("common").cast("double") / col("sza").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("src"), col("dst"), col("containment"))
+  }
+
   /** The naive formulation of [[ngramJaccardPairs]] — shingle self-join +
     * per-pair match counting — kept ONLY as the differential-testing twin
     * of the prefix-filtered implementation (DedupSpec pins exact

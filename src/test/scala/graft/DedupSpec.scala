@@ -308,4 +308,42 @@ class DedupSpec extends SparkSpec {
     assert(out(a)._2 === out(b)._2, "near-dups must share a split")
     assert(out(math.min(a, b))._2 === out(a)._2) // routed by the min id
   }
+
+  test("X2 containment finds a quoted subset that Jaccard misses; asymmetric by design") {
+    // doc 1 = 10 tokens quoted WHOLE inside doc 2's 40 tokens:
+    // C(1→2) = 1.0 while jaccard = 8/38 ≈ 0.21 — below any useful
+    // symmetric threshold
+    val small = (1 to 10).map(i => s"q$i").mkString(" ")
+    val big = small + " " + (1 to 30).map(i => s"pad$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big),
+      (3L, "unrelated words that share nothing at all with them")).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(col("doc_id"), col("text"), 3, 0.5)(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c((1L, 2L)) === 1.0)          // the subset direction
+    assert(!c.contains((2L, 1L)))        // 8/38 < 0.5: big is NOT in small
+    assert(!c.keySet.exists(_._1 == 3L) && !c.keySet.exists(_._2 == 3L))
+    val j = Dedup.ngramJaccardPairs(col("doc_id"), col("text"), 3, 0.5)(df)
+    assert(j.count() === 0, "symmetric jaccard at 0.5 misses the quoted subset")
+  }
+
+  test("X2 containment prefix filter equals the naive self-join twin (exact, all corpora)") {
+    val adversarial = (0L until 60L).map { i =>
+      val fam = i % 3
+      val core = s"core$fam x core$fam y core$fam z w$fam a b"
+      val tail = if (i % 2 == 0) s" t${i % 5} u${i % 7}" else ""
+      (i, core + tail)
+    }.toDF("doc_id", "text")
+    val cases = Seq(
+      (adversarial, 3, 0.3, 0L),
+      (adversarial, 3, 0.5, 40L),
+      (adversarial, 2, 0.99, 0L), // containment-1.0 pairs at the top edge
+      (Tables.documents(spark, "/root/testdata/sf0.001"), 3, 0.5, 1000L))
+    for ((corpus, n, t, cut) <- cases) {
+      val fast = Dedup.containmentPairs(col("doc_id"), col("text"), n, t,
+        maxShingleDf = cut)(corpus)
+      val naive = Dedup.containmentPairsNaive(col("doc_id"), col("text"), n, t,
+        maxShingleDf = cut)(corpus)
+      assert(rowsOf(fast) === rowsOf(naive), s"diverged at n=$n t=$t cut=$cut")
+    }
+  }
 }

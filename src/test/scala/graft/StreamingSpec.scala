@@ -103,6 +103,39 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq("alice", base, 2L), Seq("bob", base, 1L)))
   }
 
+  test("G superset: streaming COGROUP — two live streams fold into one keyed table") {
+    // the DSL cogroup's streaming meaning: one state store fed by both
+    // inputs; here one stateful aggregate over the tagged union of two
+    // MemoryStreams, update mode, fixpoint == the batch cogroupAgg
+    val (oms, odf) = Sources.memoryStream[OrderEvent](spark)
+    val (rms, rdf) = Sources.memoryStream[OrderEvent](spark) // refunds stream
+    val refunds = Seq(
+      OrderEvent("r1", "alice", Seq(), 300.0, ts("2024-01-01T00:00:30Z")))
+    val cogrouped = graft.ops.Relational.cogroupAgg("user", Seq(
+      ("orders", odf, col("user"), col("amount")),
+      ("refunds", rdf, col("user"), col("amount"))))
+    val name = freshTable()
+    val q = Sinks.toMemory(cogrouped, name, "update").start()
+    oms.addData(orders.take(2))
+    rms.addData(refunds)
+    q.processAllAvailable()
+    oms.addData(orders.drop(2)) // alice again + carol, across a batch boundary
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits changed keys; sums/counts only grow here, so
+    // the per-key max of the emissions is the fixpoint
+    val out = spark.table(name)
+      .groupBy(col("user")).agg(
+        max(col("orders_sum")).as("orders_sum"), max(col("orders_cnt")).as("orders_cnt"),
+        max(col("refunds_sum")).as("refunds_sum"), max(col("refunds_cnt")).as("refunds_cnt"))
+    val batch = graft.ops.Relational.cogroupAgg("user", Seq(
+      ("orders", orders.toDF(), col("user"), col("amount")),
+      ("refunds", refunds.toDF(), col("user"), col("amount"))))
+    assert(rowsOf(out) === rowsOf(batch))
+    assert(rowsOf(out.filter(col("user") === "alice")) ===
+      Set(Seq("alice", 5200.0, 2L, 300.0, 1L)))
+  }
+
   test("A2 superset: watermarked HOPPING windows reach the batch fixpoint (overlapping cells)") {
     val onTime = orders.take(3)
     val flush = OrderEvent("flush", "zz", Seq("x"), 1.0, ts("2024-01-03T00:00:00Z"))

@@ -217,22 +217,34 @@ object CheckQueries {
         val toks = d.select(col("doc_id"),
           array_distinct(split(col("text"), " ")).as("toks"))
         val inter = size(array_intersect(col("ta"), col("tb")))
-        // simhash is token-frequency LSH: pairs at Hamming <= 3 must be
-        // near-dups in token-set Jaccard (observed >= 0.86 on the corpus;
-        // 0.5 has margin while still catching a bucketing bug that pairs
-        // random docs, whose unigram jaccard concentrates far below)
+        // simhash is token-frequency LSH: pairs at Hamming <= 3 are
+        // near-dups of the WEIGHTED token profile, which only
+        // probabilistically implies token-SET Jaccard — the sf1 DevSynth
+        // rehearsal produced 12/2272 legitimate Hamming<=3 pairs at
+        // uni_j < 0.5 (near-twins with every 2nd token re-tagged share
+        // half their token set but almost all of their frequency shape),
+        // so the invariant is the RATE bound that still catches an
+        // implementation bug: random-doc bucketing drives the rate to
+        // ~1, real simhash precision keeps it within a few percent
+        // (driver fixtures 0/17, sf1 rehearsal 0.53%)
         pairs
           .join(toks.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
           .join(toks.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
           .select((inter.cast("double")
             / (size(col("ta")) + size(col("tb")) - inter).cast("double")).as("uni_j"))
           .agg(
-            sum(when(col("uni_j") < 0.5, 1L).otherwise(0L)).as("n_false_pairs"),
-            (count(lit(1)) > 0).as("found_pairs"))
+            (count(lit(1)) > 0).as("found_pairs"),
+            coalesce(
+              sum(when(col("uni_j") < 0.5, 1.0).otherwise(0.0)) / count(lit(1))
+                <= 0.02,
+              lit(true)).as("false_rate_bounded"))
       },
-      Some("SELECT CAST(0 AS BIGINT) AS n_false_pairs, TRUE AS found_pairs"),
-      "invariant for x2d: every simhash Hamming<=3 pair is a unigram-Jaccard " +
-        "near-dup (false-pair count over ALL emitted pairs pinned to 0)"),
+      Some("SELECT TRUE AS found_pairs, TRUE AS false_rate_bounded"),
+      "invariant for x2d: simhash Hamming<=3 pairs are unigram-Jaccard " +
+        "near-dups up to the method's probabilistic precision — false-pair " +
+        "rate bounded at 2% (a bucketing bug pairs random docs and drives " +
+        "the rate to ~1; found at the sf1 rehearsal, where the old " +
+        "zero-count form overfit the driver corpus)"),
 
     Q("x3c_ann_check",
       (s, dir) => {

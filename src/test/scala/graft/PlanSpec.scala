@@ -140,6 +140,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"x2_ngram_jaccard plans a Window:\n$p")
   }
 
+  test("x50 containment plans no Window; doc-array sides of the verify joins hash") {
+    // same discipline as x2: DF cut and per-doc state are hash
+    // aggregates, and the candidate stream must never sort-merge against
+    // the fingerprint arrays (the sf10 lesson from the Jaccard pass)
+    val p = plan(q("x50_containment_pairs"))
+    assert(!p.contains("Window"), s"x50 plans a Window:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"verify joins not shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q6 pushes the sargable predicates (shipdate, quantity) to the parquet scan") {
     // the PushedFilters render truncates past ~100 chars; assert the
     // visible prefix (both sargable columns reach the scan)

@@ -24,7 +24,12 @@ class SessionHygieneSpec extends SparkSpec {
     "s1_source_scan", "p2_project", "g1_groupby_keymapper",
     "j3_interval_join", "a2_windowed_count",
     "x1_dedup_exact", "x2e_dedup_canonical", "x7_kmeans_check",
-    "x24_pagerank_check", "x28_pca_check")
+    "x24_pagerank_check", "x28_pca_check",
+    // continuation additions: the heaviest new entries — the containment
+    // self-join (candidate exchanges + shuffle-hash verify) and the
+    // curriculum rank (localCheckpoint'ed keyed frame whose blocks the
+    // scoped cleanup must reclaim without touching other memos)
+    "x50_containment_pairs", "x46_curriculum_order")
 
   private def run(name: String): Double = {
     val fn = SparkEntry.queries(name)

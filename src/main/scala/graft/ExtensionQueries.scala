@@ -1328,6 +1328,35 @@ object ExtensionQueries {
         "source-prefix filter against the full fingerprint index, exact " +
         "two-pointer verification"),
 
+    Q("x51_winnow_fp",
+      // robust winnowing (MOSS) over 8-token grams, window 4: the sparse
+      // position-robust fingerprint set — same md5 grain as x4g's dense
+      // stream, ~2/(w+1) the rows; rightmost-min tie rule is encoded in
+      // the comparison key so both engines select identically
+      (s, dir) => TextAnalysis.winnowFingerprints(
+        col("doc_id"), col("text"), 8, 4)(docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 8),
+             |g AS (SELECT doc_id, len(toks) - 7 AS n_grams,
+             |             unnest(range(1, len(toks) - 6)) AS pos, toks
+             |      FROM t),
+             |h AS (SELECT doc_id, n_grams, CAST(pos AS INT) AS pos,
+             |             md5(array_to_string(toks[pos:pos+7], ' ')) AS fp
+             |      FROM g),
+             |m AS (SELECT doc_id, n_grams, pos,
+             |             min(fp || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0'))
+             |               OVER (PARTITION BY doc_id ORDER BY pos
+             |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
+             |      FROM h)
+             |SELECT DISTINCT doc_id,
+             |       CAST(9999999 - CAST(substr(sel_key, 33, 7) AS INT) AS INT) AS pos,
+             |       substr(sel_key, 1, 32) AS fp
+             |FROM m WHERE pos <= greatest(1, n_grams - 3)""".stripMargin),
+      "X2/X3 robust winnowing fingerprints (MOSS): per 4-gram window keep " +
+        "the min 8-token md5, rightmost on ties — every shared 11-token " +
+        "run still collides, at ~40% of the dense rolling-stream volume; " +
+        "one per-doc ROWS frame, parallel across docs"),
+
     Q("x47_fixed_sample",
       // exact-size uniform sample: the k lowest seeded doc hashes — the
       // deterministic way to carve a fixed-size eval/holdout set (x6c's

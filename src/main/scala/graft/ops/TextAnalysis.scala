@@ -557,6 +557,48 @@ object TextAnalysis {
         md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(window)))).as("window_fp"))
   }
 
+  /** Robust winnowing fingerprint selection (the MOSS algorithm): over the
+    * doc's `k`-token rolling digest stream, slide a `w`-gram window and
+    * keep each window's MINIMUM hash, rightmost occurrence on ties. The
+    * guarantee [[rollingFingerprints]]' dense stream buys with n digests,
+    * winnowing buys with ~2n/(w+1): any shared token run of length
+    * ≥ w+k−1 still yields a shared selected fingerprint, and the selected
+    * POSITIONS are stable under edits outside the window — the standard
+    * sparse fingerprint set for partial-overlap indexes.
+    *
+    * Shape: one per-doc ordered ROWS frame (a window over the DOC axis —
+    * parallel across docs, never a corpus-wide sort). The rightmost-min
+    * tie rule rides the comparison key itself: `fp ‖ lpad(10^7−1−pos)`
+    * orders ascending by hash then DESCENDING by position, so a single
+    * `min` over the frame selects hash and position together — no second
+    * join-back pass against the frame's members. Docs are capped at 10^7
+    * k-grams by the pad width (far beyond any real document). A doc
+    * shorter than one full window (`n_grams < w`) contributes its global
+    * minimum (the start-position filter keeps exactly window start 1,
+    * whose frame truncates at the doc end).
+    */
+  def winnowFingerprints(id: Column, text: Column, k: Int, w: Int)(df: DataFrame): DataFrame = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+    val grams = toks
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("n_grams"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("n_grams"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(k)))).as("fp"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1L)
+    val key = concat(col("fp"),
+      lpad((lit(9999999) - col("pos")).cast("string"), 7, "0"))
+    grams
+      .withColumn("sel_key", min(key).over(frame))
+      .filter(col("pos") <= greatest(lit(1), col("n_grams") - (w - 1)))
+      .select(col("doc_id"),
+        (lit(9999999) - substring(col("sel_key"), 33, 7).cast("int")).as("pos"),
+        substring(col("sel_key"), 1, 32).as("fp"))
+      .distinct()
+  }
+
   /** Fractional EPOCH WEIGHTING — the other half of mixture construction
     * (where [[stratifiedSample]] down-samples, this UP-samples): a stratum
     * with weight 2.3 contributes every document twice, plus a

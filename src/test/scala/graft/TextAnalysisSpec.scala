@@ -83,6 +83,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp1 === fp2) // partial overlap detected via shared window digest
   }
 
+  /** Plain-Scala robust winnowing (Schleimer et al.): the differential
+    * reference for [[TextAnalysis.winnowFingerprints]].
+    */
+  private def winnowRef(tokens: Seq[String], k: Int, w: Int): Set[(Int, String)] = {
+    if (tokens.size < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grams = tokens.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+    val starts = 1 to math.max(1, grams.size - w + 1)
+    starts.flatMap { j =>
+      val frame = grams.zipWithIndex.slice(j - 1, j - 1 + w)
+      val minFp = frame.map(_._1).min
+      // rightmost occurrence of the minimum within the window
+      val pos = frame.filter(_._1 == minFp).map(_._2).max + 1
+      Some((pos, minFp))
+    }.toSet
+  }
+
+  test("winnowFingerprints matches the reference algorithm exactly (incl. ties)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 30L).map { i =>
+      val n = 1 + rnd.nextInt(40) // some below k, some below k+w-1
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (99L, "a b c a b c a b c a b c") // forced repeated k-grams → ties
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(col("doc_id"), col("text"), 3, 4)(df)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    val expect = docs.map { case (id, t) =>
+      id -> winnowRef(t.split(" ").toSeq, 3, 4)
+    }.filter(_._2.nonEmpty).toMap
+    assert(out === expect)
+  }
+
+  test("winnowFingerprints: every w-window is covered and density beats the dense stream") {
+    val text = (1 to 200).map(i => s"t${i % 37}").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val k = 8; val w = 4
+    val sel = TextAnalysis.winnowFingerprints(col("doc_id"), col("text"), k, w)(df)
+      .collect().map(_.getInt(1)).toSet
+    val nGrams = 200 - k + 1
+    (1 to nGrams - w + 1).foreach { j =>
+      assert((j until j + w).exists(sel.contains), s"window at $j uncovered")
+    }
+    // sparse: expected ~2/(w+1) of the dense stream, allow generous slack
+    assert(sel.size < nGrams * 2 / 3)
+  }
+
+  test("winnowFingerprints short-doc edges: below k absent, below one window = global min") {
+    val df = Seq(
+      (1L, "a b"),            // < k tokens → no fingerprints
+      (2L, "a b c d")         // k=3: 2 grams < w → exactly the global min
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(col("doc_id"), col("text"), 3, 4)(df)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(!out.exists(_._1 == 1L))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 1)
+    assert(d2.head._3 === winnowRef(Seq("a", "b", "c", "d"), 3, 4).head._2)
+  }
+
   test("normalize lowercases, strips punctuation, squeezes spaces") {
     val df = Seq((1L, "  Hello,   WORLD!! (x1) ")).toDF("doc_id", "text")
     val out = df.select(TextAnalysis.normalize(col("text")).as("n")).collect()(0).getString(0)

@@ -1328,6 +1328,56 @@ object ExtensionQueries {
         "source-prefix filter against the full fingerprint index, exact " +
         "two-pointer verification"),
 
+    Q("x52_cross_source_dups",
+      // data-card-level cross-corpus duplication exposure: for each
+      // (unordered) source pair, how many near-dup pairs straddle them —
+      // the mixing/licensing diagnostic ("src3 is mostly src0
+      // re-crawled") that x37's per-source card cannot see. Pure
+      // composition over the shared pair artifact; the |docs|-sized
+      // source map joins onto the (tiny by construction) pair set.
+      (s, dir) => {
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+        nearDupPairs(s, dir)
+          .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
+          .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
+          .select(least(col("src_a"), col("src_b")).as("source_a"),
+            greatest(col("src_a"), col("src_b")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $ngramPairsCte
+              |SELECT least(sa.source, sb.source) AS source_a,
+              |       greatest(sa.source, sb.source) AS source_b,
+              |       count(*) AS n_pairs
+              |FROM jp
+              |JOIN documents sa ON sa.doc_id = jp.a
+              |JOIN documents sb ON sb.doc_id = jp.b
+              |GROUP BY 1, 2""".stripMargin),
+      "X2/X3 cross-source duplication matrix: near-dup pairs bucketed by " +
+        "the unordered source pair — which corpora duplicate EACH OTHER; " +
+        "composition over the shared near-dup pair artifact, all-integer"),
+
+    Q("x53_freq_spectrum",
+      // frequency-of-frequencies: how many distinct terms occur exactly f
+      // times in the corpus — the Good-Turing smoothing input and the
+      // vocabulary-curve diagnostic (a fat f=1 head = long OOV tail; a
+      // missing low-f band = template/boilerplate corpus). Two chained
+      // hash aggregates, both map-side combined; the second runs over
+      // |vocab| rows, not the corpus. All-integer (hash-safe).
+      (s, dir) => docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("n_terms"))
+        .select(col("f"), col("n_terms")),
+      Some("""SELECT f, count(*) AS n_terms
+             |FROM (SELECT term, count(*) AS f
+             |      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+             |      GROUP BY term)
+             |GROUP BY f""".stripMargin),
+      "X3 token frequency-of-frequencies spectrum (Good-Turing input, " +
+        "vocabulary-curve diagnostic): two chained map-side-combined " +
+        "aggregates, second pass over vocab grain only"),
+
     Q("x51_winnow_fp",
       // robust winnowing (MOSS) over 8-token grams, window 4: the sparse
       // position-robust fingerprint set — same md5 grain as x4g's dense

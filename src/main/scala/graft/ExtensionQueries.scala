@@ -1328,6 +1328,56 @@ object ExtensionQueries {
         "source-prefix filter against the full fingerprint index, exact " +
         "two-pointer verification"),
 
+    Q("x54_unimax_mixture",
+      // UniMax (epoch-capped water-filling) over the LANG axis — the
+      // skewed stratum in this corpus: budget = 1.5× total tokens at cap
+      // 2 epochs takes every small language whole (2 copies each) and
+      // water-fills the big one (en) with the remainder. The capped set
+      // is decided in all-long arithmetic and the uncapped weight is two
+      // IEEE divisions of exact longs, so both engines derive the same
+      // md5-grid copy thresholds; the corpus pass is the same map-only
+      // copy expansion as x6f.
+      (s, dir) => TextAnalysis.mixByUnimax(
+        col("doc_id"), col("lang"), size(Texts.tokens(col("text"))),
+        maxEpochs = 2, budgetFraction = 1.5)(docs(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |               len(string_split(text, ' ')) AS n_tokens FROM documents),
+             |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
+             |        FROM toks GROUP BY 1 HAVING sum(n_tokens) > 0),
+             |b AS (SELECT CAST(floor(1.5 * CAST(sum(total) AS DOUBLE)) AS BIGINT) AS budget,
+             |             count(*) AS n FROM tot),
+             |ord AS (SELECT lang, total, 2 * total AS c,
+             |          row_number() OVER (ORDER BY 2 * total, lang) AS i,
+             |          coalesce(sum(2 * total) OVER (ORDER BY 2 * total, lang
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |        FROM tot),
+             |pref AS (SELECT ord.*, bool_and(c * (b.n - i + 1) + cum <= b.budget)
+             |                 OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+             |                       AND CURRENT ROW) AS capped
+             |         FROM ord, b),
+             |agg AS (SELECT coalesce(sum(CASE WHEN capped THEN c END), 0) AS cumcap,
+             |               count(*) FILTER (WHERE NOT capped) AS nun FROM pref),
+             |w AS (SELECT p.lang,
+             |        CASE WHEN p.capped THEN CAST(2 AS DOUBLE)
+             |             ELSE CAST(b.budget - a.cumcap AS DOUBLE)
+             |                  / CAST(a.nun AS DOUBLE) / CAST(p.total AS DOUBLE)
+             |        END AS w
+             |      FROM pref p, agg a, b),
+             |cp AS (SELECT d.doc_id, d.lang,
+             |         CAST(floor(w.w) AS INT)
+             |         + CASE WHEN CAST(floor((w.w - floor(w.w)) * 16777216) AS BIGINT) > 0
+             |                 AND md5(CAST(d.doc_id AS VARCHAR) || ':epoch')
+             |                   < lower(lpad(to_hex(CAST(floor((w.w - floor(w.w))
+             |                                  * 16777216) AS BIGINT)), 6, '0'))
+             |                THEN 1 ELSE 0 END AS n_copies
+             |       FROM toks d JOIN w ON d.lang = w.lang)
+             |SELECT doc_id, lang AS part, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+             |FROM cp WHERE n_copies >= 1""".stripMargin),
+      "X3 UniMax mixture: epoch-capped water-filling allocation — small " +
+        "sources taken whole up to the epoch cap, the rest share the " +
+        "remaining budget equally; all-long cap decision + fixed-order " +
+        "IEEE divisions so both engines derive identical copy thresholds"),
+
     Q("x52_cross_source_dups",
       // data-card-level cross-corpus duplication exposure: for each
       // (unordered) source pair, how many near-dup pairs straddle them —

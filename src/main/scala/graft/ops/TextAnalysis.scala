@@ -248,6 +248,66 @@ object TextAnalysis {
       mixtureRates(totals, weights, budgetTokens)))
   }
 
+  /** UniMax mixture weights (epoch-capped water-filling): allocate a token
+    * budget `B` as UNIFORMLY across sources as a per-source repetition cap
+    * allows. Sources whose full capacity `c_s = maxEpochs·t_s` fits under
+    * the common water level are taken whole (weight = `maxEpochs`); the
+    * rest split the remaining budget EQUALLY (weight = level / t_s) — the
+    * published alternative to temperature sampling that never repeats a
+    * small source past `maxEpochs` to flatten skew. Pure driver-side
+    * arithmetic over the K-row totals map.
+    *
+    * Determinism contract (shared with the SQL oracle): the capped prefix
+    * is decided in ALL-LONG arithmetic (`c_i·remaining + cum ≤ B` scanning
+    * capacities ascending, source name as tie-break), and uncapped weights
+    * are exactly two IEEE divisions of exact longs in fixed order
+    * (`(B − cumCapped) / nUncapped / t_s`) — bit-identical across engines.
+    */
+  def unimaxWeights(totals: Map[String, Long], budgetTokens: Long,
+      maxEpochs: Int): Map[String, Double] = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs >= 1 && maxEpochs <= 100,
+      s"maxEpochs must be in [1, 100], got $maxEpochs")
+    val sorted = totals.toSeq
+      .filter { case (s, t) => s != null && t > 0L }
+      .map { case (s, t) => (s, t, maxEpochs.toLong * t) }
+      .sortBy { case (s, _, c) => (c, s) }
+    val n = sorted.size
+    var cum = 0L
+    var nCapped = 0
+    sorted.zipWithIndex.foreach { case ((_, _, c), i) =>
+      if (nCapped == i && c * (n - i) + cum <= budgetTokens) {
+        nCapped = i + 1; cum += c
+      }
+    }
+    val uncapped = n - nCapped
+    sorted.zipWithIndex.map { case ((s, t, _), i) =>
+      if (i < nCapped) s -> maxEpochs.toDouble
+      else s -> (budgetTokens - cum).toDouble / uncapped.toDouble / t.toDouble
+    }.toMap
+  }
+
+  /** [[repeatByWeight]] with the per-source epoch weights DERIVED by
+    * [[unimaxWeights]] from one stats pass: budget =
+    * `floor(budgetFraction · total corpus tokens)`, then the same
+    * deterministic map-only copy expansion as the fixed-weight epoch
+    * mixture. One tiny aggregate, zero corpus shuffle.
+    */
+  def mixByUnimax(id: Column, source: Column, tokens: Column,
+      maxEpochs: Int, budgetFraction: Double)(df: DataFrame): DataFrame = {
+    require(budgetFraction > 0, s"budgetFraction must be positive, got $budgetFraction")
+    val totals = df.groupBy(source.as("__s")).agg(sum(tokens.cast("long")).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    val totalTokens = totals.collect { case (s, t) if s != null && t > 0 => t }.sum
+    if (totalTokens <= 0L) df.filter(lit(false)).select(
+      id.as("doc_id"), source.as("part"), lit(1).as("copy"))
+    else {
+      val budget = math.floor(budgetFraction * totalTokens.toDouble).toLong
+      repeatByWeight(id, source, unimaxWeights(totals, budget, maxEpochs))(df)
+    }
+  }
+
   /** Hex thresholds over the first 6 md5 digits for cumulative split
     * fractions — shared between [[assignSplit]] and its SQL oracle so both
     * engines route on identical literals.

@@ -83,6 +83,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp1 === fp2) // partial overlap detected via shared window digest
   }
 
+  test("unimaxWeights water-fills: small sources capped whole, rest share equally") {
+    // capacities at E=2: A=20, B=200; budget 60 → A taken whole (2 epochs),
+    // B gets the remaining 40 tokens = 0.4 epochs
+    val w = TextAnalysis.unimaxWeights(Map("A" -> 10L, "B" -> 100L), 60L, 2)
+    assert(w("A") === 2.0)
+    assert(w("B") === 40.0 / 100.0)
+  }
+
+  test("unimaxWeights endpoints: budget >= capacity caps all; tight budget caps none") {
+    val tot = Map("A" -> 10L, "B" -> 100L, "C" -> 50L)
+    val all = TextAnalysis.unimaxWeights(tot, 1000L, 2) // capacity 320 < 1000
+    assert(all.values.toSet === Set(2.0))
+    // budget 15: level 5 < min capacity 20 → nobody capped, equal token share
+    val none = TextAnalysis.unimaxWeights(tot, 15L, 2)
+    assert(none("A") === 5.0 / 10.0 && none("B") === 5.0 / 100.0 && none("C") === 5.0 / 50.0)
+  }
+
+  test("unimaxWeights allocation sums to the budget; null/zero sources dropped") {
+    val tot = Map("A" -> 37L, "B" -> 911L, "C" -> 205L, "D" -> 13L,
+      (null: String) -> 99L, "E" -> 0L)
+    val budget = 700L
+    val w = TextAnalysis.unimaxWeights(tot, budget, 3)
+    assert(!w.contains(null) && !w.contains("E"))
+    val allocated = w.map { case (s, ws) => ws * tot(s) }.sum
+    assert(math.abs(allocated - budget) < 1e-6)
+    assert(w.values.forall(ws => ws > 0 && ws <= 3.0))
+  }
+
+  test("mixByUnimax = repeatByWeight with the derived weights; big source never capped") {
+    val docs = (1L to 60L).map { i =>
+      val src = if (i <= 40) "big" else if (i <= 50) "mid" else "small"
+      (i, src, "t " * 9 + "t") // 10 tokens each
+    }.toDF("doc_id", "source", "text")
+    val tokens = size(split(col("text"), " "))
+    val out = TextAnalysis.mixByUnimax(col("doc_id"), col("source"), tokens,
+      maxEpochs = 2, budgetFraction = 1.2)(docs)
+    // totals: big 400, mid 100, small 100; budget = 720; capacities
+    // 800/200/200: mid+small capped (200*3=600<=720; 200*2+200=600<=720),
+    // big uncapped at (720-400)/1/400 = 0.8 epochs
+    val w = TextAnalysis.unimaxWeights(
+      Map("big" -> 400L, "mid" -> 100L, "small" -> 100L), 720L, 2)
+    assert(w("mid") === 2.0 && w("small") === 2.0 && w("big") === 0.8)
+    val expect = TextAnalysis.repeatByWeight(col("doc_id"), col("source"), w)(docs)
+    assert(rowsOf(out) === rowsOf(expect))
+    // every capped-source doc appears exactly twice
+    val copies = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((41L to 60L).forall(copies(_) === 2L))
+  }
+
   /** Plain-Scala robust winnowing (Schleimer et al.): the differential
     * reference for [[TextAnalysis.winnowFingerprints]].
     */

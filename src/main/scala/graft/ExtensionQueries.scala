@@ -294,6 +294,48 @@ object ExtensionQueries {
       Clustering.trainPqCodebooks(Tables.embeddings(s, dir),
         col("vec_id"), col("embedding"), m = 4, k = 16, dim = 64, maxIter = 5))
 
+  /** Shared oracle CTE chain for the UniMax water-filling derivation
+    * (mirrors `TextAnalysis.unimaxWeights` at E = 2, budget = 1.5× total):
+    * expects a prior CTE `toks(doc_id, lang, n_tokens)`; yields `cp(doc_id,
+    * lang, n_copies)` consumed by [[unimaxSelect]]. Cap decision in BIGINT,
+    * uncapped weight = two fixed-order IEEE divisions, copy thresholds on
+    * the same md5 grid as `epochsByWeight` — all engine-identical.
+    */
+  private[graft] val unimaxChainCte: String =
+    """tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
+      |        FROM toks GROUP BY 1 HAVING sum(n_tokens) > 0),
+      |b AS (SELECT CAST(floor(1.5 * CAST(sum(total) AS DOUBLE)) AS BIGINT) AS budget,
+      |             count(*) AS n FROM tot),
+      |ord AS (SELECT lang, total, 2 * total AS c,
+      |          row_number() OVER (ORDER BY 2 * total, lang) AS i,
+      |          coalesce(sum(2 * total) OVER (ORDER BY 2 * total, lang
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |        FROM tot),
+      |pref AS (SELECT ord.*, bool_and(c * (b.n - i + 1) + cum <= b.budget)
+      |                 OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND CURRENT ROW) AS capped
+      |         FROM ord, b),
+      |agg AS (SELECT coalesce(sum(CASE WHEN capped THEN c END), 0) AS cumcap,
+      |               count(*) FILTER (WHERE NOT capped) AS nun FROM pref),
+      |w AS (SELECT p.lang,
+      |        CASE WHEN p.capped THEN CAST(2 AS DOUBLE)
+      |             ELSE CAST(b.budget - a.cumcap AS DOUBLE)
+      |                  / CAST(a.nun AS DOUBLE) / CAST(p.total AS DOUBLE)
+      |        END AS w
+      |      FROM pref p, agg a, b),
+      |cp AS (SELECT d.doc_id, d.lang,
+      |         CAST(floor(w.w) AS INT)
+      |         + CASE WHEN CAST(floor((w.w - floor(w.w)) * 16777216) AS BIGINT) > 0
+      |                 AND md5(CAST(d.doc_id AS VARCHAR) || ':epoch')
+      |                   < lower(lpad(to_hex(CAST(floor((w.w - floor(w.w))
+      |                                  * 16777216) AS BIGINT)), 6, '0'))
+      |                THEN 1 ELSE 0 END AS n_copies
+      |       FROM toks d JOIN w ON d.lang = w.lang)""".stripMargin
+
+  private[graft] val unimaxSelect: String =
+    """SELECT doc_id, lang AS part, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+      |FROM cp WHERE n_copies >= 1""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ================= X1/X2 deduplication =================
@@ -1340,39 +1382,10 @@ object ExtensionQueries {
       (s, dir) => TextAnalysis.mixByUnimax(
         col("doc_id"), col("lang"), size(Texts.tokens(col("text"))),
         maxEpochs = 2, budgetFraction = 1.5)(docs(s, dir)),
-      Some("""WITH toks AS (SELECT doc_id, lang,
-             |               len(string_split(text, ' ')) AS n_tokens FROM documents),
-             |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
-             |        FROM toks GROUP BY 1 HAVING sum(n_tokens) > 0),
-             |b AS (SELECT CAST(floor(1.5 * CAST(sum(total) AS DOUBLE)) AS BIGINT) AS budget,
-             |             count(*) AS n FROM tot),
-             |ord AS (SELECT lang, total, 2 * total AS c,
-             |          row_number() OVER (ORDER BY 2 * total, lang) AS i,
-             |          coalesce(sum(2 * total) OVER (ORDER BY 2 * total, lang
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-             |        FROM tot),
-             |pref AS (SELECT ord.*, bool_and(c * (b.n - i + 1) + cum <= b.budget)
-             |                 OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-             |                       AND CURRENT ROW) AS capped
-             |         FROM ord, b),
-             |agg AS (SELECT coalesce(sum(CASE WHEN capped THEN c END), 0) AS cumcap,
-             |               count(*) FILTER (WHERE NOT capped) AS nun FROM pref),
-             |w AS (SELECT p.lang,
-             |        CASE WHEN p.capped THEN CAST(2 AS DOUBLE)
-             |             ELSE CAST(b.budget - a.cumcap AS DOUBLE)
-             |                  / CAST(a.nun AS DOUBLE) / CAST(p.total AS DOUBLE)
-             |        END AS w
-             |      FROM pref p, agg a, b),
-             |cp AS (SELECT d.doc_id, d.lang,
-             |         CAST(floor(w.w) AS INT)
-             |         + CASE WHEN CAST(floor((w.w - floor(w.w)) * 16777216) AS BIGINT) > 0
-             |                 AND md5(CAST(d.doc_id AS VARCHAR) || ':epoch')
-             |                   < lower(lpad(to_hex(CAST(floor((w.w - floor(w.w))
-             |                                  * 16777216) AS BIGINT)), 6, '0'))
-             |                THEN 1 ELSE 0 END AS n_copies
-             |       FROM toks d JOIN w ON d.lang = w.lang)
-             |SELECT doc_id, lang AS part, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
-             |FROM cp WHERE n_copies >= 1""".stripMargin),
+      Some(s"""WITH toks AS (SELECT doc_id, lang,
+              |               len(string_split(text, ' ')) AS n_tokens FROM documents),
+              |$unimaxChainCte
+              |$unimaxSelect""".stripMargin),
       "X3 UniMax mixture: epoch-capped water-filling allocation — small " +
         "sources taken whole up to the epoch cap, the rest share the " +
         "remaining budget equally; all-long cap decision + fixed-order " +
@@ -1523,6 +1536,67 @@ object ExtensionQueries {
              |GROUP BY source""".stripMargin),
       "X3 per-source vocabulary stats (vocab size, type-token ratio): the " +
         "Heaps-law vocabulary-growth diagnostic for the data card"),
+
+    Q("x6i_curation_v4",
+      // the continuation-2 ops COMPOSED into the MOSS/Dolma-style
+      // partial-overlap curation pass: winnowed fingerprints (x51) →
+      // fp-grain first-occurrence ownership → drop any doc with ≥ half
+      // its selected fps owned by an earlier doc (catches quotes /
+      // near-containment that whole-doc hashing misses, at ~40% of the
+      // dense-stream index volume) → UniMax mixture (x54) re-derived on
+      // the SURVIVORS (weights follow the gated totals, like v3's
+      // re-quantiled tiers). Aggregate-then-join on one fp-keyed
+      // exchange; the drop rule is an all-integer comparison.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val fps = TextAnalysis.winnowFingerprints(
+            col("doc_id"), col("text"), 8, 4)(d)
+          .select(col("doc_id"), col("fp")).distinct()
+        val owner = fps.groupBy("fp").agg(min(col("doc_id")).as("owner"))
+        val flagged = fps.join(owner, "fp")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sel"),
+            sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_foreign"))
+          .filter(col("n_foreign") * 2 >= col("n_sel"))
+          .select(col("doc_id"))
+        // short docs (< k tokens) have no fingerprints — no duplication
+        // evidence, so they survive (anti join, not semi)
+        val survivors = d.join(flagged, Seq("doc_id"), "left_anti")
+        TextAnalysis.mixByUnimax(
+          col("doc_id"), col("lang"), size(Texts.tokens(col("text"))),
+          maxEpochs = 2, budgetFraction = 1.5)(survivors)
+      },
+      Some(s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              |           WHERE len(string_split(text, ' ')) >= 8),
+              |wg AS (SELECT doc_id, len(toks) - 7 AS n_grams,
+              |              unnest(range(1, len(toks) - 6)) AS pos, toks
+              |       FROM wt),
+              |wh AS (SELECT doc_id, n_grams, CAST(pos AS INT) AS pos,
+              |              md5(array_to_string(toks[pos:pos+7], ' ')) AS fp
+              |       FROM wg),
+              |wm AS (SELECT doc_id, n_grams, pos,
+              |              min(fp || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0'))
+              |                OVER (PARTITION BY doc_id ORDER BY pos
+              |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
+              |       FROM wh),
+              |fps AS (SELECT DISTINCT doc_id, substr(sel_key, 1, 32) AS fp
+              |        FROM wm WHERE pos <= greatest(1, n_grams - 3)),
+              |own AS (SELECT fp, min(doc_id) AS owner FROM fps GROUP BY fp),
+              |flagged AS (SELECT f.doc_id FROM fps f JOIN own o ON f.fp = o.fp
+              |            GROUP BY f.doc_id
+              |            HAVING 2 * sum(CASE WHEN o.owner < f.doc_id THEN 1 ELSE 0 END)
+              |                   >= count(*)),
+              |surv AS (SELECT d.* FROM documents d
+              |         WHERE NOT EXISTS (SELECT 1 FROM flagged f
+              |                           WHERE f.doc_id = d.doc_id)),
+              |toks AS (SELECT doc_id, lang,
+              |               len(string_split(text, ' ')) AS n_tokens FROM surv),
+              |$unimaxChainCte
+              |$unimaxSelect""".stripMargin),
+      "X1-X3 curation pipeline v4: winnowed-fingerprint partial-overlap " +
+        "dedup (first-occurrence fp ownership, >=50% foreign cut) feeding " +
+        "a UniMax mixture re-derived on the survivors — one fp-keyed " +
+        "exchange, all-integer drop rule, map-only copy expansion"),
 
     Q("x6h_curation_v3",
       // the round-7 signals COMPOSED: information-density gate (x45's

@@ -269,6 +269,37 @@ object Queries {
              |WHERE o_orderstatus = 'F'""".stripMargin),
       "J4 Option-joiner = join + residual predicate (KSA:179-180, KSA:185)"),
 
+    Q("j5_table_table_join",
+      // KTable–KTable outer join (`ktableA.outerJoin(ktableB)` — DSL
+      // table surface beyond the reference's usage): two changelogs
+      // derived from the SAME event stream with independent update
+      // cadence — last click and last purchase per user — joined on the
+      // table key. Batch fixpoint of the update-stream join
+      // (streaming exact twin: Stateful.tableTableJoinExact); both
+      // compactions are key-partitioned windows on one user_id exchange.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def latest(t: String, as: String) = compactLatest(
+            Seq(col("user_id")), Seq(expr("ts div 1000"), col("event_id")))(
+            ev.filter(col("event_type") === t))
+          .select(col("user_id"), col("event_id").as(as))
+        latest("click", "last_click")
+          .join(latest("purchase", "last_purchase"), Seq("user_id"), "full_outer")
+          .select(col("user_id"), col("last_click"), col("last_purchase"))
+      },
+      Some("""WITH lc AS (SELECT user_id, event_id AS last_click FROM events
+             |            WHERE event_type = 'click'
+             |            QUALIFY row_number() OVER (PARTITION BY user_id
+             |                      ORDER BY ts DESC, event_id DESC) = 1),
+             |lp AS (SELECT user_id, event_id AS last_purchase FROM events
+             |       WHERE event_type = 'purchase'
+             |       QUALIFY row_number() OVER (PARTITION BY user_id
+             |                 ORDER BY ts DESC, event_id DESC) = 1)
+             |SELECT user_id, last_click, last_purchase
+             |FROM lc FULL OUTER JOIN lp USING (user_id)""".stripMargin),
+      "KTable–KTable outer join: two compacted changelogs joined on the " +
+        "table key — the DSL two-table join's batch fixpoint"),
+
     // ================= flagship composite (SURVEY §3.1) =================
 
     Q("flagship_paid_orders",

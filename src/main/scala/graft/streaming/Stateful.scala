@@ -28,6 +28,19 @@ final case class CoEvent(user: String, isProfile: Boolean, profile: String,
 final case class EnrichedOrder(orderId: String, user: String, amount: Double,
     profile: String, ts: Timestamp)
 
+/** Upsert envelope for [[Stateful.tableTableJoinExact]]: both changelogs
+  * unioned into one keyed stream, tagged by side.
+  */
+final case class TableSide(user: String, isRight: Boolean, v: String, ts: Timestamp)
+
+/** Per-key latest value of each side — the two-table join state. */
+final case class PairState(left: String, right: String)
+
+/** One row of the joined changelog: the key and both sides' CURRENT
+  * values at `ts` (null until that side has upserted — the outer view).
+  */
+final case class JoinedPair(user: String, left: String, right: String, ts: Timestamp)
+
 /** Custom per-key state — the GENERAL form of the reference's windowed
   * custom fold (`aggregate(initializer)(adder)`, KSA:146-148). The
   * built-in aggregates cover the reference's actual folds (count); this is
@@ -125,6 +138,45 @@ object Stateful {
             state.setTimeoutTimestamp(deadline)
             Iterator.single(next)
           }
+      }
+  }
+
+  /** EXACT KTable–KTable join (`ktableA.outerJoin(ktableB)` — the DSL's
+    * two-changelog join, unused by the reference but core table surface):
+    * both inputs are upsert streams keyed by `user`; per key the state
+    * holds each side's latest value, and EVERY upsert on either side
+    * emits the refreshed joined row with the other side's current value
+    * (null until that side exists — the full-outer view). The emitted
+    * stream is the join's changelog; its last row per key is the batch
+    * full-outer join of the two compacted tables (the fixpoint property
+    * StreamingSpec pins). Total order inside a batch: event time, then
+    * left-before-right, then value — without the tiebreaks, equal-ts
+    * ties keep shuffle arrival order and the result varies across runs.
+    *
+    * Scale: state is two values per distinct key, partitioned across
+    * executors — the same O(keys) posture as Kafka Streams' two RocksDB
+    * stores for this operator.
+    */
+  def tableTableJoinExact(left: Dataset[ProfileUpdate],
+      right: Dataset[ProfileUpdate]): Dataset[JoinedPair] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val co = left.map(p => TableSide(p.user, isRight = false, p.profile, p.ts))
+      .unionByName(right.map(p => TableSide(p.user, isRight = true, p.profile, p.ts)))
+    co.groupByKey(_.user)
+      .flatMapGroupsWithState[PairState, JoinedPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: String, events: Iterator[TableSide], state: GroupState[PairState]) =>
+          val out = Seq.newBuilder[JoinedPair]
+          var st = state.getOption.getOrElse(PairState(null, null))
+          events.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.isRight) 1 else 0,
+                Option(e.v).getOrElse(""))).foreach { e =>
+            st = if (e.isRight) st.copy(right = e.v) else st.copy(left = e.v)
+            out += JoinedPair(user, st.left, st.right, e.ts)
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

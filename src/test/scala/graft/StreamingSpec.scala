@@ -570,6 +570,50 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("o1", "silver"), ("o2", "gold"))) // o0 dropped: no profile yet
   }
 
+  test("exact KTable-KTable join: either side's upsert refreshes the pair; fixpoint = batch full outer") {
+    import graft.streaming.{JoinedPair, ProfileUpdate, Stateful}
+    val (lms, ldf) = Sources.memoryStream[ProfileUpdate](spark)
+    val (rms, rdf) = Sources.memoryStream[ProfileUpdate](spark)
+    val name = freshTable()
+    val q = Stateful.tableTableJoinExact(
+        ldf.as[ProfileUpdate], rdf.as[ProfileUpdate])
+      .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+
+    // left-only key emits (L, null); right-only emits (null, R)
+    lms.addData(Seq(ProfileUpdate("alice", "L1", ts("2024-01-01T00:00:00Z")),
+      ProfileUpdate("bob", "L1", ts("2024-01-01T00:00:02Z"))))
+    rms.addData(Seq(ProfileUpdate("carol", "R9", ts("2024-01-01T00:00:02Z"))))
+    q.processAllAvailable()
+    // right side arrives for alice → refreshed pair with CURRENT left
+    rms.addData(Seq(ProfileUpdate("alice", "R1", ts("2024-01-01T00:00:03Z"))))
+    q.processAllAvailable()
+    // left UPSERT for alice → pair refreshes again, right value carried
+    lms.addData(Seq(ProfileUpdate("alice", "L2", ts("2024-01-01T00:00:04Z"))))
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.table(name).as[JoinedPair].collect()
+    // the alice changelog shows each refresh in order
+    val alice = emitted.filter(_.user == "alice").sortBy(_.ts.getTime)
+      .map(p => (p.left, p.right)).toSeq
+    assert(alice === Seq(("L1", null), ("L1", "R1"), ("L2", "R1")))
+    // fixpoint: last row per key == full outer join of the compacted sides
+    val last = emitted.groupBy(_.user).map { case (u, rows) =>
+      u -> { val p = rows.maxBy(_.ts.getTime); (p.left, p.right) } }
+    assert(last === Map("alice" -> (("L2", "R1")), "bob" -> (("L1", null)),
+      "carol" -> ((null, "R9"))))
+    // batch execution of the SAME operator reaches the same fixpoint
+    val lb = Seq(ProfileUpdate("alice", "L1", ts("2024-01-01T00:00:00Z")),
+      ProfileUpdate("bob", "L1", ts("2024-01-01T00:00:02Z")),
+      ProfileUpdate("alice", "L2", ts("2024-01-01T00:00:04Z"))).toDS()
+    val rb = Seq(ProfileUpdate("carol", "R9", ts("2024-01-01T00:00:02Z")),
+      ProfileUpdate("alice", "R1", ts("2024-01-01T00:00:03Z"))).toDS()
+    val batchLast = Stateful.tableTableJoinExact(lb, rb).collect()
+      .groupBy(_.user).map { case (u, rows) =>
+        u -> { val p = rows.maxBy(_.ts.getTime); (p.left, p.right) } }
+    assert(batchLast === last)
+  }
+
   test("streaming document curation: quality gate + content dedup on a live stream") {
     val t0 = ts("2024-01-01T00:00:00Z")
     val good = "the cat is on the mat and the dog is in the house" // quality-passing

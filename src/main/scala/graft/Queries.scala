@@ -300,6 +300,36 @@ object Queries {
       "KTable–KTable outer join: two compacted changelogs joined on the " +
         "table key — the DSL two-table join's batch fixpoint"),
 
+    Q("j6_fk_table_join",
+      // KTable FOREIGN-KEY join (KS 2.4 `ktable.join(other, fkExtractor)`)
+      // batch fixpoint: the child table (purchase events keyed by
+      // event_id, fk = user_id) inner-joined to the parent table (latest
+      // signup per user). The streaming exact twin is the two-hop
+      // subscription/response topology `Stateful.{fkSubscriptions,
+      // fkJoinResponses}` — fk-move unsubscribe deltas, parent-update
+      // fan-out, tombstone retraction — spec-pinned to equal this
+      // fixpoint (StreamingSpec).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val parents = compactLatest(
+            Seq(col("user_id")), Seq(expr("ts div 1000"), col("event_id")))(
+            ev.filter(col("event_type") === "signup"))
+          .select(col("user_id"), col("event_id").as("last_signup"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"))
+          .join(parents, Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("last_signup"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id AS last_signup FROM events
+             |           WHERE event_type = 'signup'
+             |           QUALIFY row_number() OVER (PARTITION BY user_id
+             |                     ORDER BY ts DESC, event_id DESC) = 1)
+             |SELECT e.event_id, e.user_id, p.last_signup
+             |FROM events e JOIN p USING (user_id)
+             |WHERE e.event_type = 'purchase'""".stripMargin),
+      "KTable foreign-key join (KS 2.4) batch fixpoint: child rows joined " +
+        "to their parent's current value via the fk column"),
+
     // ================= flagship composite (SURVEY §3.1) =================
 
     Q("flagship_paid_orders",

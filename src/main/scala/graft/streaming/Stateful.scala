@@ -41,6 +41,35 @@ final case class PairState(left: String, right: String)
   */
 final case class JoinedPair(user: String, left: String, right: String, ts: Timestamp)
 
+/** Child-table changelog record for the FK join: at `ts`, child `id`'s
+  * value became `v` with foreign key `fk` (null = no parent reference).
+  */
+final case class ChildUpdate(id: String, fk: String, v: String, ts: Timestamp)
+
+/** Stage-1 → stage-2 subscription event of the FK join (Kafka Streams'
+  * subscription topic record, keyed by the PARENT key): child `id` now
+  * subscribes to parent `fk` carrying value `v`, or drops a stale
+  * subscription after an fk move (`subscribe = false`).
+  */
+final case class FkSubscription(fk: String, id: String, v: String,
+    subscribe: Boolean, ts: Timestamp)
+
+/** Stage-2 envelope: subscriptions and parent upserts, one keyed stream. */
+final case class FkEvent(fk: String, isParent: Boolean, parentV: String,
+    id: String, childV: String, subscribe: Boolean, ts: Timestamp)
+
+/** Stage-2 state per parent key: the parent's current value and the
+  * subscribed children with their current values (Kafka Streams'
+  * subscription store). Size = O(fk fan-in) per key.
+  */
+final case class FkParentState(parentV: String, children: Map[String, String])
+
+/** One row of the FK-join changelog, keyed by CHILD id: the child's
+  * value, its current fk, and that parent's current value.
+  */
+final case class FkJoined(id: String, v: String, fk: String, parentV: String,
+    ts: Timestamp)
+
 /** Custom per-key state — the GENERAL form of the reference's windowed
   * custom fold (`aggregate(initializer)(adder)`, KSA:146-148). The
   * built-in aggregates cover the reference's actual folds (count); this is
@@ -179,6 +208,115 @@ object Stateful {
           out.result().iterator
       }
   }
+
+  /** Stage 1 of the EXACT KTable FOREIGN-KEY join (Kafka Streams 2.4's
+    * `ktable.join(other, fkExtractor, ...)` — the DSL's hardest operator):
+    * keyed by CHILD id, state = the child's last fk. Each child upsert
+    * emits the subscription delta the parent side needs: an unsubscribe
+    * to the OLD parent when the fk moved (so that parent's future updates
+    * stop fanning out to this child), and a subscribe to the new parent
+    * carrying the child's current value. This is exactly the reference
+    * DSL's subscription-topic re-key; the stage boundary that is a
+    * repartition topic there is a keyed exchange here.
+    */
+  def fkSubscriptions(children: Dataset[ChildUpdate]): Dataset[FkSubscription] = {
+    val spark = children.sparkSession
+    import spark.implicits._
+    children.groupByKey(_.id)
+      .flatMapGroupsWithState[String, FkSubscription](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (id: String, events: Iterator[ChildUpdate], state: GroupState[String]) =>
+          val out = Seq.newBuilder[FkSubscription]
+          var fk = state.getOption.orNull
+          events.toSeq.sortBy(e =>
+              (e.ts.getTime, Option(e.v).getOrElse(""))).foreach { e =>
+            if (fk != null && fk != e.fk)
+              out += FkSubscription(fk, id, null, subscribe = false, e.ts)
+            if (e.fk != null)
+              out += FkSubscription(e.fk, id, e.v, subscribe = true, e.ts)
+            fk = e.fk
+          }
+          if (fk != null) state.update(fk) else state.remove()
+          out.result().iterator
+      }
+  }
+
+  /** Stage 2 of the EXACT FK join: keyed by PARENT key, state = the
+    * parent's current value plus the subscribed children (the
+    * subscription store). A parent upsert fans the new value out to every
+    * subscribed child; a subscribe emits the refreshed row for that child
+    * if the parent exists (INNER semantics — a child whose parent has not
+    * arrived emits nothing yet); an unsubscribe detaches the child and,
+    * if a pair had been emitted, retracts it with a TOMBSTONE row (null
+    * `v`/`parentV`) so a child whose new fk never matches does not keep
+    * its stale pair. Changelog resolution per child id: take the max-ts
+    * row, and at equal ts a non-null `parentV` beats the tombstone (the
+    * new match and the move's retraction share the move's timestamp —
+    * this is the version-resolution rule Kafka Streams implements with
+    * subscription versions). Total order inside a batch: event time,
+    * parent-before-subscription on ties, child id.
+    */
+  def fkJoinResponses(events: Dataset[FkEvent]): Dataset[FkJoined] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.fk)
+      .flatMapGroupsWithState[FkParentState, FkJoined](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (fk: String, es: Iterator[FkEvent], state: GroupState[FkParentState]) =>
+          val out = Seq.newBuilder[FkJoined]
+          var st = state.getOption.getOrElse(FkParentState(null, Map.empty))
+          es.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.isParent) 0 else 1,
+                Option(e.id).getOrElse(""))).foreach { e =>
+            if (e.isParent) {
+              st = st.copy(parentV = e.parentV)
+              st.children.toSeq.sortBy(_._1).foreach { case (id, cv) =>
+                out += FkJoined(id, cv, fk, e.parentV, e.ts)
+              }
+            } else if (e.subscribe) {
+              st = st.copy(children = st.children + (e.id -> e.childV))
+              if (st.parentV != null)
+                out += FkJoined(e.id, e.childV, fk, st.parentV, e.ts)
+            } else {
+              // unsubscribe: detach AND retract — the tombstone row
+              // (null v, null parentV) withdraws the old pair in case the
+              // child's new fk never matches; when it does match, the
+              // match row shares the move's timestamp and wins the
+              // documented tie rule (at equal ts, non-null parentV wins)
+              st = st.copy(children = st.children - e.id)
+              if (st.parentV != null)
+                out += FkJoined(e.id, null, fk, null, e.ts)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Union a subscription stream and a parent changelog into the stage-2
+    * envelope (the response-side input).
+    */
+  def fkCoEvents(subs: Dataset[FkSubscription],
+      parents: Dataset[ProfileUpdate]): Dataset[FkEvent] = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    subs.map(s => FkEvent(s.fk, isParent = false, null, s.id, s.v, s.subscribe, s.ts))
+      .unionByName(parents.map(p =>
+        FkEvent(p.user, isParent = true, p.profile, null, null, subscribe = false, p.ts)))
+  }
+
+  /** The composed EXACT FK join. Chained `flatMapGroupsWithState` stages
+    * are not a legal single STREAMING pipeline (Spark's unsupported-
+    * operations checker), matching the reference topology, where the
+    * stage boundary is a real repartition topic: run stage 1 and stage 2
+    * as two hops (StreamingSpec drives them that way). In BATCH execution
+    * the stages fuse into one plan and this composition is the whole
+    * operator — its fixpoint equals the DataFrame inner join of the two
+    * compacted tables (spec-pinned).
+    */
+  def fkTableJoinExact(children: Dataset[ChildUpdate],
+      parents: Dataset[ProfileUpdate]): Dataset[FkJoined] =
+    fkJoinResponses(fkCoEvents(fkSubscriptions(children), parents))
 
   /** EXACT changelog-table join (J1's hard case — SURVEY §7 "what's hard"
     * #1): the profile table is itself a STREAM of upserts, not a static

@@ -614,6 +614,85 @@ class StreamingSpec extends SparkSpec {
     assert(batchLast === last)
   }
 
+  test("FK table join (batch): fixpoint = inner join of compacted tables, incl. fk moves") {
+    import graft.streaming.{ChildUpdate, ProfileUpdate, Stateful}
+    val children = Seq(
+      ChildUpdate("c1", "p1", "v1", ts("2024-01-01T00:00:00Z")),
+      ChildUpdate("c2", "p1", "v2", ts("2024-01-01T00:00:02Z")),
+      ChildUpdate("c1", "p2", "v1b", ts("2024-01-01T00:00:03Z")), // moves to p2 — no p2 parent ever
+      ChildUpdate("c3", "p3", "v3", ts("2024-01-01T00:00:02Z"))).toDS()
+    val parents = Seq(
+      ProfileUpdate("p1", "P1", ts("2024-01-01T00:00:01Z")),
+      ProfileUpdate("p1", "P1b", ts("2024-01-01T00:00:04Z")), // fan-out after c1 left
+      ProfileUpdate("p3", "P3", ts("2024-01-01T00:00:05Z"))).toDS() // late parent
+    val rows = Stateful.fkTableJoinExact(children, parents).collect()
+    // changelog resolution: per child the max-ts row; at equal ts non-null
+    // parentV beats the tombstone
+    val last = rows.groupBy(_.id).map { case (id, rs) =>
+      val m = rs.map(r => (r.ts.getTime, r.parentV != null, r)).sorted(
+        Ordering.by((t: (Long, Boolean, graft.streaming.FkJoined)) => (t._1, t._2))).last._3
+      id -> ((m.v, m.parentV))
+    }
+    // c1's last row is its move tombstone (p2 never arrived) → unmatched
+    assert(last("c1") === ((null, null)))
+    assert(last("c2") === (("v2", "P1b"))) // refreshed by the p1 upsert fan-out
+    assert(last("c3") === (("v3", "P3"))) // emitted when the late parent arrived
+    // the DataFrame fixpoint: latest child rows inner-joined to latest parents
+    val cdf = graft.ops.Relational.compactLatest(Seq(col("id")), Seq(col("ts")))(children.toDF())
+    val pdf = graft.ops.Relational.compactLatest(Seq(col("user")), Seq(col("ts")))(parents.toDF())
+    val fix = cdf.join(pdf, cdf("fk") === pdf("user"))
+      .select(cdf("id"), cdf("v"), pdf("profile")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(last.filter(_._2._2 != null) === fix)
+  }
+
+  test("FK join streaming hops: subscription deltas on fk moves; parent fan-out skips unsubscribed") {
+    import graft.streaming.{ChildUpdate, FkEvent, FkSubscription, Stateful}
+    // stage 1: child upserts → subscription deltas, across micro-batches
+    val (cms, cdf) = Sources.memoryStream[ChildUpdate](spark)
+    val n1 = freshTable()
+    val q1 = Stateful.fkSubscriptions(cdf.as[ChildUpdate])
+      .toDF().writeStream.format("memory").queryName(n1).outputMode("append").start()
+    cms.addData(Seq(ChildUpdate("c1", "p1", "v1", ts("2024-01-01T00:00:00Z"))))
+    q1.processAllAvailable()
+    cms.addData(Seq(ChildUpdate("c1", "p2", "v1b", ts("2024-01-01T00:00:03Z"))))
+    q1.processAllAvailable()
+    q1.stop()
+    val subs = spark.table(n1).as[FkSubscription].collect().sortBy(_.ts.getTime)
+    assert(subs.map(s => (s.fk, s.id, s.subscribe)).toSeq ===
+      Seq(("p1", "c1", true), ("p1", "c1", false), ("p2", "c1", true)))
+
+    // stage 2: the response side across batches — late parent, fan-out,
+    // unsubscribe retraction
+    val (ems, edf) = Sources.memoryStream[FkEvent](spark)
+    val n2 = freshTable()
+    val q2 = Stateful.fkJoinResponses(edf.as[FkEvent])
+      .toDF().writeStream.format("memory").queryName(n2).outputMode("append").start()
+    def sub(id: String, v: String, t: String) =
+      FkEvent("p1", isParent = false, null, id, v, subscribe = true, ts(t))
+    def unsub(id: String, t: String) =
+      FkEvent("p1", isParent = false, null, id, null, subscribe = false, ts(t))
+    def parent(v: String, t: String) =
+      FkEvent("p1", isParent = true, v, null, null, subscribe = false, ts(t))
+    ems.addData(Seq(sub("c1", "v1", "2024-01-01T00:00:00Z"),
+      sub("c2", "v2", "2024-01-01T00:00:00Z")))
+    q2.processAllAvailable()
+    assert(spark.table(n2).count() === 0) // no parent yet: inner semantics
+    ems.addData(Seq(parent("P1", "2024-01-01T00:00:01Z")))
+    q2.processAllAvailable()
+    assert(rowsOf(spark.table(n2).select(col("id"), col("parentV"))) ===
+      Set(Seq("c1", "P1"), Seq("c2", "P1"))) // fan-out to both subscribers
+    ems.addData(Seq(unsub("c1", "2024-01-01T00:00:02Z"),
+      parent("P1b", "2024-01-01T00:00:03Z")))
+    q2.processAllAvailable()
+    q2.stop()
+    val batch3 = spark.table(n2).collect()
+      .filter(_.getTimestamp(4).getTime >= ts("2024-01-01T00:00:02Z").getTime)
+      .map(r => (r.getString(0), r.getString(3))).toSet
+    // c1's tombstone, then the refreshed c2 only — the moved child is gone
+    assert(batch3 === Set(("c1", null), ("c2", "P1b")))
+  }
+
   test("streaming document curation: quality gate + content dedup on a live stream") {
     val t0 = ts("2024-01-01T00:00:00Z")
     val good = "the cat is on the mat and the dog is in the house" // quality-passing

@@ -177,6 +177,30 @@ object Queries {
         "TimeWindows.advanceBy); in-scan window assignment + one map-side-" +
         "combined hash aggregate, no self-join"),
 
+    Q("a2c_sliding_window",
+      // Kafka Streams SlidingWindows (2.7+), the fourth window type:
+      // per EVENT, the aggregate over (t − size, t] — windows bound to
+      // actual event times, not an epoch grid. One per-key RANGE frame
+      // (parallel across keys, a window over the key's own timeline);
+      // ties at the same timestamp all land in each other's window in
+      // both engines.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-10000000L + 1L, 0L) // (t − 10 s, t] in µs
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+          .withColumn("cnt_10s", count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"), col("cnt_10s"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY us
+             |                 RANGE BETWEEN 9999999 PRECEDING AND CURRENT ROW) AS cnt_10s
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)""".stripMargin),
+      "A2 superset: SLIDING windows (Kafka Streams SlidingWindows) — per " +
+        "event the trailing 10 s count, event-time-bound windows via one " +
+        "per-key RANGE frame"),
+
     // ================= joins (SURVEY §2.4) =================
 
     Q("j1_stream_table_join",

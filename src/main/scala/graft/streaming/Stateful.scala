@@ -70,6 +70,19 @@ final case class FkParentState(parentV: String, children: Map[String, String])
 final case class FkJoined(id: String, v: String, fk: String, parentV: String,
     ts: Timestamp)
 
+/** Per-key state of [[Stateful.slidingCounts]]: event timestamps (ms)
+  * inside the retention horizon. Size = rate × (window + grace) per key —
+  * the same bound as Kafka Streams' sliding-window store.
+  */
+final case class SlidingBuf(ts: Seq[Long])
+
+/** One sliding-window changelog row: the count over `(endMs − size,
+  * endMs]` for key `user`. Re-emitted with a larger count when a late
+  * tie/mate lands in the window — last row per (user, endMs) is the
+  * window's final value.
+  */
+final case class SlidingCount(user: String, endMs: Long, cnt: Long)
+
 /** Custom per-key state — the GENERAL form of the reference's windowed
   * custom fold (`aggregate(initializer)(adder)`, KSA:146-148). The
   * built-in aggregates cover the reference's actual folds (count); this is
@@ -205,6 +218,52 @@ object Stateful {
             out += JoinedPair(user, st.left, st.right, e.ts)
           }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** STREAMING sliding windows (KS `SlidingWindows.ofTimeDifference` —
+    * the per-event-bound window type; batch fixpoint `a2c_sliding_window`):
+    * per key, each event defines the window `(t − size, t]`, and the
+    * operator maintains the count of every window an arrival touches. An
+    * arrival at `t` (re-)emits the count for every DISTINCT stored window
+    * end in `[t, t + size)` — in event-time order that is just its own
+    * window; a late arrival or a cross-batch tie additionally REFRESHES
+    * the windows it newly falls into (update-changelog semantics, exactly
+    * KS's sliding-window aggregate). Resolution: last row per
+    * (user, endMs) is the window's value.
+    *
+    * State and lateness: timestamps older than `maxSeen − size − grace`
+    * are pruned and arrivals older than `maxSeen − grace` are dropped
+    * (the grace contract), so per-key state is bounded by
+    * rate × (size + grace) — the KS store bound.
+    */
+  def slidingCounts(events: Dataset[OrderEvent], sizeMs: Long,
+      graceMs: Long): Dataset[SlidingCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[SlidingBuf, SlidingCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: String, es: Iterator[OrderEvent], state: GroupState[SlidingBuf]) =>
+          val out = Seq.newBuilder[SlidingCount]
+          var buf = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty[Long])
+          var maxSeen = if (buf.isEmpty) Long.MinValue else buf.max
+          es.toSeq.sortBy(e => (e.ts.getTime, e.orderId)).foreach { e =>
+            val t = e.ts.getTime
+            if (maxSeen == Long.MinValue || t >= maxSeen - graceMs) {
+              buf = buf :+ t
+              maxSeen = math.max(maxSeen, t)
+              // windows this arrival touches: distinct ends in [t, t+size)
+              buf.filter(t2 => t2 >= t && t2 < t + sizeMs).distinct.sorted
+                .foreach { t2 =>
+                  out += SlidingCount(user, t2,
+                    buf.count(t0 => t0 > t2 - sizeMs && t0 <= t2))
+                }
+              buf = buf.filter(_ >= maxSeen - sizeMs - graceMs)
+            } // else: beyond grace — dropped, like a watermark-late row
+          }
+          state.update(SlidingBuf(buf))
           out.result().iterator
       }
   }

@@ -614,6 +614,37 @@ class StreamingSpec extends SparkSpec {
     assert(batchLast === last)
   }
 
+  test("streaming sliding windows: late tie refreshes earlier windows; beyond-grace drops") {
+    import graft.streaming.Stateful
+    def at(ms: Long) = new Timestamp(ms)
+    val b1 = Seq(OrderEvent("o1", "alice", Seq(), 1.0, at(0)),
+      OrderEvent("o2", "alice", Seq(), 1.0, at(3000)),
+      OrderEvent("b1", "bob", Seq(), 1.0, at(100000)))
+    val b2 = Seq(OrderEvent("o3", "alice", Seq(), 1.0, at(1000)), // late, within grace
+      OrderEvent("o4", "alice", Seq(), 1.0, at(20000)),
+      OrderEvent("b2", "bob", Seq(), 1.0, at(10000))) // beyond grace → dropped
+    val out = runStream(Seq(b1, b2), "append") { df =>
+      Stateful.slidingCounts(df.as[OrderEvent], sizeMs = 5000L, graceMs = 5000L).toDF()
+    }
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the late o3 refreshed the 3000-end window from 2 to 3
+    assert(rows.toSet === Set(
+      ("alice", 0L, 1L), ("alice", 3000L, 2L),            // batch 1
+      ("alice", 1000L, 2L), ("alice", 3000L, 3L),         // late arrival + refresh
+      ("alice", 20000L, 1L),
+      ("bob", 100000L, 1L)))                              // b2 dropped: beyond grace
+    // resolution (last per window end) matches the batch RANGE-frame fixpoint
+    // a window's count only grows as arrivals land in it → max = last
+    val last = rows.groupBy(t => (t._1, t._2)).map { case (k, rs) => k -> rs.map(_._3).max }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("ms")).rangeBetween(-4999L, 0L)
+    val fix = (b1 ++ b2).filter(_.orderId != "b2").toDF()
+      .select(col("user"), (col("ts").cast("double") * 1000).cast("long").as("ms"))
+      .withColumn("cnt", count(lit(1)).over(w)).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(last === fix)
+  }
+
   test("FK table join (batch): fixpoint = inner join of compacted tables, incl. fk moves") {
     import graft.streaming.{ChildUpdate, ProfileUpdate, Stateful}
     val children = Seq(

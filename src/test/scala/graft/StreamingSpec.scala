@@ -614,6 +614,29 @@ class StreamingSpec extends SparkSpec {
     assert(batchLast === last)
   }
 
+  test("interactive queries parity: a live aggregation's state store is readable") {
+    // Kafka Streams' queryable state (`streams.store(...)` — interactive
+    // queries) maps to Spark's State Reader: the checkpoint's state store
+    // is a batch-readable DataFrame, no side channel into the running
+    // JVM needed. Read back the per-user counts a streaming aggregation
+    // holds and check them against the sink output.
+    val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+    val name = freshTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-iq-ckpt").toString
+    val q = Sinks.toMemory(Topologies.productsPerUser(df.toDF()), name, "update")
+      .option("checkpointLocation", ckpt).start()
+    ms.addData(orders.take(2)); q.processAllAvailable()
+    ms.addData(orders.drop(2)); q.processAllAvailable()
+    q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+      .selectExpr("key.user AS user", "value.count AS cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sink = spark.table(name).groupBy("user").agg(max("cnt").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state === sink)
+    assert(state.values.sum === orders.map(_.products.size).sum)
+  }
+
   test("streaming sliding windows: late tie refreshes earlier windows; beyond-grace drops") {
     import graft.streaming.Stateful
     def at(ms: Long) = new Timestamp(ms)

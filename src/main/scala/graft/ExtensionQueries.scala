@@ -1549,9 +1549,7 @@ object ExtensionQueries {
       // exchange; the drop rule is an all-integer comparison.
       (s, dir) => {
         val d = docs(s, dir)
-        val fps = TextAnalysis.winnowFingerprints(
-            col("doc_id"), col("text"), 8, 4)(d)
-          .select(col("doc_id"), col("fp")).distinct()
+        val fps = TextAnalysis.winnowFpSets(col("doc_id"), col("text"), 8, 4)(d)
         val owner = fps.groupBy("fp").agg(min(col("doc_id")).as("owner"))
         val flagged = fps.join(owner, "fp")
           .groupBy(col("doc_id"))

@@ -214,6 +214,23 @@ object Queries {
              |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin),
       "J1 stream-table equi-join: enrich order with current profile (KSA:162-165)"),
 
+    Q("j1b_stream_table_left_join",
+      // `stream.leftJoin(table)` — the null-padding variant of J1: an
+      // order whose customer is missing from the table keeps flowing with
+      // a null profile (KS leftJoin calls the joiner with null) instead
+      // of being dropped. Orders with out-of-range custkeys play the
+      // table miss.
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment").as("profile")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("profile")),
+      Some("""SELECT o_orderkey, o_custkey, c_mktsegment AS profile
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin),
+      "J1 variant: stream-table LEFT join — table miss emits a null-joined " +
+        "row instead of dropping (KS stream.leftJoin(table))"),
+
     Q("j2_globaltable_join",
       (s, dir) => {
         val enriched = streamTableJoin(

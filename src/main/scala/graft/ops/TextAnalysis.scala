@@ -637,7 +637,28 @@ object TextAnalysis {
     * minimum (the start-position filter keeps exactly window start 1,
     * whose frame truncates at the doc end).
     */
-  def winnowFingerprints(id: Column, text: Column, k: Int, w: Int)(df: DataFrame): DataFrame = {
+  def winnowFingerprints(id: Column, text: Column, k: Int, w: Int)(df: DataFrame): DataFrame =
+    winnowSelected(id, text, k, w)(df)
+      .select(col("doc_id"),
+        (lit(9999999) - substring(col("sel_key"), 33, 7).cast("int")).as("pos"),
+        substring(col("sel_key"), 1, 32).as("fp"))
+      .distinct()
+
+  /** [[winnowFingerprints]] without positions: the distinct (doc, fp) SET
+    * — what a partial-overlap index or dedup pass consumes. Dropping the
+    * position before the distinct narrows the dedup exchange and merges
+    * same-hash selections at different positions (one row, not several).
+    */
+  def winnowFpSets(id: Column, text: Column, k: Int, w: Int)(df: DataFrame): DataFrame =
+    winnowSelected(id, text, k, w)(df)
+      .select(col("doc_id"), substring(col("sel_key"), 1, 32).as("fp"))
+      .distinct()
+
+  /** Shared winnowing core: the per-window `sel_key` stream (hash ‖
+    * inverted position), one row per window start, BEFORE dedup.
+    */
+  private def winnowSelected(id: Column, text: Column, k: Int, w: Int)(
+      df: DataFrame): DataFrame = {
     require(w >= 1, s"winnow window must be >= 1, got $w")
     val toks = df.select(id.as("doc_id"), split(text, " ").as("toks"))
       .filter(size(col("toks")) >= k)
@@ -653,10 +674,6 @@ object TextAnalysis {
     grams
       .withColumn("sel_key", min(key).over(frame))
       .filter(col("pos") <= greatest(lit(1), col("n_grams") - (w - 1)))
-      .select(col("doc_id"),
-        (lit(9999999) - substring(col("sel_key"), 33, 7).cast("int")).as("pos"),
-        substring(col("sel_key"), 1, 32).as("fp"))
-      .distinct()
   }
 
   /** Fractional EPOCH WEIGHTING — the other half of mixture construction

@@ -29,7 +29,11 @@ class SessionHygieneSpec extends SparkSpec {
     // self-join (candidate exchanges + shuffle-hash verify) and the
     // curriculum rank (localCheckpoint'ed keyed frame whose blocks the
     // scoped cleanup must reclaim without touching other memos)
-    "x50_containment_pairs", "x46_curriculum_order")
+    "x50_containment_pairs", "x46_curriculum_order",
+    // continuation-2 additions: the winnow+UniMax composition (per-doc
+    // window frames, two fp-grain exchanges, a driver stats collect) —
+    // the heaviest entry added this pass
+    "x6i_curation_v4")
 
   private def run(name: String): Double = {
     val fn = SparkEntry.queries(name)

@@ -177,6 +177,23 @@ object Queries {
         "TimeWindows.advanceBy); in-scan window assignment + one map-side-" +
         "combined hash aggregate, no self-join"),
 
+    Q("g4_table_regroup",
+      // `ktable.groupBy(newKey).count()` — re-group a TABLE, not a
+      // stream: how many users' CURRENT (latest) event is of each type.
+      // The subtractor semantics (an upsert retracts the key's old
+      // group's contribution) is the streaming twin
+      // Stateful.tableRegroupDeltas; this is its batch fixpoint.
+      (s, dir) => compactLatest(
+          Seq(col("user_id")), Seq(expr("ts div 1000"), col("event_id")))(
+          Tables.events(s, dir))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users")),
+      Some("""WITH t AS (SELECT user_id, event_type FROM events
+             |           QUALIFY row_number() OVER (PARTITION BY user_id
+             |                     ORDER BY ts DESC, event_id DESC) = 1)
+             |SELECT event_type, count(*) AS n_users FROM t GROUP BY 1""".stripMargin),
+      "KTable re-group aggregation (groupBy + adder/SUBTRACTOR) batch " +
+        "fixpoint: count per group of each key's current value"),
+
     Q("a2c_sliding_window",
       // Kafka Streams SlidingWindows (2.7+), the fourth window type:
       // per EVENT, the aggregate over (t − size, t] — windows bound to

@@ -70,6 +70,12 @@ final case class FkParentState(parentV: String, children: Map[String, String])
 final case class FkJoined(id: String, v: String, fk: String, parentV: String,
     ts: Timestamp)
 
+/** One retract/add delta of a table re-group aggregation
+  * ([[Stateful.tableRegroupDeltas]]): the key's move between groups as
+  * ±1 contributions.
+  */
+final case class RegroupDelta(group: String, delta: Long, ts: Timestamp)
+
 /** Per-key state of [[Stateful.slidingCounts]]: event timestamps (ms)
   * inside the retention horizon. Size = rate × (window + grace) per key —
   * the same bound as Kafka Streams' sliding-window store.
@@ -218,6 +224,39 @@ object Stateful {
             out += JoinedPair(user, st.left, st.right, e.ts)
           }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Table RE-GROUP aggregation deltas (`ktable.groupBy(newKey)
+    * .aggregate(adder, SUBTRACTOR)` — the DSL operator whose subtractor
+    * retracts a key's old contribution when its value moves to another
+    * group): keyed by the table's primary key, state = the key's current
+    * group; each upsert emits a −1 delta to the group it leaves and a +1
+    * to the one it enters (nothing when unchanged). Summing the delta
+    * stream per group — a plain update-mode aggregation downstream, the
+    * second hop — maintains the live re-grouped counts; the batch
+    * composition's fixpoint is `compactLatest → groupBy count`
+    * (`g4_table_regroup`, spec-pinned).
+    */
+  def tableRegroupDeltas(upserts: Dataset[ProfileUpdate]): Dataset[RegroupDelta] = {
+    val spark = upserts.sparkSession
+    import spark.implicits._
+    upserts.groupByKey(_.user)
+      .flatMapGroupsWithState[String, RegroupDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, es: Iterator[ProfileUpdate], state: GroupState[String]) =>
+          val out = Seq.newBuilder[RegroupDelta]
+          var group = state.getOption.orNull
+          es.toSeq.sortBy(e =>
+              (e.ts.getTime, Option(e.profile).getOrElse(""))).foreach { e =>
+            if (e.profile != group) {
+              if (group != null) out += RegroupDelta(group, -1L, e.ts)
+              if (e.profile != null) out += RegroupDelta(e.profile, 1L, e.ts)
+              group = e.profile
+            }
+          }
+          if (group != null) state.update(group) else state.remove()
           out.result().iterator
       }
   }

@@ -614,6 +614,40 @@ class StreamingSpec extends SparkSpec {
     assert(batchLast === last)
   }
 
+  test("table re-group deltas: the subtractor retracts the old group on a move") {
+    import graft.streaming.{ProfileUpdate, RegroupDelta, Stateful}
+    val (ms, df) = Sources.memoryStream[ProfileUpdate](spark)
+    val name = freshTable()
+    val q = Stateful.tableRegroupDeltas(df.as[ProfileUpdate])
+      .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(Seq(ProfileUpdate("alice", "click", ts("2024-01-01T00:00:00Z")),
+      ProfileUpdate("bob", "view", ts("2024-01-01T00:00:01Z"))))
+    q.processAllAvailable()
+    // alice moves click → view: −1 click, +1 view
+    ms.addData(Seq(ProfileUpdate("alice", "view", ts("2024-01-01T00:00:02Z"))))
+    q.processAllAvailable()
+    // no-op upsert (same group) emits nothing
+    ms.addData(Seq(ProfileUpdate("bob", "view", ts("2024-01-01T00:00:03Z"))))
+    q.processAllAvailable()
+    q.stop()
+    val deltas = spark.table(name).as[RegroupDelta].collect()
+    assert(deltas.map(d => (d.group, d.delta)).groupBy(identity).view
+      .mapValues(_.length).toMap ===
+      Map(("click", 1L) -> 1, ("view", 1L) -> 2, ("click", -1L) -> 1))
+    // summed deltas == the batch fixpoint (g4's shape): click 0, view 2
+    val live = deltas.groupBy(_.group).view.mapValues(_.map(_.delta).sum).toMap
+    assert(live === Map("click" -> 0L, "view" -> 2L))
+    // batch composition reaches the same fixpoint
+    val ups = Seq(ProfileUpdate("alice", "click", ts("2024-01-01T00:00:00Z")),
+      ProfileUpdate("bob", "view", ts("2024-01-01T00:00:01Z")),
+      ProfileUpdate("alice", "view", ts("2024-01-01T00:00:02Z")),
+      ProfileUpdate("bob", "view", ts("2024-01-01T00:00:03Z"))).toDS()
+    val batch = Stateful.tableRegroupDeltas(ups).groupBy("group")
+      .agg(sum("delta").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch === live)
+  }
+
   test("interactive queries parity: a live aggregation's state store is readable") {
     // Kafka Streams' queryable state (`streams.store(...)` — interactive
     // queries) maps to Spark's State Reader: the checkpoint's state store

@@ -1549,7 +1549,13 @@ object ExtensionQueries {
       // exchange; the drop rule is an all-integer comparison.
       (s, dir) => {
         val d = docs(s, dir)
+        // materialize the winnow stream ONCE: both the ownership aggregate
+        // and the per-doc rollup consume it, and the broadcast build side
+        // would otherwise re-run the whole per-doc window pipeline
+        // (measured 2x the entry at sf3). Blocks reclaimed by the
+        // harness's scoped cleanup.
         val fps = TextAnalysis.winnowFpSets(col("doc_id"), col("text"), 8, 4)(d)
+          .localCheckpoint()
         val owner = fps.groupBy("fp").agg(min(col("doc_id")).as("owner"))
         val flagged = fps.join(owner, "fp")
           .groupBy(col("doc_id"))

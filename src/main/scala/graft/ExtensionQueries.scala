@@ -2117,6 +2117,80 @@ object ExtensionQueries {
       },
       "leakage-free train/val/test split: route each doc by its " +
         "dup-cluster canonical id so near-dups always share a split " +
-        "(x2e canonicalization + x6b md5 routing, composed)")
+        "(x2e canonicalization + x6b md5 routing, composed)"),
+
+    Q("x55_gopher_rules",
+      // the published Gopher hard-gate rule set (word-count bounds, mean
+      // word length band, symbol + alpha-word ratios, required-stopword
+      // minimum) as 0/1 flags + conjunction; the stopword list is the
+      // corpus's own (Texts.enStopwords) per the rule's "common words"
+      // definition. Every rule a codegen'd expression over one scan.
+      (s, dir) => TextAnalysis.gopherRules(
+        col("doc_id"), col("text"), Texts.enStopwords)(docs(s, dir)),
+      Some {
+        val stopChain = Texts.enStopwords
+          .map(w => s"(CASE WHEN contains(' ' || text || ' ', ' $w ') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    len(string_split(text, ' ')) AS n_words,
+           |    round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           |      / len(string_split(text, ' ')), 4) AS mean_word_len,
+           |    round(CAST(len(regexp_extract_all(' ' || text, ' [^ ]*[a-zA-Z][^ ]*')) AS DOUBLE)
+           |      / len(string_split(text, ' ')), 4) AS alpha_ratio,
+           |    round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+           |      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+           |    CAST($stopChain AS BIGINT) AS stop_hits
+           |  FROM documents),
+           |f AS (
+           |  SELECT *,
+           |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,
+           |    CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS r_mean_len,
+           |    CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS r_alpha,
+           |    CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol,
+           |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop
+           |  FROM t)
+           |SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+           |       stop_hits, r_word_count, r_mean_len, r_alpha, r_symbol, r_stop,
+           |       r_word_count * r_mean_len * r_alpha * r_symbol * r_stop AS pass
+           |FROM f""".stripMargin
+      },
+      "X3 Gopher-style hard rule gate (Rae et al. 2021 A1.1): per-rule " +
+        "0/1 flags + conjunction, every rule a plain codegen'd expression " +
+        "over the single scan — the boolean pre-filter complement of " +
+        "x4c's soft quality score; map-only, zero shuffle"),
+
+    Q("x56_fertility",
+      // tokenizer-fertility stats per source — the data-card measure of
+      // tokenizer fit: BPE-ish subword tokens per whitespace word
+      // (fertility ~1 = vocabulary matches the register; >>1 = the
+      // tokenizer shreds this source) and chars per subword token
+      // (compression). Integer sums per source (map-side combine over
+      // |sources| keys), two IEEE divisions at the end — scan-bound at
+      // any scale, same regex both engines.
+      (s, dir) => docs(s, dir)
+        .select(col("source"),
+          size(Texts.bpeishTokens(col("text"))).cast("long").as("nb"),
+          size(Texts.tokens(col("text"))).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("source"))
+        .agg(sum(col("nb")).as("n_bpeish"), sum(col("nw")).as("n_words"),
+          sum(col("nc")).as("n_chars"))
+        .select(col("source"), col("n_bpeish"), col("n_words"), col("n_chars"),
+          round(col("n_bpeish").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_bpeish"), 6).as("chars_per_token")),
+      Some("""SELECT source,
+             |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_bpeish,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |  round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS DOUBLE)
+             |    / sum(len(string_split(text, ' '))), 6) AS fertility,
+             |  round(CAST(sum(length(text)) AS DOUBLE)
+             |    / sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))), 6) AS chars_per_token
+             |FROM documents
+             |GROUP BY source""".stripMargin),
+      "X3 per-source tokenizer fertility (subword tokens per word, chars " +
+        "per token) for the data card: x4e's pretokenizer counts rolled " +
+        "up per source — integer sums, one tiny keyed aggregate")
   )
 }

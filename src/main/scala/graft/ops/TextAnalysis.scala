@@ -84,6 +84,67 @@ object TextAnalysis {
       (diversity * 0.5 + stopRatio * 0.25 + meanLen * 0.05).as("quality"))
   }
 
+  /** The published Gopher rule defaults (Rae et al. 2021, appendix A1.1):
+    * word-count bounds, mean-word-length band, symbol-to-word and
+    * alpha-word thresholds, and the required-stopword minimum. The
+    * stopword list is a parameter of [[gopherRules]] because the rule is
+    * defined over "common English words" — a corpus in another register
+    * (or a synthetic fixture) supplies its own list. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style hard rule gate — the standard boolean pre-filter set
+    * applied BEFORE model-based scoring in pretraining pipelines (the
+    * complement of [[qualityScore]]'s soft linear score): per document,
+    * one 0/1 flag per rule plus the conjunction. Rules (defaults from the
+    * Gopher paper): word count in [minWords, maxWords]; mean word length
+    * in [3, 10]; symbol-to-word ratio ('#' or '...') <= 0.1; >= 80% of
+    * words contain an alphabetic character; >= 2 distinct required
+    * stopwords present.
+    *
+    * Every rule is a plain codegen'd expression over the single scan —
+    * word counts via `split`, the mean-length identity
+    * `(length(text) - (n-1)) / n`, symbol and alpha-word counts via
+    * `regexp_count` (each word consumes its leading space, so matches
+    * can't overlap), stopword presence via padded `contains` (one
+    * codegen'd probe per list word, summed). Map-only: zero shuffle,
+    * zero UDFs — at 100 TB this is scan-bound, fused into whole-stage
+    * codegen with whatever filter consumes `pass`.
+    */
+  def gopherRules(id: Column, text: Column,
+      stopwords: Seq[String] = gopherStopwords,
+      minWords: Int = 50, maxWords: Int = 100000)(df: DataFrame): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val toks = Texts.tokens(text)
+    val nWords = size(toks)
+    val n = nWords.cast("double")
+    val meanLen = (length(text) - (nWords - lit(1))).cast("double") / n
+    val alphaRatio =
+      regexp_count(concat(lit(" "), text), lit(" [^ ]*[a-zA-Z][^ ]*"))
+        .cast("double") / n
+    val symbolRatio = regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / n
+    val padded = concat(lit(" "), text, lit(" "))
+    val stopHits = stopwords
+      .map(w => when(padded.contains(s" $w "), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    def flag(c: Column) = when(c, lit(1)).otherwise(lit(0))
+    val base = df.select(id.as("doc_id"), nWords.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      stopHits.cast("long").as("stop_hits"))
+    base.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("alpha_ratio"), col("symbol_ratio"), col("stop_hits"),
+      flag(col("n_words").between(minWords, maxWords)).as("r_word_count"),
+      flag(col("mean_word_len").between(3.0, 10.0)).as("r_mean_len"),
+      flag(col("alpha_ratio") >= 0.8).as("r_alpha"),
+      flag(col("symbol_ratio") <= 0.1).as("r_symbol"),
+      flag(col("stop_hits") >= 2).as("r_stop"))
+      .withColumn("pass",
+        col("r_word_count") * col("r_mean_len") * col("r_alpha")
+          * col("r_symbol") * col("r_stop"))
+  }
+
   /** Normalization pattern literals, shared by the Column API, the SQL
     * function builder ([[graft.functions.GraftFunctions]]) and (verbatim
     * in the oracle SQL strings) DuckDB — one definition, no drift.

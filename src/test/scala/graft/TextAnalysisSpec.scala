@@ -894,4 +894,47 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out.map(r => r._1 -> r._3).toMap !== other)
   }
+
+  test("gopherRules: each rule trips on its own pathology, clean doc passes") {
+    import spark.implicits._
+    val longClean = ((1 to 60).map(i => s"word$i") ++ Seq("the", "and")).mkString(" ")
+    val docs = Seq(
+      (1L, longClean),                                   // passes all five
+      (2L, "the and short doc"),                         // < 50 words
+      (3L, ((1 to 60).map(_ => "supercalifragilistic") ++ Seq("the", "and")).mkString(" ")), // mean len > 10
+      (4L, ((1 to 45).map(i => s"w$i") ++ (1 to 15).map(_ => "####")).mkString(" ") + " the and"), // symbols + non-alpha words
+      (5L, (1 to 60).map(i => s"word$i").mkString(" "))  // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(col("doc_id"), col("text"))(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9), r.getInt(10), r.getInt(11))).toMap
+    assert(out(1L) === ((1, 1, 1, 1, 1, 1)))
+    assert(out(2L)._1 === 0 && out(2L)._6 === 0)         // word count trips
+    assert(out(3L)._2 === 0 && out(3L)._6 === 0)         // mean length trips
+    assert(out(4L)._3 === 0 && out(4L)._4 === 0 && out(4L)._6 === 0) // alpha + symbol trip
+    assert(out(5L)._5 === 0 && out(5L)._6 === 0)         // stopword minimum trips
+  }
+
+  test("gopherRules: stats match hand computation, ellipsis counts as symbol") {
+    import spark.implicits._
+    // 4 words, one '...' token: n_words=4, symbol_ratio=0.25,
+    // alpha words = 3/4, mean len = (len - 3)/4
+    val t = "abc de ... fgh"
+    val out = TextAnalysis.gopherRules(col("doc_id"), col("text"))(
+      Seq((1L, t)).toDF("doc_id", "text")).collect()(0)
+    assert(out.getLong(1) === 4L)
+    assert(out.getDouble(2) === (t.length - 3).toDouble / 4.0)
+    assert(out.getDouble(3) === 0.75)
+    assert(out.getDouble(4) === 0.25)
+    assert(out.getLong(5) === 0L)
+  }
+
+  test("gopherRules honors a custom stopword list and word bounds") {
+    import spark.implicits._
+    val docs = Seq((1L, "qq ww qq ww zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(col("doc_id"), col("text"),
+      stopwords = Seq("qq", "ww"), minWords = 3, maxWords = 10)(docs).collect()(0)
+    assert(out.getLong(5) === 2L)                        // both custom stopwords hit
+    assert(out.getInt(6) === 1 && out.getInt(10) === 1)  // word count + stop pass
+  }
 }

@@ -652,6 +652,63 @@ object CheckQueries {
       "invariant for x49: every doc's DEFLATE ratio is in-range (overhead " +
         "bound for >= 64-byte docs) and bit-deterministic across " +
         "re-evaluation; the oracle pins the corpus size so an empty check " +
-        "cannot pass silently")
+        "cannot pass silently"),
+
+    Q("x57_outlier_check",
+      (s, dir) => {
+        val m = ExtensionQueries.trainedModel(s, dir)
+        val out = Clustering.embeddingOutliers(
+          emb(s, dir), col("vec_id"), col("embedding"), m)
+        // (a) flag arithmetic re-derived from the OUTPUT itself: per-cid
+        // (cnt, s1, s2) over the emitted integer sims, the identical
+        // threshold expression, exact-equality compare (pure function of
+        // exact integers — no tolerance needed)
+        val restats = out.groupBy(col("cid"))
+          .agg(count(lit(1)).as("cnt"), sum(col("sim_u")).as("s1"),
+            sum(col("sim_u") * col("sim_u")).as("s2"))
+          .select(col("cid"),
+            ((col("s1").cast("double") / col("cnt"))
+              - lit(2.0) * sqrt(greatest(
+                  col("s2").cast("double") / col("cnt")
+                    - pow(col("s1").cast("double") / col("cnt"), 2),
+                  lit(0.0)))).as("rthr_u"))
+        val flags = out.join(restats, "cid")
+          .agg(
+            coalesce(bool_and(col("outlier") ===
+              when(col("sim_u").cast("double") < col("rthr_u"), 1).otherwise(0)),
+              lit(true)).as("flags_consistent"),
+            (count(lit(1)) > 0).as("checked_some"))
+        // (b) Chebyshev: for EXACT population stats, the mass below
+        // mean - 2sigma is <= 1/4 in every cluster — a theorem, so a
+        // violation can only be an arithmetic bug
+        val cheb = out.groupBy(col("cid"))
+          .agg((sum(col("outlier")).cast("double") / count(lit(1))).as("frac"))
+          .agg(coalesce(bool_and(col("frac") <= 0.25), lit(true))
+            .as("chebyshev_ok"))
+        // (c) the assignment behind the flags is argmax under the
+        // INTERPRETED cosine twin (tolerance play, as x7_kmeans_check)
+        val interp = array(m.centers.map(c =>
+          Similarity.cosineHof(col("unit"), typedlit(c))): _*)
+        val assign = emb(s, dir)
+          .select(col("vec_id"), L2Normalize(col("embedding")).as("unit"))
+          .withColumn("isims", interp)
+          .join(out.select(col("vec_id"), col("cid"), col("sim_u")), "vec_id")
+          .agg(
+            coalesce(bool_and(
+              element_at(col("isims"), col("cid") + 1)
+                >= array_max(col("isims")) - lit(1e-9)),
+              lit(true)).as("assigned_argmax"),
+            coalesce(bool_and(
+              abs(floor(array_max(col("isims")) * 1e6) - col("sim_u")) <= 1),
+              lit(true)).as("sims_quantized_close"))
+        flags.crossJoin(broadcast(cheb)).crossJoin(broadcast(assign))
+      },
+      Some("SELECT TRUE AS flags_consistent, TRUE AS checked_some, " +
+        "TRUE AS chebyshev_ok, TRUE AS assigned_argmax, " +
+        "TRUE AS sims_quantized_close"),
+      "invariant for x57: outlier flags re-derive exactly from the " +
+        "emitted integer sims; per-cluster outlier mass respects the " +
+        "Chebyshev 1/4 bound (a theorem for exact population stats); " +
+        "assignment is argmax under the interpreted cosine twin")
   )
 }

@@ -2191,6 +2191,22 @@ object ExtensionQueries {
              |GROUP BY source""".stripMargin),
       "X3 per-source tokenizer fertility (subword tokens per word, chars " +
         "per token) for the data card: x4e's pretokenizer counts rolled " +
-        "up per source — integer sums, one tiny keyed aggregate")
+        "up per source — integer sums, one tiny keyed aggregate"),
+
+    Q("x57_embedding_outliers",
+      // embedding-side quality filter over the shared trained index:
+      // flag rows whose cosine to their assigned centroid falls > 2
+      // cluster sigmas below the cluster mean (mojibake / truncation /
+      // wrong-modality vectors). Cluster stats over integer-quantized
+      // sims — exact sums, so the flag boundary is bit-deterministic
+      // across runs/partitionings.
+      (s, dir) => Clustering.embeddingOutliers(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        trainedModel(s, dir)),
+      None, // trained centers are not SQL-reproducible; arithmetic,
+            // assignment and the Chebyshev bound verified by x57_outlier_check
+      "X2 embedding outlier detection vs the trained k-means index " +
+        "(SemDeDup's complement: prune the too-DISSIMILAR): one map-only " +
+        "assignment scan + k-row integer stats + broadcast threshold join")
   )
 }

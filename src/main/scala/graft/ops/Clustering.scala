@@ -230,4 +230,51 @@ object Clustering {
       model.centers.map(_.map(_.toFloat))
     }
   }
+
+  /** Embedding-outlier detection against a trained spherical model — the
+    * embedding-side quality filter (SemDeDup prunes the TOO-similar;
+    * this prunes the too-DISSIMILAR: mojibake, truncated inputs, wrong-
+    * modality rows whose vectors sit far from every topic centroid).
+    * Each row is assigned to its nearest centroid (the same codegen'd
+    * [[NearestCenter]] argmax the IVF router uses) and flagged when its
+    * cosine falls more than `nSigmas` cluster standard deviations below
+    * the cluster mean.
+    *
+    * Determinism at the flag boundary: the per-cluster mean/stddev are
+    * computed over sims QUANTIZED to integer micro-units
+    * (`floor(sim*1e6)` as long), so the aggregate sums are exact integer
+    * arithmetic — bit-identical regardless of partial-aggregation order
+    * — and the threshold `mean − nSigmas·σ` is a pure function of exact
+    * integers. A double-summed stddev would move by ulps between runs
+    * and flip boundary rows; this never does. (Long overflow bound: the
+    * sum of squares is ≤ 1e12 per row — fine to ~9e6 rows per cluster;
+    * at larger cluster sizes route s2 through decimal(38,0), same
+    * contract.)
+    *
+    * Plan shape: one map-only assignment scan + one k-row aggregate +
+    * a broadcast join of the k thresholds back onto the scan — the
+    * corpus is read once and never shuffled.
+    */
+  def embeddingOutliers(emb: DataFrame, idCol: Column, vecCol: Column,
+      model: KMeansModel, nSigmas: Double = 2.0): DataFrame = {
+    require(!model.euclidean, "embeddingOutliers expects a spherical model")
+    val assigned = emb.select(idCol.as("vec_id"),
+        nearest(L2Normalize(vecCol), model.centers, euclidean = false).as("n"))
+      .select(col("vec_id"), col("n.bucket").as("cid"),
+        floor(col("n.score") * 1e6).cast("long").as("sim_u"))
+    val stats = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("cnt"), sum(col("sim_u")).as("s1"),
+        sum(col("sim_u") * col("sim_u")).as("s2"))
+      .select(col("cid"),
+        (col("s1").cast("double") / col("cnt")).as("mean_u"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("cnt")
+            - pow(col("s1").cast("double") / col("cnt"), 2),
+          lit(0.0))).as("sd_u"))
+      .select(col("cid"), (col("mean_u") - lit(nSigmas) * col("sd_u")).as("thr_u"))
+    assigned.join(broadcast(stats), "cid")
+      .select(col("vec_id"), col("cid"), col("sim_u"),
+        when(col("sim_u").cast("double") < col("thr_u"), lit(1))
+          .otherwise(lit(0)).as("outlier"))
+  }
 }

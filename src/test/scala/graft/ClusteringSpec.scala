@@ -183,4 +183,46 @@ class ClusteringSpec extends SparkSpec {
       assert(got.count() === 0, s"euclidean=$euclidean diverged")
     }
   }
+
+  test("embeddingOutliers flags the far-from-centroid row, spares the tight cluster") {
+    // 20 near-identical members around e1 plus one vector pointing at 45
+    // degrees: the wobble cluster has tiny sigma, the diagonal's cosine
+    // (~0.7) sits far below mean - 2*sigma
+    val rows = (0 until 20).map { i =>
+      (i.toLong, Array(1f, 0.01f * (i % 5), 0f, 0f))
+    } :+ (99L, Array(1f, 1f, 0f, 0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Clustering.KMeansModel(
+      Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0)), Nil, 0)
+    val out = Clustering.embeddingOutliers(df, col("vec_id"), col("embedding"), m)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
+    assert(out.size === 21)
+    assert(out.forall(_._2._1 === 0))          // all assign to center 0
+    assert(out(99L)._2 === 1)                  // the diagonal is the outlier
+    assert(out.filter(_._1 != 99L).forall(_._2._2 === 0))
+  }
+
+  test("embeddingOutliers: singleton and zero-sigma clusters produce no outliers") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val m = Clustering.KMeansModel(
+      Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0)), Nil, 0)
+    val out = Clustering.embeddingOutliers(df, col("vec_id"), col("embedding"), m)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out === Map(1L -> 0, 2L -> 0, 3L -> 0)) // sigma=0 -> thr=mean, none below
+  }
+
+  test("embeddingOutliers is deterministic across repartitionings") {
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(4)(j => (math.sin(i * 13 + j * 7) * 2.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Clustering.trainKMeans(df, col("vec_id"), col("embedding"), k = 4)
+    val a = Clustering.embeddingOutliers(df, col("vec_id"), col("embedding"), m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val b = Clustering.embeddingOutliers(df.repartition(7), col("vec_id"), col("embedding"), m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(a === b) // integer cluster stats: no partial-agg-order ulps
+  }
 }

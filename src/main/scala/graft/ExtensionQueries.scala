@@ -2207,6 +2207,26 @@ object ExtensionQueries {
             // assignment and the Chebyshev bound verified by x57_outlier_check
       "X2 embedding outlier detection vs the trained k-means index " +
         "(SemDeDup's complement: prune the too-DISSIMILAR): one map-only " +
-        "assignment scan + k-row integer stats + broadcast threshold join")
+        "assignment scan + k-row integer stats + broadcast threshold join"),
+
+    Q("x58_source_sample",
+      // fixed-size per-stratum carving: exactly k docs per source by the
+      // seeded md5 order — the eval-set shape x6c (rate, binomial sizes)
+      // and x47 (global k) don't give. Range-rank play, no per-source
+      // window funnel.
+      (s, dir) => TextAnalysis.samplePerSource(
+        col("doc_id"), col("source"), "sE", 5)(docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |            md5('sE:' || CAST(doc_id AS VARCHAR)) AS h
+             |          FROM documents),
+             |r AS (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1
+             |          AS source_pos
+             |      FROM t)
+             |SELECT doc_id, source, source_pos FROM r WHERE source_pos < 5""".stripMargin),
+      "X3 per-source exact-k sample (fixed-size per-stratum eval carving, " +
+        "seeded md5 order): per-source rank via the global range-rank + " +
+        "|sources|-row offset broadcast — no row_number() OVER (PARTITION " +
+        "BY source) hot-source funnel; exact window-form oracle")
   )
 }

@@ -1268,6 +1268,33 @@ object TextAnalysis {
         col("gidx").as("position"))
   }
 
+  /** Per-source exact-k sample — fixed-SIZE per-stratum carving (each
+    * source contributes exactly `k` docs, or all of them if smaller):
+    * the eval/holdout shape where [[stratifiedSample]]'s rate routing
+    * gives binomial sizes and [[fixedSample]]'s global k ignores strata.
+    * Selection key is the seeded md5 order (engine/run/retry
+    * reproducible, a new seed is a fresh independent draw).
+    *
+    * Scale: the per-source rank is [[interleaveSources]]' first half —
+    * a global range-rank over (source, h, id) minus the source's first
+    * rank (|sources|-row broadcast) — NOT `row_number() OVER (PARTITION
+    * BY source)`, whose hottest source would funnel into one task. The
+    * oracle states the window form; the plans differ, the results
+    * match (asserted in TextAnalysisSpec's differential).
+    */
+  def samplePerSource(id: Column, source: Column, seed: String, k: Int)(
+      df: DataFrame): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyed = df.select(id.as("doc_id"), source.as("source"),
+      md5(concat(lit(seed + ":"), id.cast("string"))).as("h"))
+    val g1 = globalIndex(keyed, Seq(col("source"), col("h"), col("doc_id")))
+    val offsets = g1.groupBy(col("source")).agg(min(col("gidx")).as("off"))
+    g1.join(broadcast(offsets), "source")
+      .select(col("doc_id"), col("source"),
+        (col("gidx") - col("off")).as("source_pos"))
+      .filter(col("source_pos") < k)
+  }
+
   def dataCard(source: Column, lang: Column, text: Column)(
       df: DataFrame): DataFrame = {
     val perDoc = df.select(source.as("source"), lang.as("lang"),

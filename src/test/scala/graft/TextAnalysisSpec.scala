@@ -895,6 +895,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap !== other)
   }
 
+  test("samplePerSource: exactly k per source (all if smaller), window-form differential") {
+    import spark.implicits._
+    val docs = ((1L to 30L).map(i => (i, "big")) ++ (31L to 33L).map(i => (i, "tiny")))
+      .toDF("doc_id", "source")
+    val out = TextAnalysis.samplePerSource(col("doc_id"), col("source"), "s1", 7)(docs)
+    val sizes = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("big" -> 7L, "tiny" -> 3L))
+    // differential vs the window formulation the oracle states
+    val win = docs.select(col("doc_id"), col("source"),
+        md5(concat(lit("s1:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("source_pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))) - 1)
+      .filter(col("source_pos") < 7)
+      .select(col("doc_id"), col("source"), col("source_pos").cast("long"))
+    assert(rowsOf(out) === rowsOf(win))
+    // reproducible; a new seed draws a different big-source subset
+    val again = TextAnalysis.samplePerSource(col("doc_id"), col("source"), "s1", 7)(docs)
+    assert(rowsOf(again) === rowsOf(out))
+    val other = TextAnalysis.samplePerSource(col("doc_id"), col("source"), "s2", 7)(docs)
+      .filter(col("source") === "big").select("doc_id").collect().map(_.getLong(0)).toSet
+    val ours = out.where(col("source") === "big").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(other !== ours)
+  }
+
   test("gopherRules: each rule trips on its own pathology, clean doc passes") {
     import spark.implicits._
     val longClean = ((1 to 60).map(i => s"word$i") ++ Seq("the", "and")).mkString(" ")

@@ -13,6 +13,28 @@ object ExtensionQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.documents(s, dir)
 
+  /** DuckDB body of the x55 per-document Gopher stats (one definition,
+    * shared by the x55 oracle and the v5 composition's gate — no drift).
+    * Columns: doc_id, source, n_words, mean_word_len, alpha_ratio,
+    * symbol_ratio, stop_hits — the exact mirrors of
+    * [[graft.ops.TextAnalysis.gopherRules]]'s expressions.
+    */
+  private def gopherStatsSql: String = {
+    val stopChain = Texts.enStopwords
+      .map(w => s"(CASE WHEN contains(' ' || text || ' ', ' $w ') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, source,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 4) AS mean_word_len,
+       |    round(CAST(len(regexp_extract_all(' ' || text, ' [^ ]*[a-zA-Z][^ ]*')) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 4) AS alpha_ratio,
+       |    round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+       |    CAST($stopChain AS BIGINT) AS stop_hits
+       |  FROM documents""".stripMargin
+  }
+
   /** Shared oracle CTE chain producing the DF-cut 3-shingle Jaccard pairs
     * (`jp(a, b, jaccard)`), mirrored by `Dedup.ngramJaccardPairs(..., 1000)`.
     * Used by both the pairs query and the canonicalization closure.
@@ -2119,6 +2141,52 @@ object ExtensionQueries {
         "dup-cluster canonical id so near-dups always share a split " +
         "(x2e canonicalization + x6b md5 routing, composed)"),
 
+    Q("x6j_curation_v5",
+      // the round-7 ops COMPOSED: Gopher hard gate (x55 pass
+      // conjunction) → exact dedup (deterministic min-doc_id survivor
+      // per text fingerprint) → per-source eval carve (first 3 in the
+      // seeded per-source order = 'eval', rest 'train' — x58's rank,
+      // unfiltered). Each stage is the catalog operator unchanged;
+      // map-only gate, one fingerprint window, one range-rank.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val gate = TextAnalysis.gopherRules(
+            col("doc_id"), col("text"), Texts.enStopwords)(d)
+          .filter(col("pass") === 1).select("doc_id")
+        val surv = Dedup.exact(Seq(md5(col("text"))), col("doc_id"))(
+          d.join(gate, "doc_id"))
+        TextAnalysis.perSourceRank(col("doc_id"), col("source"), "v5")(surv)
+          .select(col("doc_id"), col("source"),
+            when(col("source_pos") < 3, lit("eval")).otherwise(lit("train"))
+              .as("split"))
+      },
+      Some {
+        s"""WITH gs AS ($gopherStatsSql),
+           |gate AS (SELECT doc_id FROM gs
+           |         WHERE n_words BETWEEN 50 AND 100000
+           |           AND mean_word_len BETWEEN 3.0 AND 10.0
+           |           AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+           |           AND stop_hits >= 2),
+           |surv AS (SELECT doc_id, source FROM (
+           |           SELECT d.doc_id, d.source,
+           |             row_number() OVER (PARTITION BY md5(d.text)
+           |                                ORDER BY d.doc_id) AS rn
+           |           FROM documents d JOIN gate USING (doc_id))
+           |         WHERE rn = 1),
+           |r AS (SELECT doc_id, source,
+           |        row_number() OVER (PARTITION BY source
+           |          ORDER BY md5('v5:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           |          AS pos
+           |      FROM surv)
+           |SELECT doc_id, source,
+           |       CASE WHEN pos < 3 THEN 'eval' ELSE 'train' END AS split
+           |FROM r""".stripMargin
+      },
+      "X3 curation v5: Gopher hard gate -> exact-dedup survivor -> " +
+        "per-source exact-k eval carve (x55 + x1 + x58 composed); the " +
+        "split is seeded, leakage-free at the exact-dup grain, and " +
+        "every stage is the catalog operator unchanged"),
+
     Q("x55_gopher_rules",
       // the published Gopher hard-gate rule set (word-count bounds, mean
       // word length band, symbol + alpha-word ratios, required-stopword
@@ -2128,20 +2196,7 @@ object ExtensionQueries {
       (s, dir) => TextAnalysis.gopherRules(
         col("doc_id"), col("text"), Texts.enStopwords)(docs(s, dir)),
       Some {
-        val stopChain = Texts.enStopwords
-          .map(w => s"(CASE WHEN contains(' ' || text || ' ', ' $w ') THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH t AS (
-           |  SELECT doc_id,
-           |    len(string_split(text, ' ')) AS n_words,
-           |    round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-           |      / len(string_split(text, ' ')), 4) AS mean_word_len,
-           |    round(CAST(len(regexp_extract_all(' ' || text, ' [^ ]*[a-zA-Z][^ ]*')) AS DOUBLE)
-           |      / len(string_split(text, ' ')), 4) AS alpha_ratio,
-           |    round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
-           |      / len(string_split(text, ' ')), 4) AS symbol_ratio,
-           |    CAST($stopChain AS BIGINT) AS stop_hits
-           |  FROM documents),
+        s"""WITH t AS ($gopherStatsSql),
            |f AS (
            |  SELECT *,
            |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,

@@ -1285,6 +1285,17 @@ object TextAnalysis {
   def samplePerSource(id: Column, source: Column, seed: String, k: Int)(
       df: DataFrame): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    perSourceRank(id, source, seed)(df).filter(col("source_pos") < k)
+  }
+
+  /** The seeded per-source dense rank behind [[samplePerSource]] (and the
+    * first half of [[interleaveSources]]), exposed for pipelines that
+    * need the rank for EVERY row — e.g. an eval/train split that carves
+    * the first k per source and keeps the rest. Same scale posture: one
+    * global range-rank + a |sources|-row broadcast, no per-source window.
+    */
+  def perSourceRank(id: Column, source: Column, seed: String)(
+      df: DataFrame): DataFrame = {
     val keyed = df.select(id.as("doc_id"), source.as("source"),
       md5(concat(lit(seed + ":"), id.cast("string"))).as("h"))
     val g1 = globalIndex(keyed, Seq(col("source"), col("h"), col("doc_id")))
@@ -1292,7 +1303,6 @@ object TextAnalysis {
     g1.join(broadcast(offsets), "source")
       .select(col("doc_id"), col("source"),
         (col("gidx") - col("off")).as("source_pos"))
-      .filter(col("source_pos") < k)
   }
 
   def dataCard(source: Column, lang: Column, text: Column)(

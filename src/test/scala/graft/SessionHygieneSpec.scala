@@ -33,7 +33,12 @@ class SessionHygieneSpec extends SparkSpec {
     // continuation-2 additions: the winnow+UniMax composition (per-doc
     // window frames, two fp-grain exchanges, a driver stats collect) —
     // the heaviest entry added this pass
-    "x6i_curation_v4")
+    "x6i_curation_v4",
+    // continuation-3 additions: the trained-index outlier check (memoized
+    // model + 4-consumer differential — the memo must survive scoped
+    // cleanup) and the v5 composition (gate scan + fingerprint window +
+    // range-rank in one plan)
+    "x57_outlier_check", "x6j_curation_v5")
 
   private def run(name: String): Double = {
     val fn = SparkEntry.queries(name)

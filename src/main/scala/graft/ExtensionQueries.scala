@@ -2150,11 +2150,18 @@ object ExtensionQueries {
       // map-only gate, one fingerprint window, one range-rank.
       (s, dir) => {
         val d = docs(s, dir)
-        val gate = TextAnalysis.gopherRules(
-            col("doc_id"), col("text"), Texts.enStopwords)(d)
-          .filter(col("pass") === 1).select("doc_id")
-        val surv = Dedup.exact(Seq(md5(col("text"))), col("doc_id"))(
-          d.join(gate, "doc_id"))
+        // gopherPassExpr, not gopherRules+filter: the boolean conjunction
+        // short-circuits in codegen (cheap split/contains rules first, the
+        // two regex scans only for rows still alive), and the gate fuses
+        // into the scan as one filter — no join, no second scan
+        val gated = d.filter(TextAnalysis.gopherPassExpr(
+          col("text"), Texts.enStopwords))
+        // NO localCheckpoint before the rank, deliberately: the range
+        // sample and offsets jobs column-prune to (doc_id, source), so
+        // the heavy gate expressions don't re-run for them (DevV5Probe:
+        // checkpoint was neutral at sf3, ~2x at sf0.1)
+        val surv = Dedup.exact(Seq(md5(col("text"))), col("doc_id"))(gated)
+          .select(col("doc_id"), col("source"))
         TextAnalysis.perSourceRank(col("doc_id"), col("source"), "v5")(surv)
           .select(col("doc_id"), col("source"),
             when(col("source_pos") < 3, lit("eval")).otherwise(lit("train"))

@@ -111,6 +111,39 @@ object TextAnalysis {
     * zero UDFs — at 100 TB this is scan-bound, fused into whole-stage
     * codegen with whatever filter consumes `pass`.
     */
+  /** The [[gopherRules]] conjunction as ONE boolean Column, rules ordered
+    * cheapest-first — for pipelines that only gate on `pass` and carry
+    * their own columns (the same role [[qualityExpr]] plays for the soft
+    * score). Boolean `AND` short-circuits in generated code, so a row
+    * that already failed the split-only word-count rule (or the
+    * `contains`-probe stopword rule) never runs the two regex scans —
+    * the `pass` COLUMN in [[gopherRules]] is an integer product and
+    * cannot skip them. Same rounded-value rule semantics, bit-identical
+    * verdicts (differential-tested).
+    */
+  def gopherPassExpr(text: Column,
+      stopwords: Seq[String] = gopherStopwords,
+      minWords: Int = 50, maxWords: Int = 100000): Column = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val toks = Texts.tokens(text)
+    val nWords = size(toks)
+    val n = nWords.cast("double")
+    val meanLen = (length(text) - (nWords - lit(1))).cast("double") / n
+    val padded = concat(lit(" "), text, lit(" "))
+    val stopHits = stopwords
+      .map(w => when(padded.contains(s" $w "), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val symbolRatio = regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / n
+    val alphaRatio =
+      regexp_count(concat(lit(" "), text), lit(" [^ ]*[a-zA-Z][^ ]*"))
+        .cast("double") / n
+    nWords.between(minWords, maxWords) &&
+      round(meanLen, 4).between(3.0, 10.0) &&
+      (stopHits >= 2) &&
+      (round(symbolRatio, 4) <= 0.1) &&
+      (round(alphaRatio, 4) >= 0.8)
+  }
+
   def gopherRules(id: Column, text: Column,
       stopwords: Seq[String] = gopherStopwords,
       minWords: Int = 50, maxWords: Int = 100000)(df: DataFrame): DataFrame = {

@@ -956,6 +956,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getLong(5) === 0L)
   }
 
+  test("gopherPassExpr verdicts are identical to gopherRules' pass column") {
+    import spark.implicits._
+    // every rule's pathology plus the clean case, both default and custom
+    // lists — the short-circuit form must agree bit-for-bit
+    val docs = (
+      Seq(
+        (1L, ((1 to 60).map(i => s"word$i") ++ Seq("the", "and")).mkString(" ")),
+        (2L, "the and short doc"),
+        (3L, ((1 to 60).map(_ => "supercalifragilistic") ++ Seq("the", "and")).mkString(" ")),
+        (4L, ((1 to 45).map(i => s"w$i") ++ (1 to 15).map(_ => "####")).mkString(" ") + " the and"),
+        (5L, (1 to 60).map(i => s"word$i").mkString(" ")),
+        (6L, "abc de ... fgh")) ++
+      (7L to 40L).map(i => (i, (1 to (i % 9 * 9).toInt.max(2)).map(j => s"t${j % 7} the a of").mkString(" ")))
+    ).toDF("doc_id", "text")
+    for (stops <- Seq(TextAnalysis.gopherStopwords, Seq("the", "a", "of"))) {
+      val viaCols = TextAnalysis.gopherRules(col("doc_id"), col("text"), stops)(docs)
+        .select(col("doc_id"), (col("pass") === 1).as("p"))
+      val viaExpr = docs.select(col("doc_id"),
+        TextAnalysis.gopherPassExpr(col("text"), stops).as("p"))
+      assert(rowsOf(viaCols) === rowsOf(viaExpr))
+    }
+  }
+
   test("gopherRules honors a custom stopword list and word bounds") {
     import spark.implicits._
     val docs = Seq((1L, "qq ww qq ww zz")).toDF("doc_id", "text")

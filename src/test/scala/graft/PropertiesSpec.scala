@@ -184,4 +184,61 @@ class PropertiesSpec extends SparkSpec {
       assert(score(boosted) >= score(base) - 1e-9)
     }
   }
+
+  test("samplePerSource sizes are exactly min(k, |stratum|) for random corpora") {
+    val corpusGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(1L, 1000L), Gen.oneOf("s1", "s2", "s3")))
+      .map(_.distinctBy(_._1))
+    forAllSamples(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "source")
+      val k = 3
+      val expected = rows.groupBy(_._2).view.mapValues(g => math.min(k, g.size).toLong).toMap
+      val got = graft.ops.TextAnalysis.samplePerSource(
+          col("doc_id"), col("source"), "sP", k)(df)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("gopherPassExpr agrees with the flag-column product on random texts") {
+    val textGen = Gen.listOfN(60, Gen.oneOf(
+      "the", "a", "of", "word", "supercalifragilistic", "####", "...", "x1"))
+      .map(_.mkString(" "))
+    forAllSamples(Gen.listOfN(6, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val viaCols = graft.ops.TextAnalysis.gopherRules(col("doc_id"), col("text"))(df)
+        .select(col("doc_id"), (col("pass") === 1).as("p"))
+      val viaExpr = df.select(col("doc_id"),
+        graft.ops.TextAnalysis.gopherPassExpr(col("text")).as("p"))
+      assert(rowsOf(viaCols) === rowsOf(viaExpr))
+    }
+  }
+
+  test("embeddingOutliers: outlier mass respects Chebyshev, flags re-derive from output") {
+    val vecGen = Gen.listOfN(30,
+      Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat)))
+      .map(_.filter(v => v.exists(_ != 0f)))
+    forAllSamples(vecGen) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val m = graft.ops.Clustering.KMeansModel(
+        Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, -1.0, 0.0, 0.0)), Nil, 0)
+      val out = graft.ops.Clustering.embeddingOutliers(
+          df, col("vec_id"), col("embedding"), m)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+      out.groupBy(_._1).foreach { case (_, members) =>
+        val frac = members.count(_._3 == 1).toDouble / members.size
+        assert(frac <= 0.25, s"Chebyshev violated: $frac")
+        // re-derive the threshold from the emitted integers
+        val n = members.size.toDouble
+        val s1 = members.map(_._2).sum.toDouble
+        val s2 = members.map(x => x._2 * x._2).sum.toDouble
+        val thr = s1 / n - 2.0 * math.sqrt(math.max(s2 / n - math.pow(s1 / n, 2), 0.0))
+        members.foreach { case (_, sim, flag) =>
+          assert(flag === (if (sim.toDouble < thr) 1 else 0))
+        }
+      }
+    }
+  }
 }

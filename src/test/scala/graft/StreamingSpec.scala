@@ -1024,4 +1024,21 @@ class StreamingSpec extends SparkSpec {
     }
     assert(Sources.dataSourceAvailable("parquet")) // sanity: the probe itself works
   }
+
+  test("X3 gopher gate is the same code on a stream: stateless append filter equals batch") {
+    // curation gates are map-only, so the IDENTICAL Column gates a
+    // readStream: no state, no watermark, per-batch append — the
+    // ingest-time counterpart of the x6j batch gate
+    val docsB = Seq(
+      (1L, ((1 to 60).map(i => s"word$i") ++ Seq("the", "and")).mkString(" ")),
+      (2L, "the and too short"),
+      (3L, ((1 to 55).map(i => s"token$i") ++ Seq("the", "and", "of")).mkString(" ")))
+    def gate(df: DataFrame): DataFrame =
+      df.toDF("doc_id", "text")
+        .filter(graft.ops.TextAnalysis.gopherPassExpr(col("text")))
+        .select("doc_id")
+    val out = runStream(Seq(docsB.take(2), docsB.drop(2)), "append")(gate)
+    assert(rowsOf(out) === rowsOf(gate(docsB.toDF("doc_id", "text"))))
+    assert(out.count() === 2) // doc 2 fails the word-count rule in-stream
+  }
 }

@@ -921,6 +921,32 @@ object ExtensionQueries {
       "X3 corpus-trained unigram-LM score (CCNet-style perplexity filter " +
         "stand-in): add-1-smoothed mean token log-prob, count-side pre-aggregated"),
 
+    Q("x59_ccnet_buckets",
+      // CCNet's published head/middle/tail split by corpus-trained LM
+      // score (the downstream contract is "train on head+middle"):
+      // x12's scoring pass + one tertile-threshold row broadcast back —
+      // the x18 tiers play on the LM axis.
+      (s, dir) => TextAnalysis.lmBuckets(col("doc_id"), col("text"))(docs(s, dir)),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |c AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+             |t AS (SELECT CAST(sum(c) AS DOUBLE) AS t_tokens,
+             |             CAST(count(*) AS DOUBLE) AS vocab FROM c),
+             |sc AS (SELECT doc_id,
+             |         round(avg(ln((CAST(c AS DOUBLE) + 1.0) / (t_tokens + vocab))), 4) AS avg_logp
+             |       FROM tok JOIN c USING (term) CROSS JOIN t
+             |       GROUP BY doc_id),
+             |q AS (SELECT quantile_cont(avg_logp, 1.0/3) AS t1,
+             |             quantile_cont(avg_logp, 2.0/3) AS t2 FROM sc)
+             |SELECT doc_id, avg_logp,
+             |       CASE WHEN avg_logp >= t2 THEN 'head'
+             |            WHEN avg_logp >= t1 THEN 'middle'
+             |            ELSE 'tail' END AS bucket
+             |FROM sc CROSS JOIN q""".stripMargin),
+      "X3 CCNet head/middle/tail buckets by the corpus-trained unigram " +
+        "LM score: x12's scoring pass + an in-plan tertile broadcast " +
+        "(two passes, zero driver round-trips) — the published CCNet " +
+        "shard split downstream mixtures consume"),
+
     Q("x13_hybrid_search",
       (s, dir) => {
         val lex = Search.bm25(col("doc_id"), col("text"),

@@ -430,6 +430,34 @@ object TextAnalysis {
       }
   }
 
+  /** CCNet-style language-model buckets: split the corpus into
+    * head / middle / tail TERTILES of the corpus-trained unigram-LM
+    * score ([[unigramLogProb]]; higher mean log-prob = more fluent =
+    * "head") — the split CCNet publishes per language shard and
+    * downstream pipelines consume as "keep head+middle". Same two-pass
+    * shape as [[qualityTiers]]: one scoring pass, one scalar-aggregate
+    * threshold row broadcast back into it; the bucket rule compares the
+    * ROUND-4 emitted score against interpolated exact percentiles, both
+    * reproducible cross-engine (the o11/x18-proven parity).
+    */
+  def lmBuckets(id: Column, text: Column)(df: DataFrame): DataFrame = {
+    // materialized once: unlike qualityTiers' row-local score, the LM
+    // score is an explode+join+aggregate pipeline, and both the tertile
+    // aggregate and the bucket pass consume it — 2 narrow columns, the
+    // curriculumOrder localCheckpoint play (scoped cleanup reclaims it)
+    val scored = unigramLogProb(id, text)(df)
+      .select(col("doc_id"), col("avg_logp"))
+      .localCheckpoint()
+    val qs = scored.agg(
+      percentile(col("avg_logp"), lit(1.0 / 3)).as("t1"),
+      percentile(col("avg_logp"), lit(2.0 / 3)).as("t2"))
+    scored.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("avg_logp"),
+        when(col("avg_logp") >= col("t2"), lit("head"))
+          .when(col("avg_logp") >= col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Repetition ratio — the classic "repeated n-gram fraction" quality
     * filter for training corpora (a high ratio flags boilerplate, keyword
     * stuffing, decoding loops): 1 - distinct_ngrams / total_ngrams over

@@ -1851,6 +1851,29 @@ object ExtensionQueries {
         "distinct 2-token block survives, in order — the within-doc cut for " +
         "looping/template pages; per-doc aggregates only, no join, no window"),
 
+    Q("x60_clean_blocks",
+      // the C4 "line without common words" cut adapted to 8-token
+      // blocks: nav/keyword/tag-soup spans carry no stopwords and are
+      // trimmed; docs whose every block fails emit no row
+      (s, dir) => TextAnalysis.cleanBlocks(
+        col("doc_id"), col("text"), blockTokens = 8)(docs(s, dir)),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |e AS (SELECT doc_id, t,
+              |        unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+              |      FROM toks),
+              |blk AS (SELECT doc_id, CAST(i AS INT) AS idx,
+              |          array_to_string(t[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS b
+              |        FROM e),
+              |kept AS (SELECT * FROM blk
+              |         WHERE len(list_filter(string_split(b, ' '),
+              |                 x -> x IN ${Texts.enStopwordsSql})) >= 1)
+              |SELECT doc_id, count(*) AS n_kept,
+              |       string_agg(b, ' ' ORDER BY idx) AS clean_text
+              |FROM kept GROUP BY doc_id""".stripMargin),
+      "X3 block-level content cleaning (C4's no-stopword-span cut at " +
+        "8-token blocks): codegen'd stopword-count gate per block, " +
+        "in-order reassembly — per-doc work only, no join, no window"),
+
     Q("x31_quantize_int8",
       (s, dir) => Tables.embeddings(s, dir)
         .select(col("vec_id"),

@@ -1105,6 +1105,42 @@ object TextAnalysis {
           x => x.getField("b")), " ").as("clean_text"))
   }
 
+  /** Block-level content cleaning — the C4-style "no-stopword span" cut
+    * at block granularity (C4 drops lines without common English words;
+    * single-line corpora adapt the rule to fixed token blocks): split
+    * each document into `blockTokens`-token blocks, KEEP only blocks
+    * containing at least `minStopHits` stopword tokens (nav menus,
+    * keyword lists and tag soups have none), reassemble survivors in
+    * order. Complements [[dedupBlocksWithinDoc]] (which cuts REPEATED
+    * blocks): same split, same reassembly, a content gate instead of a
+    * first-occurrence rule. Docs with zero surviving blocks emit no row
+    * (the page is the pathology).
+    *
+    * The block gate is [[Texts.stopwordCountPattern]] via `regexp_count`
+    * — the codegen'd token-membership count (spec-proven equal to the
+    * interpreted filter HOF). Per-doc work only: one (doc_id, block)
+    * aggregate-free filter and one doc_id reassembly shuffle.
+    */
+  def cleanBlocks(id: Column, text: Column, blockTokens: Int,
+      minStopHits: Int = 1)(df: DataFrame): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    require(minStopHits >= 1, s"minStopHits must be >= 1, got $minStopHits")
+    val toks = df.select(id.as("doc_id"), Texts.tokens(text).as("t"))
+    val nBlocks = ceil(size(col("t")).cast("double") / blockTokens).cast("int")
+    val blocks = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nBlocks - 1),
+          i => array_join(slice(col("t"), i * blockTokens + 1, lit(blockTokens)), " "))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "b")
+    blocks
+      .filter(regexp_count(col("b"), lit(Texts.stopwordCountPattern)) >= minStopHits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("b")))),
+            x => x.getField("b")), " ").as("clean_text"))
+  }
+
   /** Cross-document exact-substring deduplication — the ExactSubstr cut of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (ACL 2022), at shingle granularity: any `spanTokens`-token

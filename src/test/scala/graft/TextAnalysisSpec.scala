@@ -895,6 +895,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap !== other)
   }
 
+  test("cleanBlocks keeps stopword-bearing blocks in order; all-fail docs emit no row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat nav menu on mat"),   // blocks: [the cat] [nav menu] [on mat]
+      (2L, "nav menu tag soup"),         // no stopwords anywhere
+      (3L, "a b")                        // single short block, 'a' is a stopword
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanBlocks(col("doc_id"), col("text"), blockTokens = 2)(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out === Map(
+      1L -> ((2L, "the cat on mat")),    // middle block trimmed, order kept
+      3L -> ((1L, "a b"))))              // doc 2 fully dropped
+  }
+
+  test("cleanBlocks block gate equals the interpreted membership-count twin") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the the the on a is that for of to in xx yy"),
+      (2L, (1 to 23).map(i => s"w$i").mkString(" ") + " the")).toDF("doc_id", "text")
+    val viaOp = TextAnalysis.cleanBlocks(col("doc_id"), col("text"), 4, minStopHits = 2)(df)
+    // twin: explode blocks, filter by interpreted HOF membership count
+    val toks = df.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val nb = ceil(size(col("t")).cast("double") / 4).cast("int")
+    val blocks = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nb - 1),
+          i => array_join(slice(col("t"), i * 4 + 1, lit(4)), " "))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "b")
+    val twin = blocks
+      .filter(size(filter(split(col("b"), " "),
+        t => t.isInCollection(Texts.enStopwords))) >= 2)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("b")))),
+          x => x.getField("b")), " ").as("clean_text"))
+    assert(rowsOf(viaOp) === rowsOf(twin))
+  }
+
   test("samplePerSource: exactly k per source (all if smaller), window-form differential") {
     import spark.implicits._
     val docs = ((1L to 30L).map(i => (i, "big")) ++ (31L to 33L).map(i => (i, "tiny")))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.functions.L2Normalize
-import graft.ops.{Clustering, Dedup, Similarity}
+import graft.ops.{Clustering, Dedup, Similarity, Texts}
 
 /** Driver-visible invariants for the catalog's no-oracle queries (round-2
   * verdict "what's missing #3"): the hash/sketch-based operators (xxhash64
@@ -709,6 +709,41 @@ object CheckQueries {
       "invariant for x57: outlier flags re-derive exactly from the " +
         "emitted integer sims; per-cluster outlier mass respects the " +
         "Chebyshev 1/4 bound (a theorem for exact population stats); " +
-        "assignment is argmax under the interpreted cosine twin")
+        "assignment is argmax under the interpreted cosine twin"),
+
+    Q("x61_card_check",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merged = ExtensionQueries.all.find(_.name == "x61_mergeable_card")
+          .get.run(s, dir)
+        // exact twin: one direct pass, no shards
+        val exact = d.select(col("source"), explode(Texts.tokens(col("text"))).as("term"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("term")).as("vocab_exact"),
+            count(lit(1)).as("n_tokens_exact"))
+        val docsExact = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_exact"))
+        // single-pass sketch (no shard split): HLL registers are per-slot
+        // maxima, so shard-merge must equal this BIT-EXACTLY
+        val single = d.select(col("source"), explode(Texts.tokens(col("text"))).as("term"))
+          .groupBy(col("source"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("term"))).as("est_single"))
+        merged.join(exact, "source").join(docsExact, "source").join(single, "source")
+          .agg(
+            coalesce(bool_and(col("n_docs") === col("n_docs_exact") &&
+              col("n_tokens") === col("n_tokens_exact")), lit(true)).as("sums_exact"),
+            coalesce(bool_and(col("vocab_est") === col("est_single")), lit(true))
+              .as("merge_consistent"),
+            coalesce(bool_and(
+              abs(col("vocab_est") - col("vocab_exact")).cast("double")
+                / col("vocab_exact") <= 0.05), lit(true)).as("est_within_5pct"),
+            (count(lit(1)) > 0).as("checked_some"))
+      },
+      Some("SELECT TRUE AS sums_exact, TRUE AS merge_consistent, " +
+        "TRUE AS est_within_5pct, TRUE AS checked_some"),
+      "invariant for x61: integer sums equal the direct pass; the " +
+        "shard-merged HLL estimate equals the single-pass sketch " +
+        "BIT-EXACTLY (registers are per-slot maxima); estimate within " +
+        "the sketch's 5% envelope of exact vocabulary")
   )
 }

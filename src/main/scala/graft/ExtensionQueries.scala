@@ -1874,6 +1874,34 @@ object ExtensionQueries {
         "8-token blocks): codegen'd stopword-count gate per block, " +
         "in-order reassembly — per-doc work only, no join, no window"),
 
+    Q("x61_mergeable_card",
+      // the INCREMENTAL data card: per-shard stats whose merge is exact
+      // (integer sums) or sketch-mergeable (HLL vocab registers union by
+      // per-register max, so merged == single-pass BIT-EXACTLY) — the
+      // pattern a 100 TB corpus needs to keep its card current without
+      // re-scanning history: each new shard contributes one card row,
+      // the merge touches |shards| rows. Shards simulated as doc_id%4.
+      (s, dir) => {
+        val base = docs(s, dir).select((col("doc_id") % 4).as("shard"),
+          col("source"), Texts.tokens(col("text")).as("t"))
+        val docCards = base.groupBy(col("shard"), col("source"))
+          .agg(count(lit(1)).as("nd"), sum(size(col("t")).cast("long")).as("nt"))
+        val vocabCards = base
+          .select(col("shard"), col("source"), explode(col("t")).as("term"))
+          .groupBy(col("shard"), col("source"))
+          .agg(hll_sketch_agg(col("term")).as("sk"))
+        docCards.join(vocabCards, Seq("shard", "source"))
+          .groupBy(col("source"))
+          .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("vocab_est"))
+      },
+      None, // HLL registers are not DuckDB-reproducible; exactness of the
+            // merge + sums and the estimate's error are x61_card_check
+      "X3 mergeable per-shard data card (incremental corpus stats): " +
+        "integer sums + HLL vocab sketches per (shard, source), merged " +
+        "per source — shard-local scans, |shards| x |sources|-row merge, " +
+        "history never re-scanned"),
+
     Q("x31_quantize_int8",
       (s, dir) => Tables.embeddings(s, dir)
         .select(col("vec_id"),

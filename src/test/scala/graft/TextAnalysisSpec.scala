@@ -895,6 +895,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap !== other)
   }
 
+  test("lmBuckets: buckets partition the corpus and rank monotonically with the LM score") {
+    import spark.implicits._
+    // fluency controlled by the common-vs-unique token mix: doc 1 is 9
+    // corpus-frequent tokens + 1 hapax, doc 9 the reverse
+    val docs = (1L to 9L).map { i =>
+      val common = (1 to (10 - i).toInt).map(_ => "common").mkString(" ")
+      val rare = (1 to i.toInt).map(j => s"rare${i}_$j").mkString(" ")
+      (i, s"$common $rare")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.lmBuckets(col("doc_id"), col("text"))(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.length === 9)
+    val rank = Map("head" -> 2, "middle" -> 1, "tail" -> 0)
+    val ranks = out.sortBy(-_._2).map(x => rank(x._3))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b }) // never up-bucket down-score
+    assert(ranks.toSet === Set(0, 1, 2))                            // all three buckets hit
+    val byId = out.map(x => x._1 -> x._2).toMap
+    assert(byId(1L) > byId(9L)) // common-heavy doc scores above hapax-heavy doc
+  }
+
   test("cleanBlocks keeps stopword-bearing blocks in order; all-fail docs emit no row") {
     import spark.implicits._
     val df = Seq(

@@ -1874,6 +1874,33 @@ object ExtensionQueries {
         "8-token blocks): codegen'd stopword-count gate per block, " +
         "in-order reassembly — per-doc work only, no join, no window"),
 
+    Q("x62_concat_chunks",
+      // GPT-style concat-and-chunk: global token offsets via the
+      // distributed prefix-sum (scan twin of the range-rank play), one
+      // row per (doc, training sequence) span — long docs split across
+      // sequence boundaries, every token lands exactly once. The oracle
+      // states the single-reducer window form; the engine never plans it.
+      (s, dir) => TextAnalysis.concatChunks(
+        col("doc_id"), col("text"), seqLen = 512)(docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+             |          FROM documents
+             |          WHERE len(string_split(text, ' ')) > 0),
+             |sp AS (SELECT doc_id, n,
+             |         CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS o
+             |       FROM t),
+             |e AS (SELECT doc_id, n, o,
+             |        unnest(range(o // 512, (o + n - 1) // 512 + 1)) AS seq_id
+             |      FROM sp)
+             |SELECT doc_id, seq_id,
+             |       CAST(greatest(0, seq_id * 512 - o) AS BIGINT) AS doc_tok_start,
+             |       CAST(least((seq_id + 1) * 512, o + n)
+             |            - greatest(seq_id * 512, o) AS BIGINT) AS n_toks
+             |FROM e""".stripMargin),
+      "X3 GPT-style concat-and-chunk packing (fixed 512-token training " +
+        "sequences, docs split at boundaries): distributed prefix-sum " +
+        "for the global token offset — no sum() OVER global window, no " +
+        "single-reducer stage; map-only span emission after the scan"),
+
     Q("x61_mergeable_card",
       // the INCREMENTAL data card: per-shard stats whose merge is exact
       // (integer sums) or sketch-mergeable (HLL vocab registers union by

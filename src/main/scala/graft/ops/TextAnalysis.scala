@@ -1278,6 +1278,69 @@ object TextAnalysis {
           org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** The SCAN counterpart of [[globalIndex]]: adds a `prefix` column =
+    * the sum of `__v` (a long column the caller must have added) over
+    * all rows STRICTLY BEFORE this row in the total order of `sortCols`.
+    * Same one-materialized-shuffle play: per-partition sums are a
+    * |partitions|-sized collect, the scan pass reuses the same shuffle
+    * output, so no single reducer ever sees the whole frame.
+    */
+  private def globalPrefixSum(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd = sorted.rdd
+    val sums = spark.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
+      var s = 0L; while (it.hasNext) { s += it.next().getLong(vIdx) }; s
+    })
+    val offsets = sums.scanLeft(0L)(_ + _).init
+    val scanned = rdd.mapPartitionsWithIndex({ (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc); acc += r.getLong(vIdx); out
+      }
+    }, preservesPartitioning = true)
+    spark.createDataFrame(scanned,
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("prefix",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** GPT-style concat-and-chunk packing — the standard pretraining
+    * layout (concatenate the corpus in a deterministic document order,
+    * cut every `seqLen` tokens): each document learns its global token
+    * offset and emits one row per training sequence it overlaps, with
+    * the in-doc token range that lands there. Long documents SPLIT
+    * across sequence boundaries (the case [[packSequences]]' whole-doc
+    * bins refuse); every token lands in exactly one sequence slot.
+    *
+    * The global token offset is a distributed PREFIX SUM
+    * ([[globalPrefixSum]] — the scan twin of the range-partition rank
+    * play), NOT `sum(n) OVER (ORDER BY ...)`, whose global window is a
+    * single-reducer sort. The oracle states the window form; results
+    * match, plans differ.
+    */
+  def concatChunks(id: Column, text: Column, seqLen: Int)(
+      df: DataFrame): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val withLen = df.select(id.as("doc_id"),
+        size(Texts.tokens(text)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__v", col("n_tokens"))
+    val pre = globalPrefixSum(withLen, Seq(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("prefix").as("off"))
+    val L = lit(seqLen.toLong)
+    pre
+      .select(col("doc_id"), col("n_tokens"), col("off"),
+        explode(sequence(expr(s"off div $seqLen"),
+          expr(s"(off + n_tokens - 1) div $seqLen"))).as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * L - col("off")).as("doc_tok_start"),
+        (least((col("seq_id") + 1) * L, col("off") + col("n_tokens"))
+          - greatest(col("seq_id") * L, col("off"))).as("n_toks"))
+  }
+
   /** Deterministic seeded global shuffle — the training-data ordering
     * op: every row gets a pseudo-random but fully reproducible position
     * in a total order keyed by `md5(seed || id)` (ties, i.e. md5

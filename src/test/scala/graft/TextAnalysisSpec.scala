@@ -895,6 +895,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap !== other)
   }
 
+  test("concatChunks tiles every token exactly once; long docs split at boundaries") {
+    import spark.implicits._
+    // doc lengths 3, 10, 4, 7 with seqLen 8: doc 2 spans seqs 0-1,
+    // doc 4 spans seqs 2-3 (offsets 0,3,13,17; total 24 tokens -> 3 seqs)
+    val docs = Seq(
+      (1L, (1 to 3).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 4).map(i => s"c$i").mkString(" ")),
+      (4L, (1 to 7).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.concatChunks(col("doc_id"), col("text"), seqLen = 8)(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc's spans cover exactly its tokens, starting at 0, contiguous
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(2L).map(_._4).sum === 10L && byDoc(2L).size === 2)
+    for ((id, n) <- Seq(1L -> 3L, 2L -> 10L, 3L -> 4L, 4L -> 7L)) {
+      val spans = byDoc(id).sortBy(_._3)
+      assert(spans.map(_._4).sum === n)
+      assert(spans.head._3 === 0L)
+      assert(spans.zip(spans.tail).forall { case (a, b) => a._3 + a._4 === b._3 })
+    }
+    // every sequence holds exactly seqLen tokens except the last
+    val bySeq = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(bySeq === Map(0L -> 8L, 1L -> 8L, 2L -> 8L))
+    // differential vs the single-reducer window formulation
+    val twin = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("o", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - col("n"))
+      .select(col("doc_id"), col("n"), col("o"),
+        explode(sequence(expr("o div 8"), expr("(o + n - 1) div 8"))).as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * 8 - col("o")).as("doc_tok_start"),
+        (least((col("seq_id") + 1) * lit(8L), col("o") + col("n"))
+          - greatest(col("seq_id") * lit(8L), col("o"))).as("n_toks"))
+    assert(out.toSet ===
+      twin.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
   test("lmBuckets: buckets partition the corpus and rank monotonically with the LM score") {
     import spark.implicits._
     // fluency controlled by the common-vs-unique token mix: doc 1 is 9

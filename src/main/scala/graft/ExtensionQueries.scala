@@ -1874,6 +1874,32 @@ object ExtensionQueries {
         "8-token blocks): codegen'd stopword-count gate per block, " +
         "in-order reassembly — per-doc work only, no join, no window"),
 
+    Q("x63_temporal_split",
+      // leakage-free temporal train/eval split with an EMBARGO gap (the
+      // forecasting-eval protocol: events inside [cut, cut+gap) are
+      // dropped so label windows that straddle the cut can't leak
+      // future information into training). Cut = in-plan 0.8 quantile
+      // of the event time, one scalar broadcast, map-only labeling; at
+      // 100 TB swap percentile for percentile_approx as in x18.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("ts_us"))
+        val cut = ev.agg(percentile(col("ts_us"), lit(0.8)).as("t_cut"))
+        ev.crossJoin(broadcast(cut))
+          .select(col("event_id"),
+            when(col("ts_us") < col("t_cut"), lit("train"))
+              .when(col("ts_us") < col("t_cut") + lit(300000000L), lit("embargo"))
+              .otherwise(lit("eval")).as("split"))
+      },
+      Some("""WITH c AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS t_cut FROM events)
+             |SELECT event_id,
+             |       CASE WHEN epoch_us(ts) < t_cut THEN 'train'
+             |            WHEN epoch_us(ts) < t_cut + 300000000 THEN 'embargo'
+             |            ELSE 'eval' END AS split
+             |FROM events CROSS JOIN c""".stripMargin),
+      "X3 leakage-free temporal split with a 5-minute embargo gap at the " +
+        "0.8 time quantile: the forecasting-eval protocol as one scalar " +
+        "broadcast + a map-only labeling pass"),
+
     Q("x62_concat_chunks",
       // GPT-style concat-and-chunk: global token offsets via the
       // distributed prefix-sum (scan twin of the range-rank play), one

@@ -1927,6 +1927,32 @@ object ExtensionQueries {
         "for the global token offset — no sum() OVER global window, no " +
         "single-reducer stage; map-only span emission after the scan"),
 
+    Q("x62b_shuffled_chunks",
+      // x62 in the epoch's actual training order: seeded-md5 document
+      // permutation, then cut every 512 tokens — the layout a training
+      // run streams; same prefix-sum plan, different total order
+      (s, dir) => TextAnalysis.concatChunksShuffled(
+        col("doc_id"), col("text"), seqLen = 512, seed = "e0")(docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+             |            md5('e0:' || CAST(doc_id AS VARCHAR)) AS h
+             |          FROM documents
+             |          WHERE len(string_split(text, ' ')) > 0),
+             |sp AS (SELECT doc_id, n,
+             |         CAST(sum(n) OVER (ORDER BY h, doc_id) - n AS BIGINT) AS o
+             |       FROM t),
+             |e AS (SELECT doc_id, n, o,
+             |        unnest(range(o // 512, (o + n - 1) // 512 + 1)) AS seq_id
+             |      FROM sp)
+             |SELECT doc_id, seq_id,
+             |       CAST(greatest(0, seq_id * 512 - o) AS BIGINT) AS doc_tok_start,
+             |       CAST(least((seq_id + 1) * 512, o + n)
+             |            - greatest(seq_id * 512, o) AS BIGINT) AS n_toks
+             |FROM e""".stripMargin),
+      "X3 concat-and-chunk in the seeded epoch order (md5 permutation " +
+        "before the cut): the layout a training run actually streams — " +
+        "reproducible, new seed = new epoch; same distributed prefix-sum " +
+        "plan as x62"),
+
     Q("x61_mergeable_card",
       // the INCREMENTAL data card: per-shard stats whose merge is exact
       // (integer sums) or sketch-mergeable (HLL vocab registers union by

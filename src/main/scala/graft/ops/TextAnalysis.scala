@@ -1322,13 +1322,33 @@ object TextAnalysis {
     * match, plans differ.
     */
   def concatChunks(id: Column, text: Column, seqLen: Int)(
-      df: DataFrame): DataFrame = {
+      df: DataFrame): DataFrame =
+    concatChunksOrdered(id, text, seqLen, identity)(df)
+
+  /** [[concatChunks]] in the seeded TRAINING order instead of doc_id
+    * order: the corpus is concatenated in [[seededShuffle]]'s
+    * `md5(seed‖id)` permutation before cutting, so the emitted layout is
+    * the one an epoch actually streams — reproducible across engines/
+    * runs, a new seed is a fresh epoch layout. Same prefix-sum plan;
+    * only the total order changes.
+    */
+  def concatChunksShuffled(id: Column, text: Column, seqLen: Int,
+      seed: String)(df: DataFrame): DataFrame =
+    concatChunksOrdered(id, text, seqLen,
+      d => d.withColumn("__h",
+        md5(concat(lit(seed + ":"), col("doc_id").cast("string")))))(
+      df, Seq(col("__h"), col("doc_id")))
+
+  private def concatChunksOrdered(id: Column, text: Column, seqLen: Int,
+      key: DataFrame => DataFrame)(
+      df: DataFrame,
+      sortCols: Seq[Column] = Seq(col("doc_id"))): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val withLen = df.select(id.as("doc_id"),
+    val withLen = key(df.select(id.as("doc_id"),
         size(Texts.tokens(text)).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("__v", col("n_tokens"))
-    val pre = globalPrefixSum(withLen, Seq(col("doc_id")))
+      .withColumn("__v", col("n_tokens")))
+    val pre = globalPrefixSum(withLen, sortCols)
       .select(col("doc_id"), col("n_tokens"), col("prefix").as("off"))
     val L = lit(seqLen.toLong)
     pre

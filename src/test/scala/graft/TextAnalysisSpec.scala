@@ -932,6 +932,28 @@ class TextAnalysisSpec extends SparkSpec {
       twin.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
   }
 
+  test("concatChunksShuffled: same per-doc tiling, seed-permuted order, reproducible") {
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, (1 to 5).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.concatChunksShuffled(col("doc_id"), col("text"), 8, "sA")(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // tiling invariants hold in any order: per-doc coverage, per-seq capacity
+    val byDoc = a.groupBy(_._1)
+    assert(byDoc.keySet === (1L to 12L).toSet)
+    assert(byDoc.values.forall(s => s.map(_._4).sum === 5L))
+    val bySeq = a.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(bySeq.values.sum === 60L)
+    assert(bySeq.filter(_._1 < 7).forall(_._2 == 8L)) // 60 tokens -> 7 seqs of 8 + tail 4
+    // reproducible; a new seed permutes which docs share a sequence
+    val again = TextAnalysis.concatChunksShuffled(col("doc_id"), col("text"), 8, "sA")(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSet === again.toSet)
+    val b = TextAnalysis.concatChunksShuffled(col("doc_id"), col("text"), 8, "sB")(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b !== a.map(r => (r._1, r._2)).toSet)
+  }
+
   test("lmBuckets: buckets partition the corpus and rank monotonically with the LM score") {
     import spark.implicits._
     // fluency controlled by the common-vs-unique token mix: doc 1 is 9

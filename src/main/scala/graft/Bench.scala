@@ -43,11 +43,21 @@ object Bench {
     val picked = SparkEntry.queries.filter { case (name, _) =>
       filter.forall(_.findFirstIn(name).isDefined)
     }
+    // Force evaluation of EVERY output column, not just row count: count()
+    // lets Catalyst prune all columns down to the scan, so a map-only
+    // projection (x55's regex pipeline) was billed scan cost (~0.10 s)
+    // instead of the ~5 s/150k-doc cost its consumers actually pay
+    // (round-7 caveat, BASELINE.md). The built-in `noop` datasource runs
+    // the full physical plan — all columns materialized into UnsafeRows —
+    // and discards the rows, which is exactly what a downstream
+    // parquet-writing consumer pays minus encoding.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // Inter-query cleanup is Housekeeping.scopedBlocks — drop exactly the
     // blocks each query persisted, nothing else (round 5's blanket
     // unpersist destroyed memoized artifacts other queries still owned).
     for ((name, fn) <- picked) {
-      try Housekeeping.scopedBlocks(spark) { fn(spark, sfDir).count() }
+      try Housekeeping.scopedBlocks(spark) { force(fn(spark, sfDir)) }
       catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $name failed: ${e.getMessage}")
       }
@@ -68,7 +78,7 @@ object Bench {
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val gc0 = if (debug) gcMillis else 0L
       val t0 = System.nanoTime()
-      try Housekeeping.scopedBlocks(spark) { fn(spark, sfDir).count() }
+      try Housekeeping.scopedBlocks(spark) { force(fn(spark, sfDir)) }
       catch { case e: Throwable =>
         errors ::= name -> String.valueOf(e.getMessage).take(200)
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -734,13 +734,20 @@ object CheckQueries {
               col("n_tokens") === col("n_tokens_exact")), lit(true)).as("sums_exact"),
             coalesce(bool_and(col("vocab_est") === col("est_single")), lit(true))
               .as("merge_consistent"),
+            // STATISTICAL bound, not a theorem (the only one in this
+            // file's new checks — r8 advice): HLL lgK=12 has RSE ~1.6%,
+            // so 8% is a ~5-sigma envelope (miss prob ~3e-7 per source;
+            // the estimate is deterministic per dataset — a red here
+            // means an astronomically unlucky CORPUS, not a flaky run).
+            // merge_consistent above is the bit-exact theorem; this one
+            // only guards against a grossly wrong sketch.
             coalesce(bool_and(
               abs(col("vocab_est") - col("vocab_exact")).cast("double")
-                / col("vocab_exact") <= 0.05), lit(true)).as("est_within_5pct"),
+                / col("vocab_exact") <= 0.08), lit(true)).as("est_within_envelope"),
             (count(lit(1)) > 0).as("checked_some"))
       },
       Some("SELECT TRUE AS sums_exact, TRUE AS merge_consistent, " +
-        "TRUE AS est_within_5pct, TRUE AS checked_some"),
+        "TRUE AS est_within_envelope, TRUE AS checked_some"),
       "invariant for x61: integer sums equal the direct pass; the " +
         "shard-merged HLL estimate equals the single-pass sketch " +
         "BIT-EXACTLY (registers are per-slot maxima); estimate within " +

@@ -218,6 +218,24 @@ object Queries {
         "event the trailing 10 s count, event-time-bound windows via one " +
         "per-key RANGE frame"),
 
+    Q("a2d_suppressed_final",
+      // suppress(untilWindowCloses) batch fixpoint: tumbling 10 s count,
+      // only windows CLOSED by the final watermark (max ts − 30 s) are
+      // emitted — the exact set an append-mode watermarked run emits
+      // (StreamingSpec asserts the exactly-once-per-window equivalence).
+      (s, dir) => suppressedWindowedCountFinal(
+        col("ts_ts"), "10 seconds", 30L, col("user_id"), "user_id")(
+        Tables.events(s, dir)),
+      Some("""WITH wc AS (SELECT user_id, epoch_us(ts) // 10000000 * 10 AS window_start,
+             |              count(*) AS cnt
+             |            FROM events GROUP BY 1, 2),
+             |wm AS (SELECT epoch_us(max(ts)) // 1000000 - 30 AS wm_s FROM events)
+             |SELECT user_id, window_start, cnt
+             |FROM wc, wm WHERE window_start + 10 <= wm_s""".stripMargin),
+      "A2 superset: suppress(untilWindowCloses) emit-final windowed " +
+        "aggregate — append-mode watermark gating's batch fixpoint; " +
+        "windows still open at end-of-input are withheld"),
+
     // ================= joins (SURVEY §2.4) =================
 
     Q("j1_stream_table_join",

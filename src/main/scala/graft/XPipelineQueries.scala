@@ -1,0 +1,518 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+import graft.functions.L2Normalize
+import graft.ops.{Classifier, Clustering, Dedup, Graph, Multimodal, Pca, Search, Similarity, TextAnalysis, Texts}
+import graft.ExtensionQueries._
+
+/** End-to-end curation pipelines, dataset splits & audits, multimodal plumbing and event-sequence entries, split from ExtensionQueries (r8 task #8). */
+object XPipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("x6_curation_pipeline",
+      (s, dir) => {
+        // The end-to-end curation pass this engine exists for, as ONE
+        // declarative plan: normalize → quality-filter → exact-dedup on
+        // the normalized fingerprint → deterministic hash sample.
+        // Single scan: `qualityExpr` is a scalar computed NEXT TO the
+        // passthrough columns (round 2 re-derived norm on both sides of a
+        // doc_id self-join just to recover it), so the only exchange in the
+        // plan is the dedup window's hash partitioning on the fingerprint.
+        // The quality filter runs AFTER the dedup window, which is exact:
+        // rows in one fingerprint group share `norm`, hence share `quality`
+        // — the whole group passes or fails together, so filtering before
+        // or after picking the min-doc_id survivor yields the same set.
+        // Placed before, Catalyst would push the predicate below the norm
+        // projection and inline the 3-regex normalize chain once per
+        // quality term (6×/row, round 2's interpreted-HOF sin in codegen'd
+        // form); placed after the window it cannot cross the partition
+        // boundary, so normalize runs exactly once per row.
+        val normed = docs(s, dir)
+          .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
+        Dedup.exact(Seq(md5(col("norm"))), col("doc_id"))(normed)
+          .withColumn("quality", TextAnalysis.qualityExpr(col("norm")))
+          .filter(col("quality") >= 0.45 &&
+            TextAnalysis.deterministicSample(col("doc_id"), "c0"))
+          .select(col("doc_id"), md5(col("norm")).as("norm_fp"), col("quality"))
+      },
+      Some(s"""WITH normed AS (SELECT doc_id,
+              |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              |       FROM documents),
+              |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM normed),
+              |q AS (SELECT doc_id, norm,
+              |        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |      + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |      + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |      FROM t),
+              |kept AS (SELECT * FROM q WHERE quality >= 0.45),
+              |deduped AS (SELECT doc_id, norm, quality FROM kept
+              |            QUALIFY row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1)
+              |SELECT doc_id, md5(norm) AS norm_fp, quality
+              |FROM deduped
+              |WHERE md5(CAST(doc_id AS VARCHAR)) < 'c0'""".stripMargin),
+      "X1-X3 curation composite: normalize -> quality filter -> fingerprint dedup -> deterministic 75% sample"),
+
+    Q("x6b_split_assign",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextAnalysis.assignSplit(col("doc_id"),
+          Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).as("split")),
+      Some {
+        val Seq(t1, t2) = TextAnalysis.splitThresholds(Seq(0.8, 0.1, 0.1))
+        s"""SELECT doc_id,
+           |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
+           |       WHEN md5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      },
+      "deterministic train/val/test split via md5 thresholds — identical routing in both engines"),
+
+    Q("x6g_curation_v2",
+      (s, dir) => {
+        // round-5 ops COMPOSED: corpus-relative quality gate (top two
+        // tiers) → cross-doc duplication cut (dup_frac < 0.5, which also
+        // drops sub-shingle docs) → deterministic sequence packing. Each
+        // stage is the catalog operator unchanged — the pipeline is three
+        // joins on doc_id, no re-derivation.
+        val d = docs(s, dir)
+        val tiers = TextAnalysis.qualityTiers(col("doc_id"), col("text"))(d)
+          .filter(col("tier") >= 2).select("doc_id")
+        // exact integer form of dup_frac < 0.5 (dup_frac is emitted
+        // rounded; 2*n_dup < n_shingles has no rounding boundary)
+        val nondup = Dedup.dupNgramStats(col("doc_id"), col("text"), 5)(d)
+          .filter(col("n_dup") * 2 < col("n_shingles")).select("doc_id")
+        val kept = d.join(tiers, "doc_id").join(nondup, "doc_id")
+        TextAnalysis.packSequences(col("doc_id"), col("text"),
+          col("source"), 2048)(kept)
+      },
+      Some(s"""WITH sc AS (SELECT doc_id,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |    + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |    + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+              |qq AS (SELECT quantile_cont(quality, 0.5) AS q2 FROM sc),
+              |t AS (SELECT doc_id FROM sc CROSS JOIN qq WHERE quality >= q2),
+              |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |sh AS (SELECT DISTINCT doc_id,
+              |         unnest([array_to_string(toks[i:i+4], ' ')
+              |                 for i in range(1, len(toks) - 3)]) AS s
+              |       FROM toks WHERE len(toks) >= 5),
+              |dfreq AS (SELECT s, count(*) >= 2 AS in_others FROM sh GROUP BY s),
+              |dd AS (SELECT doc_id FROM sh JOIN dfreq USING (s) GROUP BY doc_id
+              |       HAVING 2 * sum(CASE WHEN in_others THEN 1 ELSE 0 END) < count(*)),
+              |kept AS (SELECT d.doc_id, d.source,
+              |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+              |           md5(CAST(d.doc_id AS VARCHAR)) AS ord
+              |         FROM documents d JOIN t USING (doc_id) JOIN dd USING (doc_id)),
+              |o AS (SELECT doc_id, source, n_tokens,
+              |        CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+              |      FROM kept)
+              |SELECT doc_id, source AS part, n_tokens, start_offset,
+              |       CAST(floor(start_offset / 2048) AS BIGINT) AS bin
+              |FROM o""".stripMargin),
+      "X3 curation v2 — the round-5 ops composed: corpus-relative quality " +
+        "tiering, cross-doc duplication cut, deterministic packing; three " +
+        "doc_id joins, every stage the unchanged catalog operator"),
+
+    Q("x6h_curation_v3",
+      // the round-7 signals COMPOSED: information-density gate (x45's
+      // rounded entropy >= 3.0 — the round-4 value is engine-exact, so
+      // the keep set cannot flip) → curriculum ordering of the survivors
+      // (x46 unchanged; tiers re-quantiled on the gated subset)
+      (s, dir) => TextAnalysis.curriculumOrder(col("doc_id"), col("text"), "v3")(
+        docs(s, dir).filter(
+          round(graft.functions.TokenEntropy(col("text")), 4) >= 3.0)),
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, term, count(*) AS c
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |        FROM documents)
+              |  GROUP BY 1, 2),
+              |ent AS (
+              |  SELECT doc_id,
+              |         round(ln(CAST(sum(c) AS DOUBLE))
+              |               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+              |                 / CAST(sum(c) AS DOUBLE), 4) AS entropy
+              |  FROM tf GROUP BY doc_id),
+              |kept AS (SELECT d.doc_id, d.text FROM documents d
+              |         JOIN ent USING (doc_id) WHERE ent.entropy >= 3.0),
+              |sc AS (SELECT doc_id,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+              |    + CAST(len(list_filter(toks, t -> t IN ${Texts.enStopwordsSql})) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.25
+              |    + CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.05 AS quality
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)),
+              |q AS (SELECT quantile_cont(quality, 0.25) AS q1,
+              |             quantile_cont(quality, 0.5) AS q2,
+              |             quantile_cont(quality, 0.75) AS q3 FROM sc),
+              |t AS (SELECT doc_id,
+              |        CAST(CASE WHEN quality < q1 THEN 0
+              |                  WHEN quality < q2 THEN 1
+              |                  WHEN quality < q3 THEN 2
+              |                  ELSE 3 END AS INT) AS tier
+              |      FROM sc CROSS JOIN q)
+              |SELECT doc_id, tier,
+              |       row_number() OVER (
+              |         ORDER BY 3 - tier,
+              |                  md5('v3:' || CAST(doc_id AS VARCHAR)),
+              |                  doc_id) - 1 AS position
+              |FROM t""".stripMargin),
+      "X3 curation pipeline v3: round-7 ops composed unchanged — entropy " +
+        "gate (map-only native expression) feeding curriculum ordering of " +
+        "the survivors, all oracle-exact"),
+
+    Q("x6i_curation_v4",
+      // the continuation-2 ops COMPOSED into the MOSS/Dolma-style
+      // partial-overlap curation pass: winnowed fingerprints (x51) →
+      // fp-grain first-occurrence ownership → drop any doc with ≥ half
+      // its selected fps owned by an earlier doc (catches quotes /
+      // near-containment that whole-doc hashing misses, at ~40% of the
+      // dense-stream index volume) → UniMax mixture (x54) re-derived on
+      // the SURVIVORS (weights follow the gated totals, like v3's
+      // re-quantiled tiers). Aggregate-then-join on one fp-keyed
+      // exchange; the drop rule is an all-integer comparison.
+      (s, dir) => {
+        val d = docs(s, dir)
+        // materialize the winnow stream ONCE: both the ownership aggregate
+        // and the per-doc rollup consume it, and the broadcast build side
+        // would otherwise re-run the whole per-doc window pipeline
+        // (measured 2x the entry at sf3). Blocks reclaimed by the
+        // harness's scoped cleanup.
+        val fps = TextAnalysis.winnowFpSets(col("doc_id"), col("text"), 8, 4)(d)
+          .localCheckpoint()
+        val owner = fps.groupBy("fp").agg(min(col("doc_id")).as("owner"))
+        val flagged = fps.join(owner, "fp")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sel"),
+            sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_foreign"))
+          .filter(col("n_foreign") * 2 >= col("n_sel"))
+          .select(col("doc_id"))
+        // short docs (< k tokens) have no fingerprints — no duplication
+        // evidence, so they survive (anti join, not semi)
+        val survivors = d.join(flagged, Seq("doc_id"), "left_anti")
+        TextAnalysis.mixByUnimax(
+          col("doc_id"), col("lang"), size(Texts.tokens(col("text"))),
+          maxEpochs = 2, budgetFraction = 1.5)(survivors)
+      },
+      Some(s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              |           WHERE len(string_split(text, ' ')) >= 8),
+              |wg AS (SELECT doc_id, len(toks) - 7 AS n_grams,
+              |              unnest(range(1, len(toks) - 6)) AS pos, toks
+              |       FROM wt),
+              |wh AS (SELECT doc_id, n_grams, CAST(pos AS INT) AS pos,
+              |              md5(array_to_string(toks[pos:pos+7], ' ')) AS fp
+              |       FROM wg),
+              |wm AS (SELECT doc_id, n_grams, pos,
+              |              min(fp || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0'))
+              |                OVER (PARTITION BY doc_id ORDER BY pos
+              |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
+              |       FROM wh),
+              |fps AS (SELECT DISTINCT doc_id, substr(sel_key, 1, 32) AS fp
+              |        FROM wm WHERE pos <= greatest(1, n_grams - 3)),
+              |own AS (SELECT fp, min(doc_id) AS owner FROM fps GROUP BY fp),
+              |flagged AS (SELECT f.doc_id FROM fps f JOIN own o ON f.fp = o.fp
+              |            GROUP BY f.doc_id
+              |            HAVING 2 * sum(CASE WHEN o.owner < f.doc_id THEN 1 ELSE 0 END)
+              |                   >= count(*)),
+              |surv AS (SELECT d.* FROM documents d
+              |         WHERE NOT EXISTS (SELECT 1 FROM flagged f
+              |                           WHERE f.doc_id = d.doc_id)),
+              |toks AS (SELECT doc_id, lang,
+              |               len(string_split(text, ' ')) AS n_tokens FROM surv),
+              |$unimaxChainCte
+              |$unimaxSelect""".stripMargin),
+      "X1-X3 curation pipeline v4: winnowed-fingerprint partial-overlap " +
+        "dedup (first-occurrence fp ownership, >=50% foreign cut) feeding " +
+        "a UniMax mixture re-derived on the survivors — one fp-keyed " +
+        "exchange, all-integer drop rule, map-only copy expansion"),
+
+    Q("x6j_curation_v5",
+      // the round-7 ops COMPOSED: Gopher hard gate (x55 pass
+      // conjunction) → exact dedup (deterministic min-doc_id survivor
+      // per text fingerprint) → per-source eval carve (first 3 in the
+      // seeded per-source order = 'eval', rest 'train' — x58's rank,
+      // unfiltered). Each stage is the catalog operator unchanged;
+      // map-only gate, one fingerprint window, one range-rank.
+      (s, dir) => {
+        val d = docs(s, dir)
+        // gopherPassExpr, not gopherRules+filter: the boolean conjunction
+        // short-circuits in codegen (cheap split/contains rules first, the
+        // two regex scans only for rows still alive), and the gate fuses
+        // into the scan as one filter — no join, no second scan
+        val gated = d.filter(TextAnalysis.gopherPassExpr(
+          col("text"), Texts.enStopwords))
+        // NO localCheckpoint before the rank, deliberately: the range
+        // sample and offsets jobs column-prune to (doc_id, source), so
+        // the heavy gate expressions don't re-run for them (DevV5Probe:
+        // checkpoint was neutral at sf3, ~2x at sf0.1)
+        val surv = Dedup.exact(Seq(md5(col("text"))), col("doc_id"))(gated)
+          .select(col("doc_id"), col("source"))
+        TextAnalysis.perSourceRank(col("doc_id"), col("source"), "v5")(surv)
+          .select(col("doc_id"), col("source"),
+            when(col("source_pos") < 3, lit("eval")).otherwise(lit("train"))
+              .as("split"))
+      },
+      Some {
+        s"""WITH gs AS ($gopherStatsSql),
+           |gate AS (SELECT doc_id FROM gs
+           |         WHERE n_words BETWEEN 50 AND 100000
+           |           AND mean_word_len BETWEEN 3.0 AND 10.0
+           |           AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+           |           AND stop_hits >= 2),
+           |surv AS (SELECT doc_id, source FROM (
+           |           SELECT d.doc_id, d.source,
+           |             row_number() OVER (PARTITION BY md5(d.text)
+           |                                ORDER BY d.doc_id) AS rn
+           |           FROM documents d JOIN gate USING (doc_id))
+           |         WHERE rn = 1),
+           |r AS (SELECT doc_id, source,
+           |        row_number() OVER (PARTITION BY source
+           |          ORDER BY md5('v5:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           |          AS pos
+           |      FROM surv)
+           |SELECT doc_id, source,
+           |       CASE WHEN pos < 3 THEN 'eval' ELSE 'train' END AS split
+           |FROM r""".stripMargin
+      },
+      "X3 curation v5: Gopher hard gate -> exact-dedup survivor -> " +
+        "per-source exact-k eval carve (x55 + x1 + x58 composed); the " +
+        "split is seeded, leakage-free at the exact-dup grain, and " +
+        "every stage is the catalog operator unchanged"),
+
+    Q("x5_multimodal_features",
+      (s, dir) => {
+        val payloads = Multimodal.attachPayload("doc_id", "text")(docs(s, dir))
+        Multimodal.extractFeatures(s, payloads).toDF()
+      },
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  ord(substring(text, 1, 1)) AS feature0,
+             |  1 + octet_length(encode(text)) % 64 AS width,
+             |  octet_length(encode(text)) // (1 + octet_length(encode(text)) % 64) AS height
+             |FROM documents""".stripMargin),
+      "X4 multimodal: binary payload + metadata struct + partition-wise (stub) decode"),
+
+    Q("x5b_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(col("doc_id"), col("text"), 32, 2)(docs(s, dir))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"), length(col("frame")).as("n_chars")),
+      Some("""WITH p AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
+             |e AS (SELECT doc_id, text,
+             |        unnest(range(0, CAST(ceil(len(text)/32.0) AS BIGINT))) AS frame_idx
+             |      FROM p)
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             |       md5(substring(text, CAST(frame_idx*32+1 AS INT), 32)) AS frame_md5,
+             |       len(substring(text, CAST(frame_idx*32+1 AS INT), 32)) AS n_chars
+             |FROM e WHERE frame_idx % 2 = 0""".stripMargin),
+      "X4 frame sampling over opaque payloads: fixed grid, every-k stride, no decode, no lambda boundary"),
+
+    Q("x38_split_leakage",
+      // leakage audit: near-dup pairs that STRADDLE the train/val/test
+      // boundary — the contamination a random doc-level split bakes into
+      // held-out loss. Pure composition of x2's pair generator and x6b's
+      // deterministic split; the |docs|-sized split frame broadcasts into
+      // the (tiny by construction) near-dup pair set.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = nearDupPairs(s, dir) // shared pair artifact (see memo)
+        val split = d.select(col("doc_id"),
+          TextAnalysis.assignSplit(col("doc_id"),
+            Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).as("split"))
+        pairs
+          .join(split.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+          .join(split.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("a"), col("b"), col("split_a"), col("split_b"), col("jaccard"))
+      },
+      Some {
+        val Seq(t1, t2) = TextAnalysis.splitThresholds(Seq(0.8, 0.1, 0.1))
+        s"""WITH $ngramPairsCte,
+           |sp AS (SELECT doc_id,
+           |         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
+           |              WHEN md5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+           |              ELSE 'test' END AS split
+           |       FROM documents)
+           |SELECT jp.a, jp.b, sa.split AS split_a, sb.split AS split_b, jaccard
+           |FROM jp
+           |JOIN sp sa ON sa.doc_id = jp.a
+           |JOIN sp sb ON sb.doc_id = jp.b
+           |WHERE sa.split <> sb.split""".stripMargin
+      },
+      "X2/X3 cross-split leakage audit: near-dup pairs straddling the " +
+        "train/val/test boundary (held-out contamination a doc-level " +
+        "random split admits) — x2 pair generation composed with x6b's " +
+        "md5 split, split frame broadcast onto the near-dup graph"),
+
+    Q("x42_cluster_split",
+      // leakage-free split assignment — the FIX for what x38 audits:
+      // near-dup docs must land in the SAME split or eval leaks train
+      // data, so the split key is the doc's dup-cluster canonical id
+      // (x2e), not the doc id (x6b). Every member of a cluster routes
+      // together; singletons reduce to x6b's per-doc md5 routing.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = nearDupPairs(s, dir) // shared pair artifact (see memo)
+        Dedup.canonicalize(d.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("canonical"),
+            TextAnalysis.assignSplit(col("canonical"),
+              Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).as("split"))
+      },
+      Some {
+        val Seq(t1, t2) = TextAnalysis.splitThresholds(Seq(0.8, 0.1, 0.1))
+        s"""WITH RECURSIVE $ngramPairsCte,
+           |edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+           |reach AS (SELECT x, y FROM edges
+           |          UNION
+           |          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+           |canon AS (SELECT d.doc_id,
+           |            least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS canonical
+           |          FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+           |          GROUP BY d.doc_id)
+           |SELECT doc_id, canonical,
+           |  CASE WHEN md5(CAST(canonical AS VARCHAR)) < '$t1' THEN 'train'
+           |       WHEN md5(CAST(canonical AS VARCHAR)) < '$t2' THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM canon""".stripMargin
+      },
+      "leakage-free train/val/test split: route each doc by its " +
+        "dup-cluster canonical id so near-dups always share a split " +
+        "(x2e canonicalization + x6b md5 routing, composed)"),
+
+    Q("x63_temporal_split",
+      // leakage-free temporal train/eval split with an EMBARGO gap (the
+      // forecasting-eval protocol: events inside [cut, cut+gap) are
+      // dropped so label windows that straddle the cut can't leak
+      // future information into training). The exact→approx percentile
+      // swap is scale-conditional INSIDE the op (r8; no flag to forget
+      // at 100 TB) — at oracle SFs the exact path runs.
+      (s, dir) => TextAnalysis.temporalSplitEmbargo(
+        col("event_id"), col("ts_us"), 0.8, 300000000L)(
+        Tables.events(s, dir)),
+      Some("""WITH c AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS t_cut FROM events)
+             |SELECT event_id,
+             |       CASE WHEN epoch_us(ts) < t_cut THEN 'train'
+             |            WHEN epoch_us(ts) < t_cut + 300000000 THEN 'embargo'
+             |            ELSE 'eval' END AS split
+             |FROM events CROSS JOIN c""".stripMargin),
+      "X3 leakage-free temporal split with a 5-minute embargo gap at the " +
+        "0.8 time quantile: the forecasting-eval protocol as one scalar " +
+        "broadcast + a map-only labeling pass"),
+
+    Q("x37_data_card",
+      (s, dir) => TextAnalysis.dataCard(
+        col("source"), col("lang"), col("text"))(docs(s, dir)),
+      Some("""WITH pd AS (SELECT source, lang, md5(text) AS fp,
+             |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |            FROM documents),
+             |fc AS (SELECT fp, count(*) AS fp_c FROM pd GROUP BY fp)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+             |       count(DISTINCT lang) AS n_langs,
+             |       CAST(sum(CASE WHEN fp_c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+             |FROM pd JOIN fc USING (fp)
+             |GROUP BY source""".stripMargin),
+      "X3 per-source data card (the release report of a curated corpus): " +
+        "doc/token counts, token extremes, language breadth, corpus-wide " +
+        "exact-dup exposure — one fp-keyed exchange reused by aggregate and " +
+        "join, map-side-combined source rollup, all-integer (hash-safe)"),
+
+    Q("x61_mergeable_card",
+      // the INCREMENTAL data card: per-shard stats whose merge is exact
+      // (integer sums) or sketch-mergeable (HLL vocab registers union by
+      // per-register max, so merged == single-pass BIT-EXACTLY) — the
+      // pattern a 100 TB corpus needs to keep its card current without
+      // re-scanning history: each new shard contributes one card row,
+      // the merge touches |shards| rows. Shards simulated as doc_id%4.
+      (s, dir) => {
+        val base = docs(s, dir).select((col("doc_id") % 4).as("shard"),
+          col("source"), Texts.tokens(col("text")).as("t"))
+        val docCards = base.groupBy(col("shard"), col("source"))
+          .agg(count(lit(1)).as("nd"), sum(size(col("t")).cast("long")).as("nt"))
+        val vocabCards = base
+          .select(col("shard"), col("source"), explode(col("t")).as("term"))
+          .groupBy(col("shard"), col("source"))
+          .agg(hll_sketch_agg(col("term")).as("sk"))
+        docCards.join(vocabCards, Seq("shard", "source"))
+          .groupBy(col("source"))
+          .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("vocab_est"))
+      },
+      None, // HLL registers are not DuckDB-reproducible; exactness of the
+            // merge + sums and the estimate's error are x61_card_check
+      "X3 mergeable per-shard data card (incremental corpus stats): " +
+        "integer sums + HLL vocab sketches per (shard, source), merged " +
+        "per source — shard-local scans, |shards| x |sources|-row merge, " +
+        "history never re-scanned"),
+
+    Q("x15_trending",
+      (s, dir) => {
+        // two-level shape: windowed count first (hash-agg, shuffles
+        // (window, type) cells — bounded by |types| per window), THEN a
+        // rank window over the tiny aggregated groups. The no-Window rule
+        // targets per-row windows over raw data; post-aggregation rank
+        // over |event_type| rows per window is the cheap, standard finish.
+        val counted = Tables.events(s, dir)
+          .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_timestamp(col("window.start")).as("window_start"),
+            col("event_type"), col("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("cnt").desc, col("event_type"))
+        counted.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+             |                  event_type, count(*) AS cnt
+             |           FROM events GROUP BY 1, 2)
+             |SELECT window_start, event_type, cnt,
+             |       CAST(row_number() OVER (PARTITION BY window_start
+             |                               ORDER BY cnt DESC, event_type) AS INT) AS rnk
+             |FROM c QUALIFY rnk <= 3""".stripMargin),
+      "X5 trending per tumbling hour: top-3 event types per window — " +
+        "windowed hash-agg first, rank only over the aggregated cells"),
+
+    Q("x17_transitions",
+      (s, dir) => graft.ops.Sequences.transitionCounts(
+        col("user_id"), Seq(col("ts_us"), col("event_id")), col("event_type"))(
+        Tables.events(s, dir)),
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |            lead(event_type) OVER (PARTITION BY user_id
+             |                                   ORDER BY epoch_us(ts), event_id) AS next
+             |          FROM events)
+             |SELECT event_type AS from_state, next AS to_state, count(*) AS cnt
+             |FROM o WHERE next IS NOT NULL GROUP BY 1, 2""".stripMargin),
+      "X5 user-journey transition matrix: per-key ordered lookahead " +
+        "(key-partitioned window, parallel across users), |states|^2 hash-agg"),
+
+    Q("x20_resample_ffill",
+      (s, dir) => graft.ops.Timeseries.resampleFfill(
+          col("user_id"), col("ts_us"), col("value"), 21600000000L)(
+          Tables.events(s, dir))
+        .select(col("k").as("user_id"), col("grid_us"), col("v").as("value")),
+      // floor-aligned modulo (((x % s) + s) % s) matches the engine's pmod
+      // for negative (pre-1970) epochs too; DuckDB's bare % follows the
+      // dividend's sign and would misalign those buckets
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+             |g AS (SELECT user_id,
+             |        unnest(generate_series(mn - ((mn % 21600000000) + 21600000000) % 21600000000,
+             |                               mx, 21600000000)) AS grid_us
+             |      FROM (SELECT user_id, min(us) AS mn, max(us) AS mx FROM b GROUP BY 1)),
+             |o AS (SELECT user_id,
+             |        us - ((us % 21600000000) + 21600000000) % 21600000000 AS bucket, value
+             |      FROM b
+             |      QUALIFY row_number() OVER (
+             |        PARTITION BY user_id,
+             |                     us - ((us % 21600000000) + 21600000000) % 21600000000
+             |        ORDER BY us DESC, value DESC) = 1)
+             |SELECT g.user_id, g.grid_us,
+             |       last_value(o.value IGNORE NULLS) OVER (
+             |         PARTITION BY g.user_id ORDER BY g.grid_us
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+             |FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.grid_us = o.bucket""".stripMargin),
+      "X5 time-series resample + forward fill: per-key 6h grid from one agg, " +
+        "explode(sequence) bounded by range/step, last-per-bucket as an aggregate " +
+        "(not a window over raw events), one key-partitioned fill window")
+  )
+}

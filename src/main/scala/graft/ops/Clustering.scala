@@ -246,10 +246,13 @@ object Clustering {
     * arithmetic — bit-identical regardless of partial-aggregation order
     * — and the threshold `mean − nSigmas·σ` is a pure function of exact
     * integers. A double-summed stddev would move by ulps between runs
-    * and flip boundary rows; this never does. (Long overflow bound: the
-    * sum of squares is ≤ 1e12 per row — fine to ~9e6 rows per cluster;
-    * at larger cluster sizes route s2 through decimal(38,0), same
-    * contract.)
+    * and flip boundary rows; this never does. The squared sum runs
+    * through decimal(38,0) UNCONDITIONALLY (cost is negligible next to
+    * the scan): a long sum of ≤1e12-per-row squares silently wraps past
+    * ~9.2e6 rows per cluster — a size 100 TB corpora reach — corrupting
+    * the variance; decimal(38,0) is exact to 1e26 rows per cluster. The
+    * linear sum stays long (≤1e6/row ⇒ exact to ~9e12 rows/cluster,
+    * orders beyond any real cluster).
     *
     * Plan shape: one map-only assignment scan + one k-row aggregate +
     * a broadcast join of the k thresholds back onto the scan — the
@@ -264,7 +267,7 @@ object Clustering {
         floor(col("n.score") * 1e6).cast("long").as("sim_u"))
     val stats = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("cnt"), sum(col("sim_u")).as("s1"),
-        sum(col("sim_u") * col("sim_u")).as("s2"))
+        sum((col("sim_u") * col("sim_u")).cast("decimal(38,0)")).as("s2"))
       .select(col("cid"),
         (col("s1").cast("double") / col("cnt")).as("mean_u"),
         sqrt(greatest(

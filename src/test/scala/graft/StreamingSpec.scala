@@ -103,6 +103,46 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === Set(Seq("alice", base, 2L), Seq("bob", base, 1L)))
   }
 
+  test("A2d suppress(untilWindowCloses): append emits each closed window exactly once == batch fixpoint") {
+    // Kafka Streams `suppress(untilWindowCloses(withGrace(30s)))` ≈ Spark
+    // append mode on a watermarked windowed aggregate. Feed batches so the
+    // watermark advances in steps; assert (a) no window is ever emitted
+    // twice, (b) the final emitted set equals the batch
+    // suppressedWindowedCountFinal fixpoint over the same input.
+    val flush = OrderEvent("flush", "zz", Seq("x"), 1.0, ts("2024-01-01T00:02:00Z"))
+    val allOrders = orders :+ flush
+    val (ms, df) = Sources.memoryStream[OrderEvent](spark)
+    val name = freshTable()
+    val q = Sinks.toMemory(
+      Topologies.productsPerUserWindowed(df, "10 seconds", "30 seconds"),
+      name, "append").start()
+    var perBatch = List.empty[Set[Seq[Any]]]
+    for (b <- Seq(orders.take(2), Seq(orders(2)), Seq(orders(3)), Seq(flush))) {
+      ms.addData(b); q.processAllAvailable()
+      perBatch ::= spark.table(name).collect().map(_.toSeq).toSet
+    }
+    q.stop()
+    val emissions = spark.table(name)
+    // exactly-once: total emitted rows == distinct (user, window) pairs,
+    // and each batch's table is a superset of the previous (append-only)
+    assert(emissions.count() ===
+      emissions.select("user", "window_start").distinct().count())
+    perBatch.reverse.sliding(2).foreach {
+      case Seq(prev, next) => assert(prev.subsetOf(next)); case _ => ()
+    }
+    // fixpoint: equals the batch suppressed-final op on the same input
+    // (max ts 00:02:00 − 30 s watermark ⇒ carol's 00:01:00 window closed,
+    // flush's own window withheld)
+    val exploded = graft.ops.Relational.flatMapValues(
+      Seq(col("user"), col("ts")), col("products"), "product")(allOrders.toDF())
+    val batch = graft.ops.Relational.suppressedWindowedCountFinal(
+      col("ts"), "10 seconds", 30L, col("user"), "user")(exploded)
+    assert(rowsOf(emissions) === rowsOf(batch))
+    val base = Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(rowsOf(emissions) === Set(
+      Seq("alice", base, 2L), Seq("bob", base, 1L), Seq("carol", base + 60, 1L)))
+  }
+
   test("G superset: streaming COGROUP — two live streams fold into one keyed table") {
     // the DSL cogroup's streaming meaning: one state store fed by both
     // inputs; here one stateful aggregate over the tagged union of two

@@ -4,9 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Scale-rehearsal override only (the driver never sets it, so recorded
+    // benches use cpus): at sf10 a 32-partition shuffle holds ~10x the
+    // per-partition bytes the configs were sized for — more partitions at
+    // the same thread count is the cluster-correct lever (see DevBench).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // static conf, read once at CodeGenerator init: the default 100-entry

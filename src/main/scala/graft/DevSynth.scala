@@ -117,7 +117,21 @@ object DevSynth {
 
     writeOne(spark.read.parquet(s"$srcDir/region.parquet"), "region")
     writeOne(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")
-    scaled("customer", Seq("c_custkey"))
+    // c_name in copies > 0 gets a 3-digit checksum suffix (tens, units,
+    // digit-sum mod 10): any two DISTINCT copy suffixes differ in >= 2
+    // characters (a single-digit change breaks the checksum), and copy 0
+    // keeps the bare 18-char name (length differs from every suffixed
+    // copy). So the Hamming<=1 record-linkage family (x64) sees ZERO
+    // cross-copy pairs while within-copy pair structure is preserved
+    // exactly — without this, 100 identical copies of every name are
+    // C(100,2) mutual exact dups per base customer and the correct pair
+    // output grows quadratically in SF (the same artifact the documents
+    // copy-tagging and embeddings group-banding already prevent).
+    scaled("customer", Seq("c_custkey"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("c_name",
+        concat(col("c_name"),
+          lit(s"${i / 10}${i % 10}${(i / 10 + i % 10) % 10}"))))
     scaled("supplier", Seq("s_suppkey"))
     scaled("part", Seq("p_partkey"))
     scaled("orders", Seq("o_orderkey", "o_custkey"))

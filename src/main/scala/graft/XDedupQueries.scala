@@ -398,6 +398,25 @@ object XDedupQueries {
              |FROM documents""".stripMargin),
       "X3 document fingerprinting: full digest + token-prefix digest"),
 
+    Q("x64_record_linkage",
+      (s, dir) => Dedup.hammingLinkage(col("c_custkey"), col("c_name"), 1)(
+        Tables.customer(s, dir)),
+      // Oracle is the DEFINITIONAL all-pairs form (fine at verify SF; the
+      // Spark side is the blocked index). For equal-length strings a
+      // cost-1 edit script can only be a substitution, so levenshtein <= 1
+      // ≡ Hamming <= 1 — DuckDB's levenshtein stands in for the Hamming
+      // verify exactly at maxDist = 1.
+      Some("""SELECT a.c_custkey AS a, b.c_custkey AS b,
+             |       levenshtein(a.c_name, b.c_name) AS dist
+             |FROM customer a JOIN customer b
+             |  ON a.c_custkey < b.c_custkey
+             | AND length(a.c_name) = length(b.c_name)
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin),
+      "X1 fuzzy record linkage: single-character-corruption (Hamming <= 1) " +
+        "pairs over customer names via lossless interleaved position-class " +
+        "blocking — candidate generation is an equi-join on (class, " +
+        "substring, length), never all-pairs"),
+
     Q("x4g_rolling_fp",
       (s, dir) => TextAnalysis.rollingFingerprints(col("doc_id"), col("text"), 8)(docs(s, dir)),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -764,6 +764,57 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Fuzzy RECORD linkage under bounded single-character corruption: all
+    * (a, b) id pairs whose string key differs in at most `maxDist`
+    * character POSITIONS (Hamming distance over equal-length keys — the
+    * substitution-only corruption model of OCR noise, fat-finger typos,
+    * and bit-rot in structured identifiers; same-length is part of the
+    * match definition, so an insertion/deletion is "not the same record").
+    *
+    * Scale shape — pigeonhole position-class blocking, the string twin of
+    * [[simhashPairs]]'s chunked-fingerprint index: split character
+    * positions into `maxDist + 1` interleaved classes (position p →
+    * class p mod n). A pair within Hamming ≤ maxDist has at most maxDist
+    * corrupted positions, so at least one whole class is corruption-free
+    * — equi-joining on (class index, class substring, key length) is
+    * LOSSLESS. Interleaved classes (not contiguous halves) keep blocks
+    * selective when keys share a long common prefix ("Customer#0000…"):
+    * every class gets its share of the high-entropy tail characters.
+    * Candidate generation is equi-join-shaped (n rows per record, one
+    * shuffle on the block key), never all-pairs; a pair agreeing on k
+    * clean classes surfaces k times → distinct before the verify filter.
+    * Verification computes the exact Hamming distance per candidate.
+    */
+  def hammingLinkage(id: Column, key: Column, maxDist: Int)(df: DataFrame): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val nSeg = maxDist + 1
+    val base = df.select(id.as("id"), key.as("k"))
+    val chars = split(col("k"), "")
+    val segs = (0 until nSeg).map { c =>
+      struct(lit(c).as("si"),
+        array_join(filter(chars, (ch, i) => pmod(i, lit(nSeg)) === c), "").as("sv"))
+    }
+    // one reused exchange for both self-join sides (see simhashPairs)
+    val blocked = base
+      .select(col("id"), col("k"), length(col("k")).as("len"),
+        explode(array(segs: _*)).as("s"))
+      .select(col("id"), col("k"), col("len"),
+        col("s.si").as("si"), col("s.sv").as("sv"))
+      .repartition(col("si"), col("sv"))
+    val hammingDist = aggregate(
+      zip_with(split(col("l.k"), ""), split(col("r.k"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    blocked.as("l")
+      .join(blocked.as("r"),
+        col("l.si") === col("r.si") && col("l.sv") === col("r.sv") &&
+          col("l.len") === col("r.len") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hammingDist.as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** X2 SimHash near-dup pairs at scale: pigeonhole-bucketed Hamming join.
     * Split the 64-bit fingerprint into `maxHamming + 1` chunks — any pair
     * within Hamming distance `maxHamming` must agree on at least one whole

@@ -346,4 +346,48 @@ class DedupSpec extends SparkSpec {
       assert(rowsOf(fast) === rowsOf(naive), s"diverged at n=$n t=$t cut=$cut")
     }
   }
+
+  test("hammingLinkage: hand-computed pairs, length mismatch excluded") {
+    val recs = Seq(
+      (1L, "abcde"), (2L, "abcdX"), // dist 1
+      (3L, "abXdX"),                // dist 2 from 1, dist 1 from 2
+      (4L, "abcde"),                // exact dup of 1
+      (5L, "abcdef"),               // length differs from all
+      (6L, "zzzzz")                 // dist 5 from everything
+    ).toDF("id", "name")
+    val d1 = Dedup.hammingLinkage(col("id"), col("name"), 1)(recs)
+    assert(rowsOf(d1) === Set(
+      Seq(1L, 2L, 1), Seq(2L, 3L, 1), Seq(1L, 4L, 0), Seq(2L, 4L, 1)))
+    val d2 = Dedup.hammingLinkage(col("id"), col("name"), 2)(recs)
+    assert(rowsOf(d2) === Set(
+      Seq(1L, 2L, 1), Seq(2L, 3L, 1), Seq(1L, 4L, 0), Seq(2L, 4L, 1),
+      Seq(1L, 3L, 2), Seq(3L, 4L, 2)))
+  }
+
+  test("hammingLinkage blocking is lossless vs the naive all-pairs twin") {
+    // seeded single/double-character corruptions over a shared-prefix key
+    // universe (the blocking's hard case: entropy only in the tail)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 300).map(i => f"Account#$i%06d")
+    val corrupted = (0 until 200).map { j =>
+      val s = base(rnd.nextInt(base.size)).toCharArray
+      for (_ <- 0 to rnd.nextInt(2)) // 1 or 2 corrupted positions
+        s(rnd.nextInt(s.length)) = ('0' + rnd.nextInt(10)).toChar
+      new String(s)
+    }
+    val recs = (base ++ corrupted).zipWithIndex
+      .map { case (nm, id) => (id.toLong, nm) }.toDF("id", "name")
+    for (maxDist <- Seq(1, 2)) {
+      val blocked = Dedup.hammingLinkage(col("id"), col("name"), maxDist)(recs)
+      val naive = recs.as("l").join(recs.as("r"),
+          col("l.id") < col("r.id") &&
+            length(col("l.name")) === length(col("r.name")))
+        .select(col("l.id").as("a"), col("r.id").as("b"),
+          aggregate(zip_with(split(col("l.name"), ""), split(col("r.name"), ""),
+            (x, y) => when(x =!= y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).as("dist"))
+        .filter(col("dist") <= maxDist)
+      assert(rowsOf(blocked) === rowsOf(naive), s"diverged at maxDist=$maxDist")
+    }
+  }
 }

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Per-query oracle sweep with a timeout: runs tools/check_oracle.py for each
+# verify output dir individually so one infeasible-at-scale DuckDB oracle
+# (definitional all-pairs forms, recursive-CTE closures) cannot hang the
+# whole sweep. Usage: tools/sweep_oracles.sh <verify_out_dir> <sf_dir>
+#   [per_query_timeout_sec]
+# Prints one line per query (ok / FAIL / no-oracle / TIMEOUT) and a summary.
+set -u
+OUT=$1; SF=$2; TMO=${3:-600}
+ok=0; fail=0; noora=0; tmo=0
+for d in "$OUT"/*/; do
+  name=$(basename "$d")
+  line=$(timeout "$TMO" python3 "$(dirname "$0")/check_oracle.py" "$OUT" "$SF" "$name" 2>&1 | tail -1)
+  rc=$?
+  if [ $rc -eq 124 ]; then
+    echo "[sweep] $name TIMEOUT (> ${TMO}s DuckDB oracle)"
+    tmo=$((tmo+1))
+  elif echo "$line" | grep -q " no-oracle "; then
+    echo "$line"; noora=$((noora+1))
+  elif [ $rc -eq 0 ]; then
+    echo "$line"; ok=$((ok+1))
+  else
+    echo "$line"; fail=$((fail+1))
+  fi
+done
+echo "[sweep] summary ok=$ok fail=$fail no_oracle=$noora timeout=$tmo"
+[ $fail -eq 0 ]

@@ -128,7 +128,21 @@ object Bench {
     // outgrew the driver's tail-capture window in round 3 and the leading
     // "value" field was truncated away (BENCH_r03 "parsed": null). Any
     // tail window now retains the total twice over.
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"value":$total,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"value":$total,"sf":"$sfDir"}"""
+    // The driver's tail window keeps only ~2000 chars — at 192 queries
+    // that retains ~30% of the per-query map, so round-over-round triage
+    // was working from a sample. Persist the COMPLETE per-query JSON as a
+    // file artifact too (target/bench_<sfname>.json); stdout is unchanged.
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"target/bench_$sfName.json"), fullJson + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
+    println(fullJson)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errList.size},"sf":"$sfDir"}""")
     spark.stop()
   }

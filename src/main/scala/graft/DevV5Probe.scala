@@ -48,8 +48,25 @@ object DevV5Probe {
             lit(" [^ ]*[a-zA-Z][^ ]*")).as("n"))
           .agg(sum(col("n"))).collect()
       }
+      timed("alpha native byte-scan") {
+        d0.select(graft.functions.AlphaWordCount(col("text")).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
       timed("symbol regexp_count") {
         d0.select(regexp_count(col("text"), lit("#|\\.\\.\\.")).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
+      timed("symbol native byte-scan") {
+        d0.select(graft.functions.SymbolMarkCount(col("text")).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
+      timed("stopword regexp_count") {
+        d0.select(regexp_count(col("text"),
+            lit(Texts.stopwordCountPattern)).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
+      timed("stopword native token-probe") {
+        d0.select(graft.functions.StopwordHits(col("text"), Texts.enStopwords).as("n"))
           .agg(sum(col("n"))).collect()
       }
       timed("10 stopword contains") {

@@ -8,6 +8,31 @@ import graft.ops.Relational._
   * (plus extensions), each with an equivalent DuckDB oracle SQL where
   * SQL-expressible. `SparkEntry` exposes these to the driver.
   *
+  * CATALOG MAP — which file owns which entries (each family file owns its
+  * entries' oracles too; the only shared oracle helpers are
+  * `ExtensionQueries.gopherStatsSql` and `.ngramPairsCte`, single-homed
+  * there and imported by their consumers):
+  *  - `Queries` (this file): the s-, p-, g-, a-, j-prefixed
+  *    reference-parity entries,
+  *    `flagship_paid_orders`, the inline TPC-H shapes (q1, q3-q7, q10,
+  *    q14, q18, q21), and `o14_grouping_sets_sql`.
+  *  - `TpchQueries`: the remaining TPC-H shapes (q2, q8, q9, q11-q13,
+  *    q15-q17, q19, q20, q22).
+  *  - `SupersetQueries`: o1-o21 relational-superset entries.
+  *  - `XDedupQueries`: x1, x2*, x8, x10, x11, x16, x21*, x25, x30, x34,
+  *    x40, x50-x52, x60, x64, x3d, x4d, x4g.
+  *  - `XSimilarityQueries`: x3*, x7, x9, x13, x24, x28, x31, x33, x35,
+  *    x36, x57.
+  *  - `XTextQueries`: x4*, x12, x14*, x18, x23, x26, x27, x29, x37b,
+  *    x44, x45, x49, x53, x55, x56, x59.
+  *  - `XMixtureQueries`: x6c-x6f, x19, x22, x32, x39, x41, x43, x46-x48,
+  *    x54, x58, x62*.
+  *  - `XPipelineQueries`: x5*, x6, x6b, x6g-x6j, x15, x17, x20, x37,
+  *    x38, x42, x61, x63.
+  *  - `CheckQueries`: every `*_check` twin for the no-oracle entries.
+  *  - `ExtensionQueries`: shared artifacts + the family-file aggregation
+  *    only (no entries of its own).
+  *
   * Determinism rules (so the driver's hash-compare is stable):
   *  - money sums go through `decimal(18,2)` (exact) then cast to double —
   *    double-sum order is nondeterministic under partial aggregation;

@@ -784,35 +784,99 @@ object Dedup {
     * shuffle on the block key), never all-pairs; a pair agreeing on k
     * clean classes surfaces k times → distinct before the verify filter.
     * Verification computes the exact Hamming distance per candidate.
+    *
+    * Skew hardening (two layers, both exact):
+    *
+    *  1. Exact-duplicate keys are PRE-COLLAPSED: blocking and Hamming
+    *     verification run over DISTINCT key strings only, and the result
+    *     is re-expanded to record ids afterwards (within-key pairs are
+    *     emitted directly at dist 0; cross-key pairs join each verified
+    *     key pair back to its id groups). A corpus where one key repeats
+    *     m times therefore costs O(m) in candidate generation instead of
+    *     O(m²) — the C(m,2) dist-0 pairs still appear in the OUTPUT
+    *     (they are the answer; that cost is output-bound and
+    *     irreducible), but no longer multiply through the block join and
+    *     the per-candidate Hamming verify.
+    *  2. A loud hot-block guard: if any (class, substring, length) block
+    *     holds more than `maxBlockKeys` DISTINCT keys — candidate pairs
+    *     per block grow as C(pop, 2) — the query FAILS with the block's
+    *     population rather than silently going quadratic (thinning, the
+    *     [[graft.ops.Similarity]] knnGraph play, would break this
+    *     operator's exact contract; a blocked corpus that trips the
+    *     guard needs a larger `maxDist`-budgeted key or a different
+    *     blocking scheme, and that should be a visible decision).
+    *     Degenerate-length note: keys shorter than `maxDist + 1` leave
+    *     some classes empty (every same-length key shares the "" block),
+    *     but such keys have length ≤ maxDist, so ALL same-length pairs
+    *     are true matches — the block is output-bound, not wasted work.
+    *
+    * Candidate envelope: per distinct key, candidates = Σ over its
+    * `maxDist + 1` blocks of (block population − 1); the guard bounds any
+    * single block at `maxBlockKeys`. Measured curve (DevSynth, BASELINE
+    * "hammingLinkage scale" note): candidate count and wall-clock ≤ linear
+    * in corpus rows at sf1→sf3→sf10.
     */
-  def hammingLinkage(id: Column, key: Column, maxDist: Int)(df: DataFrame): DataFrame = {
+  def hammingLinkage(id: Column, key: Column, maxDist: Int,
+      maxBlockKeys: Int = 100000)(df: DataFrame): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlockKeys >= 1, s"maxBlockKeys must be >= 1, got $maxBlockKeys")
     val nSeg = maxDist + 1
     val base = df.select(id.as("id"), key.as("k"))
+    // (1) within-key pairs: exact duplicates are Hamming 0 — emitted
+    // directly from one key-partitioned exchange reused by both sides
+    val byKey = base.repartition(col("k"))
+    val withinKey = byKey.as("l")
+      .join(byKey.as("r"), col("l.k") === col("r.k") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        lit(0).as("dist"))
+    // (2) cross-key pairs: block + verify over DISTINCT keys only
+    val keys = base.select(col("k")).distinct()
     val chars = split(col("k"), "")
     val segs = (0 until nSeg).map { c =>
       struct(lit(c).as("si"),
         array_join(filter(chars, (ch, i) => pmod(i, lit(nSeg)) === c), "").as("sv"))
     }
     // one reused exchange for both self-join sides (see simhashPairs)
-    val blocked = base
-      .select(col("id"), col("k"), length(col("k")).as("len"),
+    val blocked = keys
+      .select(col("k"), length(col("k")).as("len"),
         explode(array(segs: _*)).as("s"))
-      .select(col("id"), col("k"), col("len"),
-        col("s.si").as("si"), col("s.sv").as("sv"))
+      .select(col("k"), col("len"), col("s.si").as("si"), col("s.sv").as("sv"))
       .repartition(col("si"), col("sv"))
+    // hot-block guard: population count per block reuses the repartition
+    // exchange (hash on (si, sv) co-locates every (si, sv, len) group);
+    // assert_true returns NULL on pass, so coalesce keeps it un-prunable
+    val guarded = blocked
+      .withColumn("__pop",
+        count(lit(1)).over(Window.partitionBy(col("si"), col("sv"), col("len"))))
+      .filter(coalesce(
+        assert_true(col("__pop") <= lit(maxBlockKeys),
+          concat(lit(s"hammingLinkage: block population exceeds maxBlockKeys=$maxBlockKeys "),
+            lit("(class="), col("si"), lit(", len="), col("len"),
+            lit(", pop="), col("__pop"),
+            lit(") — candidate generation would go quadratic in this block"))),
+        lit(true)))
+      .drop("__pop")
     val hammingDist = aggregate(
-      zip_with(split(col("l.k"), ""), split(col("r.k"), ""),
+      zip_with(split(col("k1"), ""), split(col("k2"), ""),
         (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    blocked.as("l")
-      .join(blocked.as("r"),
+    // distinct on the (k1, k2) key pair BEFORE the Hamming verify: a pair
+    // agreeing on j clean classes surfaces j times; verifying once per
+    // unordered pair, not per surfacing, cuts verify work by up to nSeg×
+    val keyPairs = guarded.as("l")
+      .join(guarded.as("r"),
         col("l.si") === col("r.si") && col("l.sv") === col("r.sv") &&
-          col("l.len") === col("r.len") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        hammingDist.as("dist"))
+          col("l.len") === col("r.len") && col("l.k") < col("r.k"))
+      .select(col("l.k").as("k1"), col("r.k").as("k2"))
       .distinct()
+      .select(col("k1"), col("k2"), hammingDist.as("dist"))
       .filter(col("dist") <= maxDist)
+    val crossKey = keyPairs
+      .join(base.as("l"), col("k1") === col("l.k"))
+      .join(base.as("r"), col("k2") === col("r.k"))
+      .select(least(col("l.id"), col("r.id")).as("a"),
+        greatest(col("l.id"), col("r.id")).as("b"), col("dist"))
+    withinKey.unionByName(crossKey)
   }
 
   /** X2 SimHash near-dup pairs at scale: pigeonhole-bucketed Hamming join.

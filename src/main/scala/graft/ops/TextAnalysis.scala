@@ -35,7 +35,7 @@ object TextAnalysis {
     */
   def langIdEn(id: Column, text: Column)(df: DataFrame): DataFrame = {
     val toks = Texts.tokens(text)
-    val hits = regexp_count(text, lit(Texts.stopwordCountPattern))
+    val hits = graft.functions.StopwordHits(text, Texts.enStopwords)
     df.select(
       id.as("doc_id"),
       hits.as("en_hits"),
@@ -48,15 +48,17 @@ object TextAnalysis {
     * lambda HOFs — those are CodegenFallback and the optimizer duplicates
     * them into pushed-down filters, which made round 2's curation pipeline
     * re-run interpreted passes per derived column): stopword hits count via
-    * `regexp_count` (exactly the token-equality count, see
-    * [[Texts.stopwordCountPattern]]) and token-length sum via the
-    * `length(text) - (n - 1)` identity for single-char splits.
+    * the native single-pass [[graft.functions.StopwordHits]] (exactly the
+    * token-equality count of [[Texts.stopwordCountPattern]], which the
+    * DuckDB oracle still evaluates as a regex) and token-length sum via
+    * the `length(text) - (n - 1)` identity for single-char splits.
     */
   private def qualityParts(text: Column): (Column, Column, Column) = {
     val toks = Texts.tokens(text)
     val n = size(toks).cast("double")
     val diversity = size(array_distinct(toks)).cast("double") / n
-    val stopRatio = regexp_count(text, lit(Texts.stopwordCountPattern)).cast("double") / n
+    val stopRatio =
+      graft.functions.StopwordHits(text, Texts.enStopwords).cast("double") / n
     val meanLen = (length(text) - (size(toks) - lit(1))).cast("double") / n
     (diversity, stopRatio, meanLen)
   }
@@ -104,19 +106,23 @@ object TextAnalysis {
     *
     * Every rule is a plain codegen'd expression over the single scan —
     * word counts via `split`, the mean-length identity
-    * `(length(text) - (n-1)) / n`, symbol and alpha-word counts via
-    * `regexp_count` (each word consumes its leading space, so matches
-    * can't overlap), stopword presence via padded `contains` (one
-    * codegen'd probe per list word, summed). Map-only: zero shuffle,
-    * zero UDFs — at 100 TB this is scan-bound, fused into whole-stage
-    * codegen with whatever filter consumes `pass`.
+    * `(length(text) - (n-1)) / n`, symbol and alpha-word counts via the
+    * native single-pass byte-scan expressions
+    * [[graft.functions.SymbolMarkCount]] /
+    * [[graft.functions.AlphaWordCount]] (regex-equivalent by contract;
+    * the DuckDB oracle still runs the regex form), stopword presence via
+    * the one-pass [[graft.functions.StopwordPresence]] bitmask probe
+    * (the old per-word padded-`contains` form re-scanned the text once
+    * PER list word — N passes vs one).
+    * Map-only: zero shuffle, zero UDFs — at 100 TB this is scan-bound,
+    * fused into whole-stage codegen with whatever filter consumes `pass`.
     */
   /** The [[gopherRules]] conjunction as ONE boolean Column, rules ordered
     * cheapest-first — for pipelines that only gate on `pass` and carry
     * their own columns (the same role [[qualityExpr]] plays for the soft
     * score). Boolean `AND` short-circuits in generated code, so a row
     * that already failed the split-only word-count rule (or the
-    * `contains`-probe stopword rule) never runs the two regex scans —
+    * stopword-presence rule) never runs the symbol/alpha byte scans —
     * the `pass` COLUMN in [[gopherRules]] is an integer product and
     * cannot skip them. Same rounded-value rule semantics, bit-identical
     * verdicts (differential-tested).
@@ -129,14 +135,9 @@ object TextAnalysis {
     val nWords = size(toks)
     val n = nWords.cast("double")
     val meanLen = (length(text) - (nWords - lit(1))).cast("double") / n
-    val padded = concat(lit(" "), text, lit(" "))
-    val stopHits = stopwords
-      .map(w => when(padded.contains(s" $w "), lit(1)).otherwise(lit(0)))
-      .reduce(_ + _)
-    val symbolRatio = regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / n
-    val alphaRatio =
-      regexp_count(concat(lit(" "), text), lit(" [^ ]*[a-zA-Z][^ ]*"))
-        .cast("double") / n
+    val stopHits = graft.functions.StopwordPresence(text, stopwords)
+    val symbolRatio = graft.functions.SymbolMarkCount(text).cast("double") / n
+    val alphaRatio = graft.functions.AlphaWordCount(text).cast("double") / n
     nWords.between(minWords, maxWords) &&
       round(meanLen, 4).between(3.0, 10.0) &&
       (stopHits >= 2) &&
@@ -152,14 +153,9 @@ object TextAnalysis {
     val nWords = size(toks)
     val n = nWords.cast("double")
     val meanLen = (length(text) - (nWords - lit(1))).cast("double") / n
-    val alphaRatio =
-      regexp_count(concat(lit(" "), text), lit(" [^ ]*[a-zA-Z][^ ]*"))
-        .cast("double") / n
-    val symbolRatio = regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / n
-    val padded = concat(lit(" "), text, lit(" "))
-    val stopHits = stopwords
-      .map(w => when(padded.contains(s" $w "), lit(1)).otherwise(lit(0)))
-      .reduce(_ + _)
+    val alphaRatio = graft.functions.AlphaWordCount(text).cast("double") / n
+    val symbolRatio = graft.functions.SymbolMarkCount(text).cast("double") / n
+    val stopHits = graft.functions.StopwordPresence(text, stopwords)
     def flag(c: Column) = when(c, lit(1)).otherwise(lit(0))
     val base = df.select(id.as("doc_id"), nWords.cast("long").as("n_words"),
       round(meanLen, 4).as("mean_word_len"),

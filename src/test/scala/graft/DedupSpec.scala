@@ -364,6 +364,48 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 3L, 2), Seq(3L, 4L, 2)))
   }
 
+  test("hammingLinkage: degenerate corpus — mass exact dups and short keys") {
+    // 40 records share ONE key (C(40,2) = 780 dist-0 pairs are the correct
+    // output), plus a 1-corruption neighbor, plus keys shorter than
+    // maxDist + 1 (empty position classes): the exact-dup pre-collapse
+    // must keep blocking on 4 distinct keys while the output still holds
+    // every pair the all-pairs definition demands.
+    val recs = ((0 until 40).map(i => (i.toLong, "dup_key_x")) ++
+      Seq((100L, "dup_key_y"), // dist 1 from the mass key
+          (200L, "a"), (201L, "b"))) // len 1 < maxDist+1 → "" class block
+      .toDF("id", "name")
+    val out = Dedup.hammingLinkage(col("id"), col("name"), 1)(recs)
+    val naive = recs.as("l").join(recs.as("r"),
+        col("l.id") < col("r.id") &&
+          length(col("l.name")) === length(col("r.name")))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        aggregate(zip_with(split(col("l.name"), ""), split(col("r.name"), ""),
+          (x, y) => when(x =!= y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("dist"))
+      .filter(col("dist") <= 1)
+    assert(rowsOf(out) === rowsOf(naive))
+    // 780 within-key + 40 cross to the neighbor + the (a, b) short pair
+    assert(out.count() === 780 + 40 + 1)
+  }
+
+  test("hammingLinkage: hot-block guard fails loudly, not quadratically") {
+    // 50 distinct keys varying ONLY in the last character: every key
+    // shares the even-position class "ky" verbatim, so that block holds
+    // all 50 distinct keys — with maxBlockKeys = 10 the block join must
+    // raise, not silently expand
+    val recs = (0 until 50).map(i => (i.toLong, "key" + ('0' + i).toChar))
+      .toDF("id", "name")
+    val guarded = Dedup.hammingLinkage(col("id"), col("name"), 1,
+      maxBlockKeys = 10)(recs)
+    val e = intercept[Exception] { guarded.count() }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxBlockKeys")))
+    // same corpus with the default cap is fine and exact
+    val ok = Dedup.hammingLinkage(col("id"), col("name"), 1)(recs)
+    assert(ok.count() > 0)
+  }
+
   test("hammingLinkage blocking is lossless vs the naive all-pairs twin") {
     // seeded single/double-character corruptions over a shared-prefix key
     // universe (the blocking's hard case: entropy only in the tail)

@@ -282,6 +282,25 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"o21 executed $scans events scans, want 1:\n$adaptive")
   }
 
+  test("x64 record linkage: blocked self-join is an equi-join on one reused exchange") {
+    // the pigeonhole blocking must plan as an equi-join on the
+    // (class, substring) block key — never a cartesian/nested-loop — and
+    // at runtime ONE exchange of the distinct-key block frame must feed
+    // BOTH self-join sides (the simhashPairs discipline; a re-computed
+    // side would run the explode + distinct once per side)
+    val df = q("x64_record_linkage")
+    val static = plan(df)
+    assert(!static.contains("CartesianProduct"), static)
+    assert(!static.contains("BroadcastNestedLoopJoin"),
+      s"x64 degenerated to all-pairs:\n$static")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    val adaptive = p.split("== Initial Plan ==").head
+    assert(adaptive.contains("ReusedExchange"),
+      s"x64 re-computed a self-join side instead of reusing the exchange:\n$adaptive")
+  }
+
   test("x39 length batching plans no single-reducer stage (range partition, local ranks)") {
     // the range exchange + rank live inside the one materialized RDD the
     // globalIndex play builds (bounds sampled once, reused by every

@@ -38,7 +38,10 @@ class SessionHygieneSpec extends SparkSpec {
     // model + 4-consumer differential — the memo must survive scoped
     // cleanup) and the v5 composition (gate scan + fingerprint window +
     // range-rank in one plan)
-    "x57_outlier_check", "x6j_curation_v5")
+    "x57_outlier_check", "x6j_curation_v5",
+    // round-9 addition: the record-linkage blocked self-join (distinct-key
+    // exchange reused by both block sides, plus the two id join-backs)
+    "x64_record_linkage")
 
   private def run(name: String): Double = {
     val fn = SparkEntry.queries(name)

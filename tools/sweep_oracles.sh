@@ -10,14 +10,21 @@ OUT=$1; SF=$2; TMO=${3:-600}
 ok=0; fail=0; noora=0; tmo=0
 for d in "$OUT"/*/; do
   name=$(basename "$d")
-  line=$(timeout "$TMO" python3 "$(dirname "$0")/check_oracle.py" "$OUT" "$SF" "$name" 2>&1 | tail -1)
+  # Capture the exit status BEFORE any pipe: `cmd | tail -1; rc=$?` takes
+  # tail's status (always 0), so timeouts (124) and oracle FAILs were both
+  # counted as ok and the final gate always passed. Run to a variable
+  # first, then tail the variable.
+  out=$(timeout "$TMO" python3 "$(dirname "$0")/check_oracle.py" "$OUT" "$SF" "$name" 2>&1)
   rc=$?
+  line=$(printf '%s\n' "$out" | tail -1)
   if [ $rc -eq 124 ]; then
     echo "[sweep] $name TIMEOUT (> ${TMO}s DuckDB oracle)"
     tmo=$((tmo+1))
   elif echo "$line" | grep -q " no-oracle "; then
     echo "$line"; noora=$((noora+1))
-  elif [ $rc -eq 0 ]; then
+  # belt-and-suspenders: a FAIL-marked line is a failure even if the
+  # checker's exit status lies
+  elif [ $rc -eq 0 ] && ! echo "$line" | grep -q " FAIL "; then
     echo "$line"; ok=$((ok+1))
   else
     echo "$line"; fail=$((fail+1))

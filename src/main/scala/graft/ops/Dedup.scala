@@ -856,10 +856,11 @@ object Dedup {
             lit(") — candidate generation would go quadratic in this block"))),
         lit(true)))
       .drop("__pop")
-    val hammingDist = aggregate(
-      zip_with(split(col("k1"), ""), split(col("k2"), ""),
-        (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // native codegen'd verify kernel: the zip_with(split, split) HOF form
+    // is interpreted per candidate pair (CodegenFallback) and dominated
+    // the entry's cost — see functions/HammingDistance
+    val hammingDist =
+      graft.functions.HammingDistance(col("k1"), col("k2"))
     // distinct on the (k1, k2) key pair BEFORE the Hamming verify: a pair
     // agreeing on j clean classes surfaces j times; verifying once per
     // unordered pair, not per surfacing, cuts verify work by up to nSeg×

@@ -80,7 +80,35 @@ class GopherCountsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("HammingDistance == aggregate(zip_with(split, split)) on key pairs") {
+    // every (text, reversed-prefix text) pair from the fixture corpus,
+    // plus non-ASCII and unequal-length edges
+    // (the empty-vs-nonempty case is asserted on the kernel directly
+    // below: split('', '') yields [''] — one REAL element — so the HOF
+    // surplus arithmetic here doesn't apply to it)
+    val pairs = (adversarial.map(_._2).filter(_.nonEmpty).map(t => (t, t.reverse)) ++
+      Seq(("abc", "abc"), ("abc", "abd"), ("abc", "abcd"),
+        ("éclair", "èclair"), ("日本語", "日本誤"), ("a日b", "a日c")))
+      .toDF("k1", "k2")
+    val hof = aggregate(
+      zip_with(split(col("k1"), ""), split(col("k2"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    // the HOF form zips to min length and ignores the surplus; the native
+    // kernel counts surplus code points as differences — compare on the
+    // common prefix + explicit surplus arithmetic
+    val diff = pairs.select(
+        graft.functions.HammingDistance(col("k1"), col("k2")).as("native"),
+        (hof + abs(length(col("k1")) - length(col("k2")))).as("hof_plus_surplus"))
+      .filter(col("native") =!= col("hof_plus_surplus"))
+    assert(diff.count() === 0)
+  }
+
   test("kernels: hand-computed spot values") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(graft.functions.HammingDistance.dist(u(""), u("xyz")) === 3)
+    assert(graft.functions.HammingDistance.dist(u(""), u("")) === 0)
+    assert(graft.functions.HammingDistance.dist(u("日本語"), u("日本誤")) === 1)
     assert(graft.functions.SymbolMarkCount.count(
       org.apache.spark.unsafe.types.UTF8String.fromString("....")) === 1)
     assert(graft.functions.SymbolMarkCount.count(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, Cast, Divide,
-  Expression, ExpressionInfo, Length, Literal, Multiply, RegExpCount, RegExpReplace,
+  Expression, ExpressionInfo, Length, Literal, Multiply, RegExpReplace,
   Size, StringSplit, StringTrim, Subtract, Lower}
 import org.apache.spark.sql.types.DoubleType
 
@@ -60,6 +60,30 @@ object GraftFunctions {
         Literal(graft.ops.TextAnalysis.normalizeSqueezePattern), Literal(" ")))
       case other => throw new IllegalArgumentException(
         s"normalize_text expects 1 argument, got ${other.size}")
+    },
+    // round-9 native single-pass text kernels (same expressions the
+    // Column API uses — SQL callers get the codegen'd byte-scan forms)
+    "hamming_distance" -> {
+      case Seq(a, b) => HammingDistance(a, b)
+      case other => throw new IllegalArgumentException(
+        s"hamming_distance expects 2 arguments, got ${other.size}")
+    },
+    "alpha_word_count" -> {
+      case Seq(t) => AlphaWordCount(t)
+      case other => throw new IllegalArgumentException(
+        s"alpha_word_count expects 1 argument, got ${other.size}")
+    },
+    "symbol_mark_count" -> {
+      case Seq(t) => SymbolMarkCount(t)
+      case other => throw new IllegalArgumentException(
+        s"symbol_mark_count expects 1 argument, got ${other.size}")
+    },
+    // 1-arg form counts tokens in the English stopword profile (the
+    // list is a Scala-side parameter; SQL gets the library default)
+    "stopword_hits" -> {
+      case Seq(t) => StopwordHits(t, graft.ops.Texts.enStopwords)
+      case other => throw new IllegalArgumentException(
+        s"stopword_hits expects 1 argument, got ${other.size}")
     })
 
   /** Catalyst form of [[graft.ops.TextAnalysis.qualityExpr]] — identical
@@ -71,8 +95,11 @@ object GraftFunctions {
     val toks = StringSplit(text, Literal(" "), Literal(-1))
     val n = dbl(Size(toks))
     val diversity = Divide(dbl(Size(ArrayDistinct(toks))), n)
+    // same native kernel as the Column API's qualityParts (count-equal to
+    // the stopwordCountPattern regex — GopherCountsSpec), so the two
+    // surfaces stay bit-equal
     val stopRatio = Divide(
-      dbl(RegExpCount(text, Literal(graft.ops.Texts.stopwordCountPattern))), n)
+      dbl(StopwordHits(text, graft.ops.Texts.enStopwords)), n)
     val meanLen = Divide(
       dbl(Subtract(Length(text), Subtract(Size(toks), Literal(1)))), n)
     Add(Add(Multiply(diversity, Literal(0.5)), Multiply(stopRatio, Literal(0.25))),

@@ -115,6 +115,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getString(2) === "hello world")
   }
 
+  test("SQL registration exposes the native counters: hamming_distance + char-class counts") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT hamming_distance('karolin', 'kathrin') AS h,
+        |       alpha_word_count('abc 123 x9 !!') AS a,
+        |       symbol_mark_count('a#b...c....') AS s,
+        |       stopword_hits('the cat and the hat') AS w""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 2) // 'abc', 'x9'
+    assert(r.getInt(2) === 3) // '#', '...', '...' (fourth dot unmatched)
+    assert(r.getInt(3) === 3) // 'the' twice + 'and'
+  }
+
   test("PQ: encode picks nearest codebook cells, reconstruction round-trips, ANN ranks by cell") {
     import graft.ops.Similarity
     // m=2 subvectors of dim 2; per-subvector codebook = the two unit axes

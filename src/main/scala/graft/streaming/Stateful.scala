@@ -829,4 +829,113 @@ object Stateful {
     orders.groupBy(_.user).map { case (user, es) =>
       foldTotals(user, UserTotals(user, 0L, 0L, 0.0), es)
     }.toSeq
+
+  /** A quote tick: the right (lookup) side of the streaming as-of join —
+    * at `ts`, `sym` traded at `price`; `quoteId` breaks (sym, ts) ties
+    * (greatest wins, matching [[graft.ops.Relational.asofJoin]]).
+    */
+  final case class Quote(sym: String, quoteId: String, price: Double, ts: Timestamp)
+
+  /** A trade: the left side of the streaming as-of join — wants the
+    * prevailing quote at-or-before its event time.
+    */
+  final case class Trade(tradeId: String, sym: String, qty: Double, ts: Timestamp)
+
+  /** Internal union envelope for [[asofJoinExact]]. */
+  final case class AsofTick(sym: String, isLeft: Boolean, tradeId: String,
+      qty: Double, quoteId: String, price: Double, ts: Timestamp)
+
+  /** Buffered right row: a quote awaiting (or serving) matches. */
+  final case class AsofQuoteRec(tsMs: Long, tb: String, price: Double)
+
+  /** Buffered left row: a trade whose event time the watermark has not
+    * passed yet.
+    */
+  final case class AsofTradeRec(tsMs: Long, tradeId: String, qty: Double)
+
+  /** Per-sym as-of state: quote history (pruned below the watermark) and
+    * the pending-trade buffer.
+    */
+  final case class AsofBuf(quotes: Seq[AsofQuoteRec], trades: Seq[AsofTradeRec])
+
+  /** One matched trade: the prevailing quote's price/id, or None when no
+    * quote at-or-before the trade existed (the left-join null).
+    */
+  final case class AsofJoinedTrade(tradeId: String, sym: String, qty: Double,
+      ts: Timestamp, price: Option[Double], quoteId: Option[String])
+
+  /** Streaming AS-OF join — the out-of-order-correct twin of
+    * [[graft.ops.Relational.asofJoin]] (catalog entry `o15_asof_join`).
+    *
+    * The batch operator's merge-scan needs the full history sorted; a
+    * stream gets rows in arrival order, with lefts and rights arbitrarily
+    * interleaved inside the watermark delay. [[streamTableJoinExact]]
+    * (the J1 twin) matches each left against the latest right SEEN AT
+    * PROCESSING TIME — exact only under per-key chronological arrival.
+    * This operator is exact under any arrival order the watermark
+    * admits: trades buffer in per-key state until the watermark passes
+    * their event time — by then every quote at-or-before them has either
+    * arrived or is late by definition — and only then match and emit
+    * (append-mode-correct: each trade emits exactly once, never revised).
+    *
+    * Semantics match the batch operator: latest quote with
+    * `quote.ts <= trade.ts` (inclusive), greatest `quoteId` among equal
+    * (sym, ts) quotes, None when no quote precedes. Rows below the
+    * watermark on arrival are dropped (standard late-data policy — the
+    * one semantic this engine adds over the batch operator, which sees
+    * no late data). Emission waits on watermark ADVANCEMENT, so a
+    * quiet key flushes via an event-time timer (`EventTimeTimeout`),
+    * not only on its next event.
+    *
+    * Scale shape: state per key is the pending-trade buffer (bounded by
+    * the watermark delay × per-key trade rate) plus the quote history
+    * ABOVE the watermark and one quote below it (older quotes can never
+    * win an as-of match again and are pruned every invocation) — the
+    * same O(delay-window) footprint a stream–stream interval join
+    * carries, hash-partitioned by sym. Streaming-only (batch execution
+    * has no watermark; use the batch operator there).
+    */
+  def asofJoinExact(trades: Dataset[Trade], quotes: Dataset[Quote],
+      delay: Duration): Dataset[AsofJoinedTrade] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val co = trades
+      .map(t => AsofTick(t.sym, isLeft = true, t.tradeId, t.qty, null, 0.0, t.ts))
+      .unionByName(
+        quotes.map(q => AsofTick(q.sym, isLeft = false, null, 0.0, q.quoteId, q.price, q.ts)))
+      .withWatermark("ts", s"${delay.toMillis} milliseconds")
+    co.groupByKey(_.sym)
+      .flatMapGroupsWithState[AsofBuf, AsofJoinedTrade](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (sym: String, events: Iterator[AsofTick], state: GroupState[AsofBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          // ingest (dropping sub-watermark stragglers), keep both sides
+          // sorted: quotes by (ts, tb) so "last at-or-before" is a scan
+          // from the right, trades by (ts, id) for deterministic output
+          val incoming = events.filter(_.ts.getTime >= wm).toSeq
+          val quotesAll = (prev.quotes ++ incoming.collect {
+            case e if !e.isLeft => AsofQuoteRec(e.ts.getTime, e.quoteId, e.price)
+          }).sortBy(q => (q.tsMs, q.tb))
+          val tradesAll = (prev.trades ++ incoming.collect {
+            case e if e.isLeft => AsofTradeRec(e.ts.getTime, e.tradeId, e.qty)
+          }).sortBy(t => (t.tsMs, t.tradeId))
+          val (ripe, pending) = tradesAll.partition(_.tsMs <= wm)
+          val out = ripe.map { t =>
+            val m = quotesAll.takeWhile(_.tsMs <= t.tsMs).lastOption
+            AsofJoinedTrade(t.tradeId, sym, t.qty, new Timestamp(t.tsMs),
+              m.map(_.price), m.map(_.tb))
+          }
+          // prune: the latest quote at-or-below the watermark still serves
+          // future trades; everything older is dominated forever
+          val (below, above) = quotesAll.partition(_.tsMs <= wm)
+          state.update(AsofBuf(below.takeRight(1) ++ above, pending))
+          // a quiet key must still flush when the watermark passes its
+          // pending trades — arm an event-time timer on the earliest one
+          // (must exceed the current watermark; post-flush pending > wm)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.head.tsMs, wm + 1))
+          out.iterator
+      }
+  }
 }

@@ -1081,4 +1081,64 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(out) === rowsOf(gate(docsB.toDF("doc_id", "text"))))
     assert(out.count() === 2) // doc 2 fails the word-count rule in-stream
   }
+
+  test("streaming as-of join: out-of-order arrivals reach the batch asofJoin fixpoint") {
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.{Quote, Trade}
+    // A: quotes at 0s (q1=10), 30s tie (q2=12, q3=13 — greatest id wins);
+    // trades at 10s (→q1), 30s (→q3: inclusive tie), and 20s (→q1)
+    // ARRIVING AFTER the 30s trade — the out-of-order case the J1 twin
+    // can't represent. B: a trade with no quote yet (→ null match), then
+    // a quote and a later trade (→ that quote).
+    val quotesA = Seq(
+      Quote("A", "q1", 10.0, ts("2024-01-01T00:00:00Z")),
+      Quote("A", "q2", 12.0, ts("2024-01-01T00:00:30Z")),
+      Quote("A", "q3", 13.0, ts("2024-01-01T00:00:30Z")))
+    val qB = Quote("B", "q4", 20.0, ts("2024-01-01T00:01:00Z"))
+    val qFlush = Quote("A", "qf", 99.0, ts("2024-01-01T00:10:00Z"))
+    val trades = Seq(
+      Trade("t1", "A", 1.0, ts("2024-01-01T00:00:10Z")),
+      Trade("t2", "A", 2.0, ts("2024-01-01T00:00:30Z")),
+      Trade("t3", "A", 3.0, ts("2024-01-01T00:00:20Z")),
+      Trade("t4", "B", 4.0, ts("2024-01-01T00:00:15Z")),
+      Trade("t5", "B", 5.0, ts("2024-01-01T00:01:30Z")))
+
+    val (tms, tdf) = Sources.memoryStream[Trade](spark)
+    val (qms, qdf) = Sources.memoryStream[Quote](spark)
+    val name = freshTable()
+    val q = Sinks.toMemory(
+      Stateful.asofJoinExact(tdf.as[Trade], qdf.as[Quote],
+        java.time.Duration.ofSeconds(60)).toDF(), name, "append").start()
+    // batch 1: t1, t2 and q1 — watermark 0, nothing emits
+    tms.addData(trades.take(2)); qms.addData(quotesA.take(1))
+    q.processAllAvailable()
+    assert(spark.table(name).count() === 0)
+    // batch 2: the tie quotes, the out-of-order t3, and B's t4/q4/t5
+    tms.addData(trades.drop(2)); qms.addData(quotesA.drop(1) :+ qB)
+    q.processAllAvailable()
+    // batch 3: one far-future quote on A only. B gets NO further input —
+    // its pending trades must flush via the event-time timer, not data.
+    qms.addData(Seq(qFlush))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .select(col("tradeId"), col("sym"), col("qty"),
+        col("ts").cast("long").as("s"), col("price"), col("quoteId"))
+
+    val batch = graft.ops.Relational.asofJoin(
+        (quotesA :+ qB :+ qFlush).toDF()
+          .select(col("sym"), col("quoteId"), col("price"), col("ts").as("qts")),
+        Seq("sym"), "ts", "qts", Seq("price", "quoteId"), "quoteId")(
+        trades.toDF())
+      .select(col("tradeId"), col("sym"), col("qty"),
+        col("ts").cast("long").as("s"), col("price"), col("quoteId"))
+    assert(rowsOf(streamed) === rowsOf(batch))
+    // spot semantics: inclusive tie → q3; out-of-order t3 → q1; no-quote → null
+    val byId = streamed.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(byId("t2")(5) === "q3" && byId("t2")(4) === 13.0)
+    assert(byId("t3")(5) === "q1")
+    assert(byId("t4")(4) == null && byId("t4")(5) == null)
+    assert(byId("t5")(5) === "q4")
+    assert(streamed.count() === 5) // every trade exactly once (append, no revision)
+  }
 }

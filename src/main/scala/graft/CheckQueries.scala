@@ -192,8 +192,13 @@ object CheckQueries {
         // differential: the corpus-scale codegen'd aggregate path must equal
         // the interpreted scalar twin, on a FIXED-SIZE id slice — the twin
         // is 64 interpreted passes per row, so the check's cost must be
-        // constant in corpus size (a fractional slice would scale with it)
-        val sub = docs(s, dir).filter(col("doc_id") < 5000)
+        // constant in corpus size (a fractional slice would scale with it).
+        // Within the slice, a deterministic md5 thinning (~1/5, ≤ ~1k docs)
+        // bounds the twin's cost: a differential pins a kernel bug with a
+        // sample; it does not need the full corpus (the oracle pins the
+        // sampled count, so the check cannot silently go empty)
+        val sub = docs(s, dir).filter(col("doc_id") < 5000 &&
+          substring(md5(col("doc_id").cast("string")), 1, 2) < "34")
         val fast = Dedup.simhashByDoc(col("doc_id"), col("text"))(sub)
         val slow = sub.select(col("doc_id").as("id2"),
             split(col("text"), " ").as("toks"))
@@ -205,7 +210,8 @@ object CheckQueries {
               .as("n_mismatch"))
       },
       Some("SELECT count(*) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch " +
-        "FROM documents WHERE doc_id < 5000"),
+        "FROM documents WHERE doc_id < 5000 " +
+        "AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34'"),
       "invariant for x2c: codegen'd simhash aggregate equals the interpreted " +
         "scalar twin on every slice doc (mismatch count pinned to 0, and the " +
         "oracle pins the slice size so an empty check cannot pass silently)"),

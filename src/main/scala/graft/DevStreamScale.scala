@@ -68,6 +68,27 @@ object DevStreamScale {
     val pStream = spark.readStream.schema(payments.schema)
       .option("maxFilesPerTrigger", "1").parquet(pPath)
 
+    // Telemetry via a listener, NOT q.recentProgress: the progress ring
+    // buffer retains only the most recent ~100 entries, so on long runs a
+    // recentProgress-based summary under-reports while claiming totals.
+    // The listener sees every committed batch exactly once.
+    final case class BatchStat(batchId: Long, inRows: Long, durMs: Long,
+        stateRows: Long, stateBytes: Long, watermark: String)
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        stats.add(BatchStat(p.batchId, p.numInputRows, p.batchDuration,
+          p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum,
+          Option(p.eventTime.get("watermark")).getOrElse("-")))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
     val outPath = s"${work.getPath}/out"
     val t1 = System.nanoTime()
     val q = Topologies.paidOrders(oStream, pStream, profiles, discounts,
@@ -79,26 +100,29 @@ object DevStreamScale {
       .start()
     try q.processAllAvailable() finally q.stop()
     val runSec = (System.nanoTime() - t1) / 1e9
+    // listener events are async; drain briefly before summarizing
+    Thread.sleep(1000)
+    spark.streams.removeListener(listener)
 
-    var maxStateRows = 0L
-    var maxStateBytes = 0L
-    var batches = 0
-    var inputRows = 0L
-    for (p <- q.recentProgress; if p != null) {
-      batches += 1
-      inputRows += p.numInputRows
-      for (so <- p.stateOperators) {
-        maxStateRows = math.max(maxStateRows, so.numRowsTotal)
-        maxStateBytes = math.max(maxStateBytes, so.memoryUsedBytes)
-      }
-      println(f"[stream-scale] batch=${p.batchId}%3d in=${p.numInputRows}%8d " +
-        f"ms=${p.batchDuration}%6d state_rows=${p.stateOperators.map(_.numRowsTotal).sum}%9d " +
-        f"state_mb=${p.stateOperators.map(_.memoryUsedBytes).sum / 1e6}%8.1f")
+    import scala.jdk.CollectionConverters._
+    val all = stats.asScala.toSeq.sortBy(_.batchId)
+    all.foreach { b =>
+      println(f"[stream-scale] batch=${b.batchId}%3d in=${b.inRows}%8d " +
+        f"ms=${b.durMs}%6d state_rows=${b.stateRows}%9d " +
+        f"state_mb=${b.stateBytes / 1e6}%8.1f wm=${b.watermark}")
     }
     val out = spark.read.parquet(outPath).count()
-    println(f"[stream-scale] SUMMARY sf=$sfDir batches(last-window)=$batches " +
-      f"total_sec=$runSec%.1f out_rows=$out " +
-      f"max_state_rows=$maxStateRows max_state_mb=${maxStateBytes / 1e6}%.1f")
+    val inputRows = all.map(_.inRows).sum
+    val maxStateRows = if (all.isEmpty) 0L else all.map(_.stateRows).max
+    val maxStateBytes = if (all.isEmpty) 0L else all.map(_.stateBytes).max
+    // plateau evidence: if the watermark bounds state, the peak of the
+    // run's second half should not exceed the first half's peak by much
+    val (h1, h2) = all.splitAt(all.size / 2)
+    def peak(s: Seq[BatchStat]) = if (s.isEmpty) 0L else s.map(_.stateRows).max
+    println(f"[stream-scale] SUMMARY sf=$sfDir batches=${all.size} " +
+      f"input_rows=$inputRows total_sec=$runSec%.1f out_rows=$out " +
+      f"max_state_rows=$maxStateRows max_state_mb=${maxStateBytes / 1e6}%.1f " +
+      f"state_peak_h1=${peak(h1)} state_peak_h2=${peak(h2)}")
 
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

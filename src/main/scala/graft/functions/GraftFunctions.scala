@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, Cast, Divide,
-  Expression, ExpressionInfo, Length, Literal, Multiply, RegExpReplace,
-  Size, StringSplit, StringTrim, Subtract, Lower}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayDistinct, Cast,
+  Divide, Expression, ExpressionInfo, GreaterThanOrEqual, Length, LessThanOrEqual,
+  Literal, Multiply, RegExpReplace, Round, Size, StringSplit, StringTrim,
+  Subtract, Lower}
 import org.apache.spark.sql.types.DoubleType
 
 /** SQL-surface registration for graft's native expressions, so SQL users
@@ -84,6 +85,21 @@ object GraftFunctions {
       case Seq(t) => StopwordHits(t, graft.ops.Texts.enStopwords)
       case other => throw new IllegalArgumentException(
         s"stopword_hits expects 1 argument, got ${other.size}")
+    },
+    // distinct-stopword presence count (the Gopher ">= 2 required words"
+    // probe) — same English profile default as stopword_hits
+    "stopword_presence" -> {
+      case Seq(t) => StopwordPresence(t, graft.ops.Texts.enStopwords)
+      case other => throw new IllegalArgumentException(
+        s"stopword_presence expects 1 argument, got ${other.size}")
+    },
+    // the full Gopher hard-rule conjunction at library defaults — the SQL
+    // twin of ops.TextAnalysis.gopherPassExpr (same sub-expressions, same
+    // literals, same rule order; EngineSpec pins the surfaces bit-equal)
+    "gopher_pass" -> {
+      case Seq(t) => gopherPassSqlExpr(t)
+      case other => throw new IllegalArgumentException(
+        s"gopher_pass expects 1 argument, got ${other.size}")
     })
 
   /** Catalyst form of [[graft.ops.TextAnalysis.qualityExpr]] — identical
@@ -104,6 +120,32 @@ object GraftFunctions {
       dbl(Subtract(Length(text), Subtract(Size(toks), Literal(1)))), n)
     Add(Add(Multiply(diversity, Literal(0.5)), Multiply(stopRatio, Literal(0.25))),
       Multiply(meanLen, Literal(0.05)))
+  }
+
+  /** Catalyst form of [[graft.ops.TextAnalysis.gopherPassExpr]] at its
+    * library defaults (gopherStopwords, 50..100000 words) — identical
+    * sub-expressions, rounding grain, and cheapest-first rule order, so
+    * the SQL verdicts are bit-equal to the Column API's and boolean AND
+    * still short-circuits the byte scans in generated code.
+    */
+  private def gopherPassSqlExpr(text: Expression): Expression = {
+    def dbl(e: Expression) = Cast(e, DoubleType)
+    def between(e: Expression, lo: Expression, hi: Expression) =
+      And(GreaterThanOrEqual(e, lo), LessThanOrEqual(e, hi))
+    def r4(e: Expression) = new Round(e, Literal(4))
+    val toks = StringSplit(text, Literal(" "), Literal(-1))
+    val nWords = Size(toks)
+    val n = dbl(nWords)
+    val meanLen = Divide(dbl(Subtract(Length(text), Subtract(nWords, Literal(1)))), n)
+    val stopHits = StopwordPresence(text, graft.ops.TextAnalysis.gopherStopwords)
+    val symbolRatio = Divide(dbl(SymbolMarkCount(text)), n)
+    val alphaRatio = Divide(dbl(AlphaWordCount(text)), n)
+    And(And(And(And(
+      between(nWords, Literal(50), Literal(100000)),
+      between(r4(meanLen), Literal(3.0), Literal(10.0))),
+      GreaterThanOrEqual(stopHits, Literal(2))),
+      LessThanOrEqual(r4(symbolRatio), Literal(0.1))),
+      GreaterThanOrEqual(r4(alphaRatio), Literal(0.8)))
   }
 
   private def info(name: String): ExpressionInfo =

@@ -895,6 +895,45 @@ object Stateful {
     * carries, hash-partitioned by sym. Streaming-only (batch execution
     * has no watermark; use the batch operator there).
     */
+  /** One as-of invocation as a pure state transition — the unit under the
+    * prune-bound and knife-edge tests: `(watermark, state, admitted rows)
+    * → (new state, emitted matches)`. Invariants it maintains (asserted
+    * by StreamingSpec directly on the returned state):
+    *
+    *   - emitted trades all have `tsMs < wm` (STRICT — the late-row
+    *     filter admits `ts >= wm`, so a quote tying a trade's event time
+    *     can still legally arrive; the trade must wait until the
+    *     watermark strictly passes it);
+    *   - retained quote history holds AT MOST ONE quote strictly below
+    *     the watermark (the reigning as-of candidate; older quotes are
+    *     dominated forever) — the state bound that keeps per-key memory
+    *     O(delay window), not O(stream length);
+    *   - retained trades are exactly the not-yet-ripe ones.
+    */
+  def asofStep(sym: String, wm: Long, prev: AsofBuf,
+      incoming: Seq[AsofTick]): (AsofBuf, Seq[AsofJoinedTrade]) = {
+    // keep both sides sorted: quotes by (ts, tb) so "last at-or-before"
+    // is a scan from the right, trades by (ts, id) for determinism
+    val quotesAll = (prev.quotes ++ incoming.collect {
+      case e if !e.isLeft => AsofQuoteRec(e.ts.getTime, e.quoteId, e.price)
+    }).sortBy(q => (q.tsMs, q.tb))
+    val tradesAll = (prev.trades ++ incoming.collect {
+      case e if e.isLeft => AsofTradeRec(e.ts.getTime, e.tradeId, e.qty)
+    }).sortBy(t => (t.tsMs, t.tradeId))
+    val (ripe, pending) = tradesAll.partition(_.tsMs < wm)
+    val out = ripe.map { t =>
+      val m = quotesAll.takeWhile(_.tsMs <= t.tsMs).lastOption
+      AsofJoinedTrade(t.tradeId, sym, t.qty, new Timestamp(t.tsMs),
+        m.map(_.price), m.map(_.tb))
+    }
+    // prune: the latest quote strictly below the watermark still serves
+    // future trades; everything older is dominated forever. Quotes AT
+    // the watermark stay un-collapsed — a same-ts arrival with a greater
+    // quoteId is still admissible and could win a tie.
+    val (below, above) = quotesAll.partition(_.tsMs < wm)
+    (AsofBuf(below.takeRight(1) ++ above, pending), out)
+  }
+
   def asofJoinExact(trades: Dataset[Trade], quotes: Dataset[Quote],
       delay: Duration): Dataset[AsofJoinedTrade] = {
     val spark = trades.sparkSession
@@ -910,31 +949,21 @@ object Stateful {
         (sym: String, events: Iterator[AsofTick], state: GroupState[AsofBuf]) =>
           val wm = state.getCurrentWatermarkMs()
           val prev = state.getOption.getOrElse(AsofBuf(Nil, Nil))
-          // ingest (dropping sub-watermark stragglers), keep both sides
-          // sorted: quotes by (ts, tb) so "last at-or-before" is a scan
-          // from the right, trades by (ts, id) for deterministic output
-          val incoming = events.filter(_.ts.getTime >= wm).toSeq
-          val quotesAll = (prev.quotes ++ incoming.collect {
-            case e if !e.isLeft => AsofQuoteRec(e.ts.getTime, e.quoteId, e.price)
-          }).sortBy(q => (q.tsMs, q.tb))
-          val tradesAll = (prev.trades ++ incoming.collect {
-            case e if e.isLeft => AsofTradeRec(e.ts.getTime, e.tradeId, e.qty)
-          }).sortBy(t => (t.tsMs, t.tradeId))
-          val (ripe, pending) = tradesAll.partition(_.tsMs <= wm)
-          val out = ripe.map { t =>
-            val m = quotesAll.takeWhile(_.tsMs <= t.tsMs).lastOption
-            AsofJoinedTrade(t.tradeId, sym, t.qty, new Timestamp(t.tsMs),
-              m.map(_.price), m.map(_.tb))
-          }
-          // prune: the latest quote at-or-below the watermark still serves
-          // future trades; everything older is dominated forever
-          val (below, above) = quotesAll.partition(_.tsMs <= wm)
-          state.update(AsofBuf(below.takeRight(1) ++ above, pending))
+          // ingest, dropping sub-watermark stragglers (late-data policy).
+          // Spark's flatMapGroupsWithState additionally pre-filters input
+          // older than the PREVIOUS batch's watermark before the function
+          // runs, so this filter only tightens the boundary to the current
+          // one — the strict ripeness in asofStep makes exactness hold
+          // from this filter alone, without leaning on the engine's
+          // one-batch-lag internal boundary
+          val (next, out) = asofStep(sym, wm, prev,
+            events.filter(_.ts.getTime >= wm).toSeq)
+          state.update(next)
           // a quiet key must still flush when the watermark passes its
           // pending trades — arm an event-time timer on the earliest one
-          // (must exceed the current watermark; post-flush pending > wm)
-          if (pending.nonEmpty)
-            state.setTimeoutTimestamp(math.max(pending.head.tsMs, wm + 1))
+          // (must exceed the current watermark; post-flush pending >= wm)
+          if (next.trades.nonEmpty)
+            state.setTimeoutTimestamp(math.max(next.trades.head.tsMs, wm + 1))
           out.iterator
       }
   }

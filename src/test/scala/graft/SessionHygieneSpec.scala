@@ -99,6 +99,43 @@ class SessionHygieneSpec extends SparkSpec {
       s"blocks still persisted after scoped runs: ${leftover.keySet}")
   }
 
+  test("streaming as-of join runs twice in one JVM with no residue (hygiene subset)") {
+    // The streaming exact twin joins the hygiene subset: two identical
+    // topology runs in one session must (a) not slow down, (b) leave no
+    // active query, registered temp table, or persisted block behind.
+    import graft.streaming.{Sinks, Sources, Stateful}
+    import graft.streaming.Stateful.{Quote, Trade}
+    import spark.implicits._
+    def runOnce(tag: String): Double = {
+      val t0 = System.nanoTime()
+      val (tms, tdf) = Sources.memoryStream[Trade](spark)
+      val (qms, qdf) = Sources.memoryStream[Quote](spark)
+      val name = s"hyg_asof_$tag"
+      val q = Sinks.toMemory(
+        Stateful.asofJoinExact(tdf.as[Trade], qdf.as[Quote],
+          java.time.Duration.ofSeconds(10)).toDF(), name, "append").start()
+      (0 until 5).foreach { b =>
+        val base = b * 20000L
+        tms.addData((0 until 50).map(i =>
+          Trade(s"t$b-$i", s"s${i % 4}", 1.0, new java.sql.Timestamp(base + i * 100))))
+        qms.addData((0 until 50).map(i =>
+          Quote(s"s${i % 4}", s"q$b-$i", 2.0, new java.sql.Timestamp(base + i * 100))))
+        q.processAllAvailable()
+      }
+      assert(spark.table(name).count() > 0)
+      q.stop()
+      spark.catalog.dropTempView(name)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val first = runOnce("a")
+    val second = runOnce("b")
+    assert(second <= first * 3.0 + 1.0,
+      f"streaming as-of pass degraded: $first%.2f -> $second%.2f s")
+    assert(spark.streams.active.isEmpty, "streaming query leaked past its run")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "streaming run left persisted blocks behind")
+  }
+
   test("memoized artifacts survive another query's cleanup (r5 regression)") {
     // prime the memo inside a scoped block — the scope must NOT reclaim
     // the memoized artifact's backing state...

@@ -129,6 +129,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getInt(3) === 3) // 'the' twice + 'and'
   }
 
+  test("SQL registration exposes stopword_presence and gopher_pass, bit-equal to the Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT stopword_presence('the cat and the hat and more') AS p,
+        |       gopher_pass('the cat') AS g""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 2) // 'the' + 'and' present; repeats don't add
+    assert(!r.getBoolean(1)) // 2 words — fails the word-count rule
+    // differential on the corpus: per-doc SQL verdicts must equal the
+    // Column API's exactly (shared kernels + identical literal trees)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("gopher_sql_docs")
+    val sqlSide = spark.sql(
+      """SELECT doc_id, gopher_pass(text) AS pass,
+        |       stopword_presence(text) AS sp FROM gopher_sql_docs""".stripMargin)
+    val colSide = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.gopherPassExpr(col("text")).as("pass"),
+      graft.functions.StopwordPresence(col("text"), graft.ops.Texts.enStopwords).as("sp"))
+    assert(sqlSide.exceptAll(colSide).isEmpty && colSide.exceptAll(sqlSide).isEmpty)
+    // the differential is over a non-trivial corpus with BOTH verdicts
+    // represented at the sub-rule level (sf0.001 docs are all shorter than
+    // the 50-word gate, so assert on stopword presence, which varies)
+    assert(sqlSide.count() > 0)
+    assert(sqlSide.select(countDistinct(col("sp"))).collect()(0).getLong(0) > 1)
+    spark.catalog.dropTempView("gopher_sql_docs")
+  }
+
   test("PQ: encode picks nearest codebook cells, reconstruction round-trips, ANN ranks by cell") {
     import graft.ops.Similarity
     // m=2 subvectors of dim 2; per-subvector codebook = the two unit axes

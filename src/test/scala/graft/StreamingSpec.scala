@@ -1141,4 +1141,117 @@ class StreamingSpec extends SparkSpec {
     assert(byId("t5")(5) === "q4")
     assert(streamed.count() === 5) // every trade exactly once (append, no revision)
   }
+
+  test("streaming as-of join: emission waits for the watermark to STRICTLY pass a trade") {
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.{Quote, Trade}
+    // The observable half of the strict-ripeness contract, end-to-end: a
+    // trade whose event time the watermark has only REACHED (wm == ts)
+    // must not emit yet — only once the watermark strictly passes it.
+    // (The other half — a quote tying wm and the trade's ts still wins —
+    // cannot be staged through the engine: Spark's own late filter drops
+    // flatMapGroupsWithState input at ts <= previous-batch watermark, one
+    // batch before our admission filter would see it; that knife-edge is
+    // pinned at the asofStep unit level below.) delay = 60s throughout.
+    val t1 = Trade("t1", "A", 1.0, ts("2024-01-01T00:01:40Z")) // ts = 100s
+    val q0 = Quote("A", "q0", 10.0, ts("2024-01-01T00:00:00Z")) // with t1 in batch 0
+    val qd = Quote("A", "qd", 50.0, ts("2024-01-01T00:02:40Z")) // 160s: invokes key A at wm==100s
+    val wmB1 = Quote("B", "b1", 1.0, ts("2024-01-01T00:02:40Z")) // 160s → wm 100s
+    val wmB2 = Quote("B", "b2", 1.0, ts("2024-01-01T00:02:45Z")) // 165s → wm 105s
+    val wmB3 = Quote("B", "b3", 1.0, ts("2024-01-01T00:02:46Z")) // trigger: timer fires at wm 105s
+
+    val (tms, tdf) = Sources.memoryStream[Trade](spark)
+    val (qms, qdf) = Sources.memoryStream[Quote](spark)
+    val name = freshTable()
+    val q = Sinks.toMemory(
+      Stateful.asofJoinExact(tdf.as[Trade], qdf.as[Quote],
+        java.time.Duration.ofSeconds(60)).toDF(), name, "append").start()
+    tms.addData(Seq(t1)); qms.addData(Seq(q0))
+    q.processAllAvailable() // wm after: 40s; q0 buffered alongside t1
+    qms.addData(Seq(wmB1))
+    q.processAllAvailable() // wm after: exactly 100s == t1.ts
+    qms.addData(Seq(qd))
+    q.processAllAvailable() // key A invoked at wm == t1.ts: t1 must NOT emit yet
+    assert(spark.table(name).count() === 0,
+      "trade emitted at wm == its event time — ripeness must be strict")
+    qms.addData(Seq(wmB2)); q.processAllAvailable() // wm → 105s, strictly past t1
+    qms.addData(Seq(wmB3)); q.processAllAvailable() // timer fires, t1 ripe
+    q.stop()
+    val got = spark.table(name).select("tradeId", "price", "quoteId").collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "t1")
+    assert(got.head.getDouble(1) === 10.0 && got.head.getString(2) === "q0")
+  }
+
+  test("asofStep knife-edge: a quote tying the watermark and a trade's event time still wins") {
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.{AsofBuf, AsofTick}
+    // The admission contract admits rows with ts >= wm, so a quote with ts
+    // EXACTLY equal to the watermark — and equal to a buffered trade's
+    // event time — may arrive in a step AFTER the watermark reached that
+    // instant. Strict ripeness (emit only at ts < wm) is what keeps the
+    // trade waiting so the tying quote can still win; ripeness at <= would
+    // have emitted it a step early with the stale match.
+    val T = 100000L
+    def quote(id: String, ts: Long, p: Double) =
+      AsofTick("S", isLeft = false, null, 0.0, id, p, new Timestamp(ts))
+    def trade(id: String, ts: Long) =
+      AsofTick("S", isLeft = true, id, 1.0, null, 0.0, new Timestamp(ts))
+    // step 1 (wm well below T): early quote + the trade buffer up
+    val (s1, o1) = Stateful.asofStep("S", 0L, AsofBuf(Nil, Nil),
+      Seq(quote("q0", 0L, 10.0), trade("t1", T)))
+    assert(o1.isEmpty)
+    // step 2: the watermark has reached T exactly — the trade must wait
+    val (s2, o2) = Stateful.asofStep("S", T, s1, Nil)
+    assert(o2.isEmpty, "trade emitted at wm == its event time")
+    assert(s2.trades.map(_.tradeId) === Seq("t1"))
+    // step 3: the tying quote arrives (ts == wm == trade ts — admissible)
+    val (s3, o3) = Stateful.asofStep("S", T, s2, Seq(quote("q9", T, 99.0)))
+    assert(o3.isEmpty)
+    assert(s3.quotes.exists(_.tb === "q9"), "tying quote was pruned while still admissible")
+    // step 4: the watermark strictly passes — the tying quote wins the match
+    val (s4, o4) = Stateful.asofStep("S", T + 1, s3, Nil)
+    assert(o4.map(j => (j.tradeId, j.price, j.quoteId)) ===
+      Seq(("t1", Some(99.0), Some("q9"))))
+    assert(s4.trades.isEmpty)
+  }
+
+  test("as-of join state is watermark-bounded: quote history prunes, trades drain") {
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.{AsofBuf, AsofTick}
+    // The state-bound twin of the runningTotalsTtl test: run the pure
+    // per-invocation transition over a long stream (100 batches x 20
+    // quotes + 5 trades per key) with the watermark trailing 2 batches
+    // behind, and assert after EVERY step that retained state is
+    // O(delay window): at most one quote strictly below the watermark
+    // plus the in-window ones, and only not-yet-ripe trades — i.e. the
+    // buffer plateaus instead of growing with stream length.
+    def tick(isLeft: Boolean, id: String, tsMs: Long): AsofTick =
+      AsofTick("S", isLeft, if (isLeft) id else null, 1.0,
+        if (isLeft) null else id, 2.0, new Timestamp(tsMs))
+    val batchMs = 1000L
+    var st = AsofBuf(Nil, Nil)
+    var emitted = 0
+    (0 until 100).foreach { b =>
+      val base = b * batchMs
+      val wm = math.max(0L, (b - 2) * batchMs) // watermark trails 2 batches
+      val in = (0 until 20).map(i => tick(isLeft = false, s"q$b-$i", base + i * 50)) ++
+        (0 until 5).map(i => tick(isLeft = true, s"t$b-$i", base + i * 200))
+      val (next, out) = Stateful.asofStep("S", wm, st, in)
+      emitted += out.size
+      assert(out.forall(_.ts.getTime < wm), "emitted a trade the watermark had not passed")
+      assert(next.quotes.count(_.tsMs < wm) <= 1,
+        s"batch $b retained ${next.quotes.count(_.tsMs < wm)} dominated quotes")
+      assert(next.trades.forall(_.tsMs >= wm), "retained an already-ripe trade")
+      // absolute plateau: <=1 reigning quote + 3 batches' worth in-window
+      assert(next.quotes.size <= 1 + 3 * 20, s"quote history grew: ${next.quotes.size}")
+      assert(next.trades.size <= 3 * 5, s"trade buffer grew: ${next.trades.size}")
+      st = next
+    }
+    // drain: once the watermark passes everything, all trades have emitted
+    val (fin, tail) = Stateful.asofStep("S", 200 * batchMs, st, Nil)
+    emitted += tail.size
+    assert(emitted === 100 * 5)
+    assert(fin.trades.isEmpty && fin.quotes.size <= 1)
+  }
 }

@@ -31,4 +31,17 @@ for d in "$OUT"/*/; do
   fi
 done
 echo "[sweep] summary ok=$ok fail=$fail no_oracle=$noora timeout=$tmo"
-[ $fail -eq 0 ]
+# Gate: any FAIL is fatal. Timeouts are fatal too UNLESS every timeout is
+# accompanied by at least one ok (i.e. the sweep wasn't a silent all-timeout
+# run) AND the caller opted in via SWEEP_ALLOW_TIMEOUTS=1 — the opt-in is
+# for the known infeasible-at-scale oracles (definitional all-pairs forms)
+# at big SFs, where a DuckDB timeout is expected and documented.
+if [ $fail -ne 0 ]; then exit 1; fi
+if [ $tmo -ne 0 ]; then
+  if [ "${SWEEP_ALLOW_TIMEOUTS:-0}" = "1" ] && [ $ok -gt 0 ]; then
+    echo "[sweep] $tmo timeout(s) tolerated (SWEEP_ALLOW_TIMEOUTS=1)"
+    exit 0
+  fi
+  exit 1
+fi
+exit 0

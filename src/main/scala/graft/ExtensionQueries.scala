@@ -287,6 +287,11 @@ object ExtensionQueries {
     */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // Build/consume tallies for the artifact contract ("written once, read
+  // N times"), asserted by ArtifactReuseSpec and reported by scale
+  // rehearsals. Counters, not behavior: the memo itself is the mechanism.
+  private[graft] val pairsBuilds = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val pairsReads = new java.util.concurrent.atomic.AtomicInteger
   private[graft] def nearDupPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = pairsMemo.computeIfAbsent(dir, _ => {
@@ -298,8 +303,11 @@ object ExtensionQueries {
           maxShingleDf = 1000L)(docs(s, dir))
         .select(col("a").cast("long"), col("b").cast("long"), col("jaccard"))
         .write.mode("overwrite").parquet(out)
+      pairsBuilds.incrementAndGet()
+      System.err.println(s"[graft] near-dup pair artifact built: $out")
       out
     })
+    pairsReads.incrementAndGet()
     s.read.parquet(path)
   }
 

@@ -144,6 +144,11 @@ object Bench {
     }
     println(fullJson)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errList.size},"sf":"$sfDir"}""")
+    // Scale-rehearsal telemetry (stderr, not the JSON contract): the
+    // shared near-dup pair artifact's written-once/read-N counters
+    System.err.println(s"[graft] near-dup artifact tallies: " +
+      s"builds=${ExtensionQueries.pairsBuilds.get()} " +
+      s"reads=${ExtensionQueries.pairsReads.get()}")
     spark.stop()
   }
 }

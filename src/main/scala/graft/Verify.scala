@@ -38,6 +38,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Scale-rehearsal telemetry for the shared near-dup pair artifact
+    // ("written once, read N times" — ArtifactReuseSpec pins the contract,
+    // this line records it per run so BASELINE.md can quote real counts)
+    System.err.println(s"[graft] near-dup artifact tallies: " +
+      s"builds=${ExtensionQueries.pairsBuilds.get()} " +
+      s"reads=${ExtensionQueries.pairsReads.get()}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

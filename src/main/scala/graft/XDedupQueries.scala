@@ -219,13 +219,17 @@ object XDedupQueries {
       // demonstrably cut, not just round-trip
       (s, dir) => TextAnalysis.dedupBlocksWithinDoc(
         col("doc_id"), col("text"), blockTokens = 2)(docs(s, dir)),
+      // blocks via zipped unnest + subscripts, NOT range-unnest with the
+      // token array carried per row: the carried-array form duplicated
+      // each doc's whole token list onto every block row and OOM'd
+      // DuckDB's 100 GiB limit at sf10; this form is linear in tokens
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |e AS (SELECT doc_id, t,
-             |        unnest(range(0, CAST(ceil(len(t)/2.0) AS BIGINT))) AS i
-             |      FROM toks),
-             |blk AS (SELECT doc_id, CAST(i AS INT) AS idx,
-             |          array_to_string(t[CAST(i*2+1 AS INT):CAST(i*2+2 AS INT)], ' ') AS b
-             |        FROM e),
+             |tok AS (SELECT doc_id, unnest(t) AS tok,
+             |          generate_subscripts(t, 1) AS pos FROM toks),
+             |blk AS (SELECT doc_id, idx, string_agg(tok, ' ' ORDER BY pos) AS b
+             |        FROM (SELECT doc_id, tok, pos,
+             |                CAST((pos - 1) // 2 AS INT) AS idx FROM tok)
+             |        GROUP BY doc_id, idx),
              |firsts AS (SELECT doc_id, b, min(idx) AS idx FROM blk
              |           GROUP BY doc_id, b)
              |SELECT doc_id, string_agg(b, ' ' ORDER BY idx) AS clean_text

@@ -18,6 +18,14 @@ with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracles = json.load(f)
 
 con = duckdb.connect()
+# Big-SF sweeps: DuckDB's ordered-aggregate hash state scales with the
+# thread count (each thread holds per-group value lists until finalize);
+# at sf10 the x30 oracle exceeded the 100 GiB limit at 32 threads but
+# runs in <1 min at 8. Cap via env; default keeps DuckDB's own choice so
+# the driver-SF behavior is unchanged.
+if os.environ.get("GRAFT_ORACLE_THREADS"):
+    con.execute(f"PRAGMA threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")

@@ -22,10 +22,15 @@ con = duckdb.connect()
 # thread count (each thread holds per-group value lists until finalize);
 # at sf10 the x30 oracle exceeded the 100 GiB limit at 32 threads but
 # runs in <1 min at 8. Cap via env; default keeps DuckDB's own choice so
-# the driver-SF behavior is unchanged.
+# the driver-SF behavior is unchanged. The spill directory is set
+# UNCONDITIONALLY (its own knob, decoupled from the thread cap) so that
+# default-thread big-SF sweeps can also spill instead of OOMing an
+# in-memory database that has nowhere to write.
+con.execute("PRAGMA temp_directory='"
+            + os.environ.get("GRAFT_ORACLE_SPILL_DIR", "/tmp/duck_spill")
+            + "'")
 if os.environ.get("GRAFT_ORACLE_THREADS"):
     con.execute(f"PRAGMA threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
-    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")

@@ -20,6 +20,12 @@ out_dir, sf_dir = sys.argv[1], sys.argv[2]
 k = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
 
 con = duckdb.connect()
+# Same knobs as check_oracle.py: spill dir always set (a big-SF run that
+# needs to spill must not fall back to an in-memory DB's nowhere), thread
+# cap optional.
+con.execute("PRAGMA temp_directory='"
+            + os.environ.get("GRAFT_ORACLE_SPILL_DIR", "/tmp/duck_spill")
+            + "'")
 if os.environ.get("GRAFT_ORACLE_THREADS"):
     con.execute(f"PRAGMA threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
 con.execute(
@@ -36,15 +42,20 @@ ORDER BY md5(CAST(c_custkey AS VARCHAR)) LIMIT {k}""")
 
 # True partner set of each sampled id: levenshtein on equal-length names
 # is Hamming here (substitutions only). K x N with a length gate.
+# levenshtein is computed ONCE per length-gated row (in the inner
+# projection) and the threshold filters on the alias — the dominant cost
+# at K=1000 x N=1.5M, so it must not run twice per row on the chance
+# DuckDB's CSE doesn't kick in.
 con.execute("""
 CREATE TABLE truth AS
-SELECT least(s.c_custkey, c.c_custkey) AS a,
-       greatest(s.c_custkey, c.c_custkey) AS b,
-       levenshtein(s.c_name, c.c_name) AS dist
-FROM sample s JOIN customer c
-  ON s.c_custkey <> c.c_custkey
- AND length(s.c_name) = length(c.c_name)
-WHERE levenshtein(s.c_name, c.c_name) <= 1""")
+SELECT a, b, dist FROM (
+  SELECT least(s.c_custkey, c.c_custkey) AS a,
+         greatest(s.c_custkey, c.c_custkey) AS b,
+         levenshtein(s.c_name, c.c_name) AS dist
+  FROM sample s JOIN customer c
+    ON s.c_custkey <> c.c_custkey
+   AND length(s.c_name) = length(c.c_name)
+) WHERE dist <= 1""")
 
 (truth_n,) = con.execute("SELECT count(DISTINCT (a, b)) FROM truth").fetchone()
 (eng_n,) = con.execute("""

@@ -68,13 +68,46 @@ import org.apache.spark.sql.functions._
   * type-agnostic, and the DuckDB compare script re-types a BIGINT `ts`
   * back to TIMESTAMP_NS when registering the view (tools/check_oracle.py).
   *
-  * Usage: `runMain graft.DevSynth <srcSfDir> <outDir> <copies>`
+  * == The `hostile` profile ==
+  *
+  * Every oracle has otherwise only ever seen the driver's benign
+  * distribution — both scale-rehearsal defects to date (x2d at sf1, x30
+  * at sf10) were fixture-shape assumptions. `hostile` re-shapes the
+  * scaled output adversarially, deterministically per key
+  * (murmur3-bucketed, so reruns are bit-identical), while protecting the
+  * catalog's pinned query/eval referents (`doc_id < 50`, `vec_id < 50`
+  * query sets; customer 0, the skew target, stays a normal row):
+  *
+  *  - NULLs in every nullable non-PK column family (measures, flags,
+  *    dates, dims, and a thin slice of FKs — joins must agree with the
+  *    oracle on NULL-key drop semantics).
+  *  - documents: empty / whitespace-only / single-token / NULL /
+  *    unicode-heavy (multi-byte, astral-plane, combining accents) text,
+  *    plus a duplicate-saturated band (3 constant texts shared by ~5% of
+  *    the corpus — exact-dup clusters far larger than the benign data
+  *    ever produces); `n_chars` recomputed so the tokenizer arithmetic
+  *    stays honest.
+  *  - embeddings: all-zero vectors (cosine denominator 0), constant
+  *    vectors, zero-LENGTH arrays and NULL embeddings in the corpus.
+  *  - Zipf-grade key skew: ~30% of orders remapped to customer 0 and
+  *    ~30% of events to one existing user — one group owning a third of
+  *    the table, the shape AQE skew-handling exists for.
+  *  - events.props: malformed JSON (`{"k": 1` / empty string / NULL) —
+  *    pins the reference's serde drop-on-malformed contract (KSA:64-70).
+  *
+  * Usage: `runMain graft.DevSynth <srcSfDir> <outDir> <copies> [hostile]`
   */
 object DevSynth {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, copiesS) = args
+    val (srcDir, outDir, copiesS, profile) = args match {
+      case Array(s, o, c) => (s, o, c, "benign")
+      case Array(s, o, c, p) => (s, o, c, p)
+    }
     val copies = copiesS.toInt
     require(copies >= 1, s"copies must be >= 1, got $copies")
+    require(profile == "benign" || profile == "hostile",
+      s"profile must be benign|hostile, got $profile")
+    val hostile = profile == "hostile"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -112,7 +145,7 @@ object DevSynth {
           extra(offset, i)
         }
         .reduce(_ unionByName _)
-      writeOne(out, name)
+      writeOne(if (hostile) hostilize(name, out) else out, name)
     }
 
     writeOne(spark.read.parquet(s"$srcDir/region.parquet"), "region")
@@ -161,5 +194,140 @@ object DevSynth {
             .cast("array<float>"))
       })
     spark.stop()
+  }
+
+  /** Deterministic per-key adversarial bucket in [0, 1000): murmur3 of
+    * the key columns plus a fixed salt, so a rerun is bit-identical and
+    * the afflicted row set is independent of partitioning.
+    */
+  private def slot(keys: org.apache.spark.sql.Column*) =
+    pmod(hash(keys :+ lit(42): _*), lit(1000))
+
+  private val nullStr = lit(null).cast("string")
+
+  /** The `hostile` profile's per-table transforms (see object scaladoc).
+    * Bucket ranges are disjoint per column family so each row carries at
+    * most one affliction per column and the afflicted fractions are
+    * exact by construction.
+    */
+  private def hostilize(name: String, df: DataFrame): DataFrame = name match {
+    case "customer" =>
+      val s = slot(col("c_custkey"))
+      // customer 0 is the order-skew target — it must stay a joinable,
+      // fully-populated row
+      val protect = col("c_custkey") === 0L
+      df.withColumn("c_name",
+          when(protect, col("c_name"))
+            .when(s < 10, nullStr)
+            .when(s < 20, lit(""))
+            // one shared unicode name: an exact-dup cluster for the
+            // record-linkage family, multi-byte + astral-plane for every
+            // byte-vs-codepoint length assumption
+            .when(s < 30, lit("Ünïcødé🦄名前"))
+            .when(s < 35, lit("   "))
+            .otherwise(col("c_name")))
+        .withColumn("c_acctbal",
+          when(!protect && s >= 35 && s < 55, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment",
+          when(!protect && s >= 55 && s < 75, nullStr)
+            .otherwise(col("c_mktsegment")))
+    case "orders" =>
+      val s = slot(col("o_orderkey"))
+      // Zipf-grade skew: ~30% of all orders belong to customer 0
+      val zipf = pmod(hash(col("o_orderkey"), lit(77)), lit(10)) < 3
+      df.withColumn("o_custkey",
+          when(s >= 80 && s < 90, lit(null).cast("long"))
+            .when(zipf, lit(0L))
+            .otherwise(col("o_custkey")))
+        .withColumn("o_orderstatus",
+          when(s < 20, nullStr).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(s >= 20 && s < 40, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(s >= 40 && s < 60, nullStr).otherwise(col("o_orderpriority")))
+        .withColumn("o_orderdate",
+          when(s >= 60 && s < 80, lit(null).cast(df.schema("o_orderdate").dataType))
+            .otherwise(col("o_orderdate")))
+    case "lineitem" =>
+      val s = slot(col("l_orderkey"), col("l_linenumber"))
+      df.withColumn("l_quantity",
+          when(s < 20, lit(null).cast("double")).otherwise(col("l_quantity")))
+        .withColumn("l_discount",
+          when(s >= 20 && s < 40, lit(null).cast("double"))
+            .otherwise(col("l_discount")))
+        .withColumn("l_returnflag",
+          when(s >= 40 && s < 60, nullStr).otherwise(col("l_returnflag")))
+        .withColumn("l_shipdate",
+          when(s >= 60 && s < 80, lit(null).cast(df.schema("l_shipdate").dataType))
+            .otherwise(col("l_shipdate")))
+        .withColumn("l_extendedprice",
+          when(s >= 80 && s < 95, lit(null).cast("double"))
+            .otherwise(col("l_extendedprice")))
+        .withColumn("l_partkey",
+          when(s >= 995, lit(null).cast("long")).otherwise(col("l_partkey")))
+    case "events" =>
+      val s = slot(col("event_id"))
+      val zipf = pmod(hash(col("event_id"), lit(77)), lit(10)) < 3
+      // the skew target must be an EXISTING user: the source generator's
+      // id range always contains its minimum
+      val hot = df.agg(min(col("user_id"))).collect()(0).getLong(0)
+      df.withColumn("user_id",
+          when(zipf, lit(hot)).otherwise(col("user_id")))
+        .withColumn("props",
+          when(s < 30, lit("{\"k\": 1")) // truncated JSON
+            .when(s >= 30 && s < 40, lit(""))
+            .when(s >= 40 && s < 50, nullStr)
+            .otherwise(col("props")))
+        .withColumn("value",
+          when(s >= 50 && s < 70, lit(null).cast("double"))
+            .otherwise(col("value")))
+        .withColumn("event_type",
+          when(s >= 70 && s < 90, nullStr).otherwise(col("event_type")))
+        .withColumn("ts",
+          when(s >= 90, lit(null).cast(df.schema("ts").dataType))
+            .otherwise(col("ts")))
+    case "documents" =>
+      val s = slot(col("doc_id"))
+      // doc_id < 50 is the catalog's pinned benchmark/query slice
+      val protect = col("doc_id") < 50
+      val unicodeText = "héllо wörld 🦄 unicorn 日本語 テキスト naïve café " +
+        "étoile ΑΒΓ москва 🌍 emoji" // NFD accent + astral plane
+      val dups = array(
+        lit("the quick brown fox jumps over the lazy dog again and again"),
+        lit("lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        lit("to be or not to be that is the question whether tis nobler"))
+      val text2 =
+        when(protect, col("text"))
+          .when(s < 20, lit(""))
+          .when(s >= 20 && s < 30, lit("   "))
+          .when(s >= 30 && s < 50, lit(unicodeText))
+          .when(s >= 50 && s < 60, nullStr)
+          .when(s >= 60 && s < 70, lit("x"))
+          // duplicate-saturated band: ~5% of the corpus shares 3 texts
+          .when(s >= 70 && s < 120, element_at(dups, (pmod(s, lit(3)) + 1).cast("int")))
+          .otherwise(col("text"))
+      df.withColumn("text", text2)
+        .withColumn("lang",
+          when(!protect && s >= 120 && s < 140, nullStr).otherwise(col("lang")))
+        .withColumn("source",
+          when(!protect && s >= 140 && s < 160, nullStr).otherwise(col("source")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    case "embeddings" =>
+      val s = slot(col("vec_id"))
+      // vec_id < 50 plays the query/eval sets across the ANN family
+      val protect = col("vec_id") < 50
+      df.withColumn("embedding",
+          when(protect, col("embedding"))
+            .when(s < 20, transform(col("embedding"), _ => lit(0.0f)))
+            .when(s >= 20 && s < 40, transform(col("embedding"), _ => lit(0.5f)))
+            .when(s >= 40 && s < 50, array().cast("array<float>"))
+            .when(s >= 50 && s < 60, lit(null).cast("array<float>"))
+            .otherwise(col("embedding")))
+        .withColumn("label",
+          when(!protect && s >= 60 && s < 80, lit(null).cast("int"))
+            .otherwise(col("label")))
+    case _ => df // region/nation: fixed dimensions stay pristine
   }
 }

@@ -34,9 +34,15 @@ object Graph {
     * every round (`rank = (1-d) + d * (inbound + danglingMass/|V|)`), so
     * an invariant checker needs no normalization pass. Returns
     * (`id` long, `rank` double).
+    *
+    * `broadcastMaxNodes` picks the distributed rank-join regime (see
+    * [[pageRankDistributed]]); it is a parameter so tests and dev probes
+    * can force the shuffle regime on graphs that would otherwise
+    * broadcast.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 4000000L,
+      broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val spark = edges.sparkSession
@@ -45,7 +51,7 @@ object Graph {
     try {
       val m = e.count()
       if (m <= driverMaxEdges) pageRankDriver(spark, e, iters, damping)
-      else pageRankDistributed(e, iters, damping)
+      else pageRankDistributed(e, iters, damping, broadcastMaxNodes)
     } finally e.unpersist()
   }
 
@@ -112,22 +118,33 @@ object Graph {
     * vector is two words per node), each round is map-side against the
     * stationary edge partitions; past `broadcastMaxNodes` the rank
     * vector instead shuffles on `src`, landing co-partitioned with the
-    * persisted edge layout — the billion-node path, one |V| exchange per
+    * persisted edge layout (a SHUFFLE_HASH build of the |V|-sized rank
+    * side, so the stationary |E| side is neither re-shuffled nor
+    * re-sorted per round) — the billion-node path, one |V| exchange per
     * round either way (the contribution aggregate).
+    *
+    * Dangling-node mass rides the SAME per-round job as an observed
+    * metric (`Dataset.observe` on the rank scan that feeds the
+    * contribution join), not a separate driver-collected aggregate:
+    * ranks are materialized as a PARTIAL (`(1-d) + d·inbound`) plus a
+    * driver-held scalar `uniform = d·dMass/|V|` that every node receives
+    * identically; the next round adds the scalar back wherever a true
+    * rank is needed (the contribution scan, the dangling observation,
+    * and the final projection). One action — the eager localCheckpoint —
+    * per iteration, for dangling and dangling-free graphs alike.
     */
   private def pageRankDistributed(e0: DataFrame, iters: Int, d: Double,
-      broadcastMaxNodes: Long = 10000000L): DataFrame = {
+      broadcastMaxNodes: Long): DataFrame = {
     // ONE aggregation pass over both edge endpoints derives the whole
     // vertex table — node set AND out-degree (dangling = outdeg 0) —
     // instead of separate distinct/anti-join passes over the edge list
     val verts = e0.select(col("src").as("id"), lit(1L).as("out"))
       .union(e0.select(col("dst").as("id"), lit(0L).as("out")))
       .groupBy(col("id")).agg(sum(col("out")).as("outdeg")).persist()
-    val nodes = verts.select(col("id"))
-    val dangling = verts.filter(col("outdeg") === 0L).select(col("id")).persist()
+    val nodesDang = verts.select(col("id"), (col("outdeg") === 0L).as("dang"))
     // every JOB runs inside the try (persist() calls above are lazy), so
     // a failure anywhere — including the first verts.count() — still
-    // unpersists all three frames instead of leaking blocks into the
+    // unpersists both frames instead of leaking blocks into the
     // long-lived session
     var e: DataFrame = null
     try {
@@ -142,32 +159,52 @@ object Graph {
       val weighted = e0.join(if (small) broadcast(weights) else weights, Seq("src"))
         .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
       e = (if (small) weighted else weighted.repartition(col("src"))).persist()
-      val hasDangling = dangling.count() > 0
-      var ranks = nodes.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
+      val hasDangling =
+        verts.filter(col("outdeg") === 0L).limit(1).count() > 0
+      // ranks holds the PARTIAL rank; true rank = rank + uniform
+      var ranks = nodesDang.select(col("id"), lit(1.0).as("rank"), col("dang"))
+        .localCheckpoint()
+      var uniform = 0.0
       var it = 0
       while (it < iters) {
-        val dMass =
-          if (!hasDangling) 0.0
-          else dangling.join(ranks, "id")
-            .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
-        val rankBySrc = ranks.select(col("id").as("src"), col("rank"))
-        val contrib = e
-          .join(if (small) broadcast(rankBySrc) else rankBySrc.repartition(col("src")), "src")
+        // the dangling mass of the CURRENT ranks is observed on the same
+        // scan the contribution join consumes — no second pass, no
+        // separate job; the metric is read after the round's one action
+        val obs = if (hasDangling)
+          Some(org.apache.spark.sql.Observation(s"pr_dangling_$it")) else None
+        val base = obs match {
+          case Some(o) => ranks.observe(o,
+            coalesce(sum(when(col("dang"), col("rank") + lit(uniform))),
+              lit(0.0)).as("dmass"))
+          case None => ranks
+        }
+        val rankBySrc = base.select(col("id").as("src"),
+          (col("rank") + lit(uniform)).as("rank"))
+        val rankSide =
+          if (small) broadcast(rankBySrc)
+          // SHUFFLE_HASH: build the |V|-sized rank side per partition so
+          // the co-partitioned cached edge side streams with no per-round
+          // sort (SMJ would re-sort |E| every iteration)
+          else rankBySrc.repartition(col("src")).hint("shuffle_hash")
+        val contrib = e.join(rankSide, "src")
           .select(col("dst").as("id"), (col("rank") * col("w")).as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("c"))
-        val next = nodes.join(if (small) broadcast(contrib) else contrib, Seq("id"), "left")
+        val next = nodesDang
+          .join(if (small) broadcast(contrib) else contrib, Seq("id"), "left")
           .select(col("id"),
-            (lit(1.0 - d) + lit(d) * (coalesce(col("c"), lit(0.0)) + lit(dMass / n)))
-              .as("rank"))
+            (lit(1.0 - d) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"),
+            col("dang"))
           .localCheckpoint()
         ranks.unpersist()
         ranks = next
+        uniform = obs.map(o =>
+          d * o.get.apply("dmass").asInstanceOf[Double] / n).getOrElse(0.0)
         it += 1
       }
-      ranks
+      ranks.select(col("id"), (col("rank") + lit(uniform)).as("rank"))
     } finally {
       if (e != null) e.unpersist()
-      verts.unpersist(); dangling.unpersist()
+      verts.unpersist()
     }
   }
 }

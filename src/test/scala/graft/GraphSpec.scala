@@ -65,4 +65,128 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - n) / n < 1e-9)
     assert(r.getDouble(2) >= 0.15 - 1e-9)
   }
+
+  // a graph where dangling mass matters: 4 and 5 have no out-edges and
+  // different in-flows, so a wrong dangling fold shows up in every rank
+  private val danglingEdges =
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (3L, 5L), (2L, 5L))
+
+  test("distributed path matches the reference loop with dangling nodes, both regimes") {
+    val want = refRanks(danglingEdges, 6, 0.85)
+    for (bcastMax <- Seq(10000000L, 0L)) {
+      val got = Graph.pageRank(danglingEdges.toDF("src", "dst"), iters = 6,
+          driverMaxEdges = 0L, broadcastMaxNodes = bcastMax)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === want.keySet, s"bcastMax=$bcastMax")
+      got.foreach { case (id, r) =>
+        assert(math.abs(r - want(id)) < 1e-9, s"node $id, bcastMax=$bcastMax") }
+    }
+  }
+
+  /** Collects (funcName, executedPlan) for every tracked Dataset action. */
+  private def withActionLog[T](body: => T)
+      : (T, Seq[(String, org.apache.spark.sql.execution.SparkPlan)]) = {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, org.apache.spark.sql.execution.SparkPlan)]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        log.add((funcName, qe.executedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val r = body
+      // listener bus is async (and its internal drain is private[spark]);
+      // poll until the event log stops growing
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        if (log.size == last) stable += 1 else { stable = 0; last = log.size }
+      }
+      import scala.jdk.CollectionConverters._
+      (r, log.asScala.toSeq)
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("one action per iteration: no per-round driver collect for dangling mass") {
+    val iters = 5
+    val (_, actions) = withActionLog {
+      Graph.pageRank(danglingEdges.toDF("src", "dst"), iters = iters,
+        driverMaxEdges = 0L).count()
+    }
+    val names = actions.map(_._1)
+    // the old shape ran a `collect` action per round for the dangling
+    // aggregate; the observed-metric fold leaves NO collect actions at all
+    assert(!names.exists(_.toLowerCase.contains("collect")),
+      s"driver collect action fired: $names")
+    // exactly one eager checkpoint per iteration, plus the rank init
+    val ckpts = names.count(_.toLowerCase.contains("checkpoint"))
+    assert(ckpts === iters + 1, s"checkpoint actions: $ckpts in $names")
+  }
+
+  /** Flattens an executed plan through AQE stages and exchange reuse. */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flatten(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      p +: flatten(r.child)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  test("shuffle regime: the persisted edge layout is never re-shuffled per round") {
+    val edges = ExtensionQueries.coPurchaseEdges(spark, "/root/testdata/sf0.001")
+    val (_, actions) = withActionLog {
+      Graph.pageRank(edges, iters = 3, driverMaxEdges = 0L,
+        broadcastMaxNodes = 0L).count()
+    }
+    // iteration plans are the checkpoints that join the 3-col edge cache
+    def isEdgeScan(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.output.map(_.name).toSet == Set("src", "dst", "w")
+      case _ => false
+    }
+    val iterPlans = actions.collect {
+      case (fn, plan) if fn.toLowerCase.contains("checkpoint")
+          && flatten(plan).exists(isEdgeScan) => plan
+    }
+    assert(iterPlans.nonEmpty, s"no iteration plans captured: ${actions.map(_._1)}")
+    // "directly above" = reachable from a node through UNARY operators
+    // only: an exchange above the contribution JOIN (the |V|-sized partial
+    // aggregate shuffle) is expected; an exchange or sort on the unary
+    // path over the edge scan means the stationary |E| layout is being
+    // re-laid-out every round
+    def reachesEdgeScanDirect(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case s if isEdgeScan(s) => true
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          reachesEdgeScanDirect(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          reachesEdgeScanDirect(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          reachesEdgeScanDirect(r.child)
+        case j if j.children.size > 1 => false
+        case other => other.children.exists(reachesEdgeScanDirect)
+      }
+    for (plan <- iterPlans) {
+      val reshuffled = flatten(plan).exists {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          reachesEdgeScanDirect(ex.child)
+        case _ => false
+      }
+      assert(!reshuffled, s"edge cache re-shuffled:\n${plan.toString.take(4000)}")
+      val resorted = flatten(plan).exists {
+        case so: org.apache.spark.sql.execution.SortExec =>
+          reachesEdgeScanDirect(so.child)
+        case _ => false
+      }
+      assert(!resorted, s"edge cache re-sorted per round:\n${plan.toString.take(4000)}")
+    }
+  }
 }

@@ -88,7 +88,10 @@ object CheckQueries {
           .select(
             (concat_ws("", enc) === regexp_replace(col("text"), " ", ""))
               .as("recon"),
-            (size(split(col("text"), " ")) <= size(enc) &&
+            // lower bound counts NON-EMPTY words: consecutive/leading/
+            // trailing spaces split into empty words that (correctly)
+            // produce no tokens, so the raw split length over-counts
+            (size(filter(split(col("text"), " "), w => length(w) > 0)) <= size(enc) &&
               size(enc) <= length(col("text")) - (size(split(col("text"), " ")) - lit(1)))
               .as("bounded"))
           .agg(count(lit(1)).as("n_docs"),
@@ -209,8 +212,10 @@ object CheckQueries {
             sum(when(col("simhash") =!= col("fp2"), 1L).otherwise(0L))
               .as("n_mismatch"))
       },
+      // text IS NOT NULL: a NULL-text doc has no token stream to hash —
+      // the explode path drops it, so the pinned count must too
       Some("SELECT count(*) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch " +
-        "FROM documents WHERE doc_id < 5000 " +
+        "FROM documents WHERE doc_id < 5000 AND text IS NOT NULL " +
         "AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34'"),
       "invariant for x2c: codegen'd simhash aggregate equals the interpreted " +
         "scalar twin on every slice doc (mismatch count pinned to 0, and the " +
@@ -331,6 +336,9 @@ object CheckQueries {
         val interp = array(m.centers.map(c =>
           Similarity.cosineHof(col("unit"), typedlit(c))): _*)
         val inPlan = emb(s, dir)
+          // the trainer's ingestion contract: malformed vectors are not
+          // part of the trained population and carry no angle to check
+          .filter(Similarity.wellFormedVec(col("embedding")))
           .select(col("vec_id"), L2Normalize(col("embedding")).as("unit"))
           .withColumn("sims", Clustering.simsToCenters(col("unit"), m.centers))
           .withColumn("isims", interp)
@@ -459,7 +467,8 @@ object CheckQueries {
         val total = res.agg(count(lit(1)).as("n_total"))
         total.crossJoin(complete).crossJoin(justified)
       },
-      Some("SELECT count(*) AS n_total, TRUE AS drops_complete, TRUE AS drops_justified FROM embeddings"),
+      Some("SELECT count(*) AS n_total, TRUE AS drops_complete, TRUE AS drops_justified " +
+        "FROM embeddings WHERE len(embedding) > 0 AND list_sum(list_transform(embedding, x -> x*x)) > 0"),
       "invariant for x11: the SemDeDup keep/drop rule re-verified pairwise " +
         "via the interpreted cosine twin — drops complete and justified"),
 
@@ -481,6 +490,9 @@ object CheckQueries {
         }
         val descending = m.eigenvalues.sliding(2).forall(w => w(0) >= w(1) - 1e-12)
         val proj = emb(s, dir)
+          // match the fit population: Pca.fit's posexplode drops NULL and
+          // empty vectors, so the spectrum covers exactly these rows
+          .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
           .select(graft.ops.Pca.project(col("embedding"), m, 4).as("p"))
         proj.agg(
           (0 until 4).map(i =>
@@ -512,10 +524,14 @@ object CheckQueries {
         // implementations are right. Assignments and rates are shared
         // deterministic inputs; the RULE is what is derived twice.
         val m = ExtensionQueries.trainedModel(s, dir)
-        val assigned = docs(s, dir).join(
-          emb(s, dir).select(col("vec_id"),
-            Clustering.assignTo(L2Normalize(col("embedding")), m)
-              .cast("string").as("cluster")),
+        // same ingestion contract as the operator under test: only docs
+        // with a well-formed embedding and non-NULL text are routable
+        val assigned = docs(s, dir).filter(col("text").isNotNull).join(
+          emb(s, dir)
+            .filter(graft.ops.Similarity.wellFormedVec(col("embedding")))
+            .select(col("vec_id"),
+              Clustering.assignTo(L2Normalize(col("embedding")), m)
+                .cast("string").as("cluster")),
           col("doc_id") === col("vec_id"))
           .select(col("doc_id"), col("cluster"),
             size(graft.ops.Texts.tokens(col("text"))).as("n_tok"))
@@ -696,6 +712,10 @@ object CheckQueries {
         val interp = array(m.centers.map(c =>
           Similarity.cosineHof(col("unit"), typedlit(c))): _*)
         val assign = emb(s, dir)
+          // filter BEFORE the interpreted cosine: the op under test drops
+          // malformed vectors, and cosineHof's ANSI division must never
+          // see a zero norm (the join would drop the rows too late)
+          .filter(Similarity.wellFormedVec(col("embedding")))
           .select(col("vec_id"), L2Normalize(col("embedding")).as("unit"))
           .withColumn("isims", interp)
           .join(out.select(col("vec_id"), col("cid"), col("sim_u")), "vec_id")

@@ -286,7 +286,11 @@ object DevSynth {
         .withColumn("event_type",
           when(s >= 70 && s < 90, nullStr).otherwise(col("event_type")))
         .withColumn("ts",
-          when(s >= 90, lit(null).cast(df.schema("ts").dataType))
+          // [90, 110): a 2% NULL-ts slice. An open-ended `s >= 90` NULLed
+          // 91% of all timestamps (slot buckets are 0..999) — adversarial
+          // in the wrong way: it starved every time-window family down to
+          // 9% of its data instead of peppering it with edge rows.
+          when(s >= 90 && s < 110, lit(null).cast(df.schema("ts").dataType))
             .otherwise(col("ts")))
     case "documents" =>
       val s = slot(col("doc_id"))

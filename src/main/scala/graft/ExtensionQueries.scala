@@ -31,7 +31,7 @@ object ExtensionQueries {
        |      / len(string_split(text, ' ')), 4) AS alpha_ratio,
        |    round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
        |      / len(string_split(text, ' ')), 4) AS symbol_ratio,
-       |    CAST($stopChain AS BIGINT) AS stop_hits
+       |    CAST(CASE WHEN text IS NULL THEN NULL ELSE $stopChain END AS BIGINT) AS stop_hits
        |  FROM documents""".stripMargin
   }
 
@@ -328,7 +328,8 @@ object ExtensionQueries {
     */
   private[graft] val unimaxChainCte: String =
     """tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
-      |        FROM toks GROUP BY 1 HAVING sum(n_tokens) > 0),
+      |        FROM toks WHERE lang IS NOT NULL
+      |        GROUP BY 1 HAVING sum(n_tokens) > 0),
       |b AS (SELECT CAST(floor(1.5 * CAST(sum(total) AS DOUBLE)) AS BIGINT) AS budget,
       |             count(*) AS n FROM tot),
       |ord AS (SELECT lang, total, 2 * total AS c,

@@ -182,8 +182,10 @@ object Queries {
     Q("a2_windowed_count",
       (s, dir) => windowedCountByKey(col("ts_ts"), "10 seconds", col("user_id"), "user_id")(
         Tables.events(s, dir)),
+      // ts IS NOT NULL: a timestampless event belongs to no window — the
+      // engine's window() drops it, the oracle must too
       Some("""SELECT user_id, epoch_us(ts) // 10000000 * 10 AS window_start, count(*) AS cnt
-             |FROM events GROUP BY 1, 2""".stripMargin),
+             |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin),
       "A2 tumbling 10s windowed aggregate, epoch-aligned (KSA:142, KSA:146-148)"),
 
     Q("a2b_hopping_window",
@@ -196,7 +198,7 @@ object Queries {
              |FROM (SELECT user_id,
              |        unnest([epoch_us(ts) // 10000000 * 10 - 10,
              |                epoch_us(ts) // 10000000 * 10]) AS ws
-             |      FROM events)
+             |      FROM events WHERE ts IS NOT NULL)
              |GROUP BY 1, 2""".stripMargin),
       "A2 superset: HOPPING windows (size 20s, advance 10s — Kafka Streams " +
         "TimeWindows.advanceBy); in-scan window assignment + one map-side-" +

@@ -50,11 +50,13 @@ object SupersetQueries {
       // ntile IS position-sensitive, so its ordering must be total.
       // Both are exact integer ratios (rank/n), bit-identical in any IEEE
       // engine — emitted raw; rounding only risks tie disagreements
+      // NULLS FIRST on l_quantity pins DuckDB to Spark's ASC default: a
+      // NULL measure ranks below every real value in all three functions
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
              |  CAST(ntile(4) OVER (PARTITION BY l_returnflag
-             |       ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS quartile,
-             |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd,
-             |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr
+             |       ORDER BY l_quantity NULLS FIRST, l_orderkey, l_linenumber) AS INT) AS quartile,
+             |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity NULLS FIRST) AS cd,
+             |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity NULLS FIRST) AS pr
              |FROM lineitem""".stripMargin),
       "distribution window functions (ntile/cume_dist/percent_rank) — " +
         "per-partition sort class, same as o2; partition count bounds the task"),
@@ -124,7 +126,8 @@ object SupersetQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"),
           col("session_window.start").cast("long").as("session_start"), col("cnt")),
-      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+             |           WHERE ts IS NOT NULL),
              |m AS (SELECT user_id, us,
              |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 300000000
              |               OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
@@ -236,11 +239,13 @@ object SupersetQueries {
       },
       // CAST the window sum itself: DuckDB widens sum(BIGINT) OVER (...) to
       // HUGEINT (int128), which the driver hash does not width-normalize.
+      // NULLS FIRST pins DuckDB's default (NULLS LAST for ASC) to Spark's
+      // (NULLS FIRST) — a NULL order date sorts as "earliest known"
       Some("""SELECT o_custkey, o_orderkey,
              |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
              |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents,
-             |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
              |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
              |FROM orders""".stripMargin),
       "sliding window frame (ROWS 2 PRECEDING): moving sum in exact integer cents"),
@@ -261,10 +266,13 @@ object SupersetQueries {
         graft.ops.Relational.asofJoin(purchases, Seq("user_id"), "us", "p_us",
           Seq("p_event_id", "p_value"), "p_event_id")(clicks)
       },
+      // ts IS NOT NULL on both sides mirrors the op's unplaceable-record
+      // drop (DuckDB's ASOF would otherwise match a NULL-ts click to the
+      // user's LAST purchase — NULL as +infinity, not SQL comparison)
       Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
-             |           WHERE event_type = 'click'),
+             |           WHERE event_type = 'click' AND ts IS NOT NULL),
              |r AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_event_id, value AS p_value
-             |      FROM events WHERE event_type = 'purchase'
+             |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
              |      QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts)
              |                                 ORDER BY event_id DESC) = 1)
              |SELECT l.event_id, l.user_id, l.us, r.p_event_id, r.p_value
@@ -336,14 +344,16 @@ object SupersetQueries {
           .select(col("o_custkey"), col("value").as("status"),
             col("valid_from"), col("valid_to"))
       },
+      // o_orderdate IS NOT NULL mirrors scd2's NULL-ordinal drop
       Some("""WITH ch AS (SELECT o_custkey, o_orderstatus AS status,
              |              epoch_us(o_orderdate) // 1000000 * 1000000000 + o_orderkey AS ord
-             |            FROM orders),
+             |            FROM orders WHERE o_orderdate IS NOT NULL),
              |d AS (SELECT o_custkey, status, ord,
-             |        lag(status) OVER (PARTITION BY o_custkey ORDER BY ord) AS pv
+             |        lag(status) OVER (PARTITION BY o_custkey ORDER BY ord) AS pv,
+             |        row_number() OVER (PARTITION BY o_custkey ORDER BY ord) AS rn
              |      FROM ch),
              |sc AS (SELECT o_custkey, status, ord AS valid_from FROM d
-             |       WHERE pv IS NULL OR pv <> status)
+             |       WHERE rn = 1 OR pv IS DISTINCT FROM status)
              |SELECT o_custkey, status, valid_from,
              |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to
              |FROM sc""".stripMargin),
@@ -403,7 +413,8 @@ object SupersetQueries {
         col("user_id"), expr("ts div 1000"), 86400000000L)(
         Tables.events(s, dir)),
       Some("""WITH act AS (SELECT DISTINCT user_id,
-             |              epoch_us(ts) // 86400000000 AS d FROM events),
+             |              epoch_us(ts) // 86400000000 AS d FROM events
+             |             WHERE ts IS NOT NULL),
              |c AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id),
              |sz AS (SELECT d0, count(*) AS cohort_size FROM c GROUP BY d0),
              |cell AS (SELECT c.d0 AS cohort, a.d - c.d0 AS bucket_offset,

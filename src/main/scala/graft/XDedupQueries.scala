@@ -58,11 +58,16 @@ object XDedupQueries {
             d.filter(col("doc_id") < 400))(d.filter(col("doc_id") >= 400))
           .select(col("doc_id"), col("lang"), col("source"))
       },
+      // NOT EXISTS + IS NOT DISTINCT FROM, never NOT IN: one NULL
+      // fingerprint in the corpus (a NULL-text doc) turns `fp NOT IN`
+      // into never-true and empties the whole result; the null-safe form
+      // mirrors the engine's <=> screen, which groups NULL fingerprints
+      // as one dedup class like exact() does
       Some("""SELECT doc_id, lang, source FROM (
              |  SELECT doc_id, lang, source, md5(text) AS fp
              |  FROM documents WHERE doc_id >= 400) i
-             |WHERE fp NOT IN (SELECT DISTINCT md5(text)
-             |                 FROM documents WHERE doc_id < 400)
+             |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id < 400
+             |                  AND md5(c.text) IS NOT DISTINCT FROM i.fp)
              |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin),
       "X1 incremental exact dedup: anti join of the ingest batch against the " +
         "corpus's distinct-fingerprint side table, then in-batch dedup — " +
@@ -124,10 +129,20 @@ object XDedupQueries {
       // FP-safe oracle: the nearest corpus-eval cosine sits 2.3e-5 from the
       // 0.35 threshold at sf0.1 (4.8e-4 at sf0.01) — 10 orders above any
       // cross-engine double noise
-      Some("""SELECT vec_id AS id FROM embeddings e
-             |WHERE vec_id >= 50 AND NOT EXISTS (
-             |  SELECT 1 FROM embeddings b WHERE b.vec_id < 50
-             |  AND list_cosine_similarity(e.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35)""".stripMargin),
+      // the len/sum WHERE mirrors the op's malformed-vector drop
+      // (zero-norm corpus rows cannot be scored and are not emitted);
+      // join-shaped rather than a correlated NOT EXISTS so the cosine
+      // consumes CTE projections — the correlated form made DuckDB
+      // evaluate it inside the parquet scan on the unfiltered (NULL-
+      // bearing) embedding column
+      Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |        WHERE vec_id >= 50 AND len(embedding) > 0
+             |          AND list_sum(list_transform(embedding, x -> x*x)) > 0),
+             |ev AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id < 50),
+             |hit AS (SELECT DISTINCT c.vec_id FROM corp c
+             |        JOIN ev ON list_cosine_similarity(c.v, ev.bv) > 0.35)
+             |SELECT vec_id AS id FROM corp
+             |WHERE NOT EXISTS (SELECT 1 FROM hit h WHERE h.vec_id = corp.vec_id)""".stripMargin),
       "X2 semantic benchmark decontamination: drop corpus vectors within " +
         "cosine 0.35 of any eval vector — driver-held eval literals, " +
         "map-only corpus pass, zero shuffle"),

@@ -95,7 +95,8 @@ object XMixtureQueries {
              |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
              |  FROM documents),
              |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
-             |        FROM toks GROUP BY 1 HAVING sum(n_tokens) > 0),
+             |        FROM toks WHERE source IS NOT NULL
+             |        GROUP BY 1 HAVING sum(n_tokens) > 0),
              |z AS (SELECT sum(sqrt(CAST(total AS DOUBLE)) ORDER BY source) AS z
              |      FROM tot),
              |rates AS (
@@ -143,10 +144,15 @@ object XMixtureQueries {
         // (codegen literal-argmax over the driver-held trained centers —
         // zero shuffle to assign), then the token-budget mixture routes on
         // cluster exactly as x19 routes on source
-        val assigned = docs(s, dir).join(
-          Tables.embeddings(s, dir).select(col("vec_id"),
-            Clustering.assignTo(L2Normalize(col("embedding")), m)
-              .cast("string").as("cluster")),
+        // ingestion contract: a doc participates in the mixture only with
+        // a well-formed embedding (assignable cluster) and non-NULL text
+        // (countable token budget) — malformed rows cannot be routed
+        val assigned = docs(s, dir).filter(col("text").isNotNull).join(
+          Tables.embeddings(s, dir)
+            .filter(graft.ops.Similarity.wellFormedVec(col("embedding")))
+            .select(col("vec_id"),
+              Clustering.assignTo(L2Normalize(col("embedding")), m)
+                .cast("string").as("cluster")),
           col("doc_id") === col("vec_id"))
         val targets = m.centers.indices
           .map(i => i.toString -> 1.0 / m.centers.length).toMap
@@ -195,9 +201,11 @@ object XMixtureQueries {
     Q("x48_interleave_sources",
       (s, dir) => TextAnalysis.interleaveSources(
         col("doc_id"), col("source"), "il")(docs(s, dir)),
+      // source IS NOT NULL mirrors the engine's null-stratum drop (a doc
+      // with no source label has no round-robin lane)
       Some("""WITH t AS (SELECT doc_id, source,
              |            md5('il:' || CAST(doc_id AS VARCHAR)) AS h
-             |          FROM documents),
+             |          FROM documents WHERE source IS NOT NULL),
              |r AS (SELECT doc_id, source,
              |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1
              |          AS source_pos
@@ -234,7 +242,7 @@ object XMixtureQueries {
         col("doc_id"), col("source"), "sE", 5)(docs(s, dir)),
       Some("""WITH t AS (SELECT doc_id, source,
              |            md5('sE:' || CAST(doc_id AS VARCHAR)) AS h
-             |          FROM documents),
+             |          FROM documents WHERE source IS NOT NULL),
              |r AS (SELECT doc_id, source,
              |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1
              |          AS source_pos
@@ -295,11 +303,13 @@ object XMixtureQueries {
     Q("x39_length_batches",
       (s, dir) => TextAnalysis.lengthBatches(col("doc_id"), col("text"), 8)(
         docs(s, dir)),
+      // NULLS FIRST pins DuckDB's rank order to Spark's ASC default for
+      // the NULL-length (NULL-text) rows, which stay in the batch stream
       Some("""WITH t AS (SELECT doc_id,
              |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              |          FROM documents)
              |SELECT doc_id, n_tokens,
-             |       (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 8 AS batch_id
+             |       (row_number() OVER (ORDER BY n_tokens NULLS FIRST, doc_id) - 1) // 8 AS batch_id
              |FROM t""".stripMargin),
       "X3 length-bucketed inference batching (minimal padding waste): " +
         "batch_id = global (n_tokens, doc_id) rank div 8, computed WITHOUT " +

@@ -269,7 +269,7 @@ object XPipelineQueries {
            |        row_number() OVER (PARTITION BY source
            |          ORDER BY md5('v5:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
            |          AS pos
-           |      FROM surv)
+           |      FROM surv WHERE source IS NOT NULL)
            |SELECT doc_id, source,
            |       CASE WHEN pos < 3 THEN 'eval' ELSE 'train' END AS split
            |FROM r""".stripMargin
@@ -284,12 +284,17 @@ object XPipelineQueries {
         val payloads = Multimodal.attachPayload("doc_id", "text")(docs(s, dir))
         Multimodal.extractFeatures(s, payloads).toDF()
       },
+      // WHERE mirrors the NULL-payload drop; feature0 is the first BYTE
+      // of the UTF-8 payload (0 for empty), matching the stub decoder —
+      // ord() would give the first CODEPOINT and -1 for '', both wrong
+      // on non-ASCII / empty payloads
       Some("""SELECT doc_id,
              |  octet_length(encode(text)) AS n_bytes,
-             |  ord(substring(text, 1, 1)) AS feature0,
+             |  CASE WHEN octet_length(encode(text)) = 0 THEN 0
+             |       ELSE CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS INT) END AS feature0,
              |  1 + octet_length(encode(text)) % 64 AS width,
              |  octet_length(encode(text)) // (1 + octet_length(encode(text)) % 64) AS height
-             |FROM documents""".stripMargin),
+             |FROM documents WHERE text IS NOT NULL""".stripMargin),
       "X4 multimodal: binary payload + metadata struct + partition-wise (stub) decode"),
 
     Q("x5b_frame_sample",
@@ -465,10 +470,10 @@ object XPipelineQueries {
       },
       Some("""WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
              |                  event_type, count(*) AS cnt
-             |           FROM events GROUP BY 1, 2)
+             |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
              |SELECT window_start, event_type, cnt,
              |       CAST(row_number() OVER (PARTITION BY window_start
-             |                               ORDER BY cnt DESC, event_type) AS INT) AS rnk
+             |                               ORDER BY cnt DESC, event_type NULLS FIRST) AS INT) AS rnk
              |FROM c QUALIFY rnk <= 3""".stripMargin),
       "X5 trending per tumbling hour: top-3 event types per window — " +
         "windowed hash-agg first, rank only over the aggregated cells"),
@@ -477,10 +482,11 @@ object XPipelineQueries {
       (s, dir) => graft.ops.Sequences.transitionCounts(
         col("user_id"), Seq(col("ts_us"), col("event_id")), col("event_type"))(
         Tables.events(s, dir)),
+      // ts IS NOT NULL mirrors the op's unplaceable-record drop
       Some("""WITH o AS (SELECT user_id, event_type,
              |            lead(event_type) OVER (PARTITION BY user_id
              |                                   ORDER BY epoch_us(ts), event_id) AS next
-             |          FROM events)
+             |          FROM events WHERE ts IS NOT NULL)
              |SELECT event_type AS from_state, next AS to_state, count(*) AS cnt
              |FROM o WHERE next IS NOT NULL GROUP BY 1, 2""".stripMargin),
       "X5 user-journey transition matrix: per-key ordered lookahead " +

@@ -20,7 +20,10 @@ object XSimilarityQueries {
         Similarity.bruteForceTopK(corpus, queries, 3)
           .select(col("qid"), col("rank"), col("id"), col("sim"))
       },
-      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      // the WHERE mirrors the engine's wellFormedVec ingestion contract
+      // (Similarity.scala): malformed vectors are dropped, not scored
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+             |       WHERE len(embedding) > 0 AND list_sum(list_transform(embedding, x -> x*x)) > 0),
              |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5)
              |SELECT qid, rank, id, sim FROM (
              |  SELECT qid, id, list_cosine_similarity(qvec, vec) AS sim,
@@ -41,7 +44,8 @@ object XSimilarityQueries {
         Similarity.ivfTopK(corpus, queries, centroids, 3)
           .select(col("qid"), col("rank"), col("id"), col("sim"))
       },
-      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+             |       WHERE len(embedding) > 0 AND list_sum(list_transform(embedding, x -> x*x)) > 0),
              |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
              |va AS (SELECT id, vec, cid AS bucket FROM (
              |  SELECT v.id, v.vec, c.cid,
@@ -68,7 +72,8 @@ object XSimilarityQueries {
         Similarity.ivfProbeTopK(corpus, queries, centroids, 3, nprobe = 2)
           .select(col("qid"), col("rank"), col("id"), col("sim"))
       },
-      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+             |       WHERE len(embedding) > 0 AND list_sum(list_transform(embedding, x -> x*x)) > 0),
              |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
              |va AS (SELECT id, vec, cid AS bucket FROM (
              |  SELECT v.id, v.vec, c.cid,
@@ -180,8 +185,11 @@ object XSimilarityQueries {
              |            / ((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0)) AS INT)
              |            for x in embedding]
              |      ELSE [0 for x in embedding] END)::DOUBLE[] AS codes
-             |  FROM embeddings),
-             |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+             |  FROM embeddings
+             |  WHERE len(embedding) > 0 AND list_sum(list_transform(embedding, x -> x*x)) > 0),
+             |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings
+             |      WHERE vec_id < 5 AND len(embedding) > 0
+             |        AND list_sum(list_transform(embedding, x -> x*x)) > 0),
              |s AS (SELECT qid, id,
              |        (mn * list_sum(qvec) + sc * list_dot_product(qvec, codes))
              |        / (sqrt(list_dot_product(qvec, qvec))
@@ -218,6 +226,7 @@ object XSimilarityQueries {
         val m = Clustering.trainKMeans(Tables.embeddings(s, dir),
           col("vec_id"), col("embedding"), k = 8, maxIter = 10)
         Tables.embeddings(s, dir)
+          .filter(Similarity.wellFormedVec(col("embedding"))) // match the trainer's population
           .select(col("vec_id"), L2Normalize(col("embedding")).as("unit"))
           .withColumn("sims", Clustering.simsToCenters(col("unit"), m.centers))
           .select(col("vec_id"),
@@ -240,7 +249,11 @@ object XSimilarityQueries {
       // computes the 4-dot projection once per row either way
       (s, dir) => {
         val p = Pca.project(col("embedding"), pcaModel(s, dir), 4)
-        Tables.embeddings(s, dir).select(
+        // NULL/empty embeddings drop — exactly the rows Pca.fit's
+        // posexplode excluded, so projections cover the fit population
+        Tables.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+          .select(
           col("vec_id") +: (0 until 4).map(i =>
             element_at(p, i + 1).as(s"proj_$i")): _*)
       },
@@ -251,7 +264,10 @@ object XSimilarityQueries {
         "— zero corpus shuffle to project"),
 
     Q("x31_quantize_int8",
+      // NULL/empty embeddings drop (nothing to quantize); zero/constant
+      // vectors stay — their quantization (all-zero codes) is defined
       (s, dir) => Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id"),
           array_min(col("embedding")).cast("double").as("qmin"),
           array_max(col("embedding")).cast("double").as("qmax"),
@@ -262,7 +278,8 @@ object XSimilarityQueries {
       // arithmetic (the expression computes in double throughout)
       Some("""WITH e AS (SELECT vec_id, embedding,
              |  CAST(list_min(embedding) AS DOUBLE) AS qmin,
-             |  CAST(list_max(embedding) AS DOUBLE) AS qmax FROM embeddings)
+             |  CAST(list_max(embedding) AS DOUBLE) AS qmax FROM embeddings
+             |  WHERE embedding IS NOT NULL AND len(embedding) > 0)
              |SELECT vec_id, qmin, qmax,
              |  CASE WHEN qmax > qmin THEN array_to_string(
              |    [CAST(round((CAST(x AS DOUBLE) - qmin)
@@ -334,8 +351,10 @@ object XSimilarityQueries {
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qvec")).limit(1)
         // raw cosine: bit-identical to list_cosine_similarity (probed at
-        // sf0.1 — 9995/9995 exact), so ranks need no rounding mask here
-        val sem = e.crossJoin(broadcast(qv))
+        // sf0.1 — 9995/9995 exact), so ranks need no rounding mask here;
+        // malformed vectors drop per the family ingestion contract
+        val sem = e.filter(Similarity.wellFormedVec(col("embedding")))
+          .crossJoin(broadcast(qv))
           .select(col("vec_id").as("doc_id"),
             Similarity.cosine(col("embedding"), col("qvec")).as("score"))
         Search.rrfFuseTopK(lex, sem, candidates = 50, k = 10)
@@ -359,7 +378,8 @@ object XSimilarityQueries {
              |sem AS (SELECT vec_id AS doc_id,
              |          list_cosine_similarity(embedding::DOUBLE[],
              |            (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS score
-             |        FROM embeddings),
+             |        FROM embeddings
+             |        WHERE len(embedding) > 0 AND list_sum(list_transform(embedding, x -> x*x)) > 0),
              |semr AS (SELECT doc_id,
              |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS sem_rank
              |         FROM sem QUALIFY sem_rank <= 50),

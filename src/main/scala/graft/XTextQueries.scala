@@ -350,16 +350,21 @@ object XTextQueries {
       (s, dir) => docs(s, dir).select(col("doc_id"),
         size(Texts.tokens(col("text"))).cast("long").as("n_tokens"),
         round(graft.functions.TokenEntropy(col("text")), 4).as("entropy")),
+      // the LEFT JOIN back to documents keeps NULL-text rows (the engine
+      // is row-preserving: one output row per doc, NULL metrics for NULL
+      // text) — the bare explode form silently dropped them
       Some("""WITH tf AS (
              |  SELECT doc_id, term, count(*) AS c
              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
              |        FROM documents)
-             |  GROUP BY 1, 2)
-             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-             |       round(ln(CAST(sum(c) AS DOUBLE))
-             |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
-             |               / CAST(sum(c) AS DOUBLE), 4) AS entropy
-             |FROM tf GROUP BY doc_id""".stripMargin),
+             |  GROUP BY 1, 2),
+             |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |         round(ln(CAST(sum(c) AS DOUBLE))
+             |               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+             |                 / CAST(sum(c) AS DOUBLE), 4) AS entropy
+             |       FROM tf GROUP BY doc_id)
+             |SELECT d.doc_id, ag.n_tokens, ag.entropy
+             |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin),
       "X3 token-distribution Shannon entropy per doc (information-density " +
         "quality signal) as a native codegen expression: one map-only pass " +
         "over the documents scan, zero shuffle — where the SQL form must " +

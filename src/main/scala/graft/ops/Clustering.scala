@@ -132,7 +132,12 @@ object Clustering {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val feature =
       if (euclidean) vecCol.cast("array<double>") else L2Normalize(vecCol)
+    // malformed vectors (NULL / empty / zero-norm) are dropped here —
+    // the family-wide ingestion contract ([[Similarity.wellFormedVec]]):
+    // a zero vector has no direction to train on, and a NULL one would
+    // poison the per-dimension sums of every round it lands in.
     val prepared = df
+      .filter(Similarity.wellFormedVec(vecCol))
       .select(idCol.as("id"), feature.as("x"))
       .localCheckpoint()
 
@@ -261,7 +266,11 @@ object Clustering {
   def embeddingOutliers(emb: DataFrame, idCol: Column, vecCol: Column,
       model: KMeansModel, nSigmas: Double = 2.0): DataFrame = {
     require(!model.euclidean, "embeddingOutliers expects a spherical model")
-    val assigned = emb.select(idCol.as("vec_id"),
+    // same ingestion contract as the trainer: malformed vectors carry no
+    // angle to measure an outlier BY — they are dropped, not flagged
+    // (quarantine them upstream with !wellFormedVec if needed)
+    val assigned = emb.filter(Similarity.wellFormedVec(vecCol))
+      .select(idCol.as("vec_id"),
         nearest(L2Normalize(vecCol), model.centers, euclidean = false).as("n"))
       .select(col("vec_id"), col("n.bucket").as("cid"),
         floor(col("n.score") * 1e6).cast("long").as("sim_u"))

@@ -83,7 +83,13 @@ object Multimodal {
   /** Partition-wise feature extraction over the payload column. */
   def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload")).as[Payload]
+    // NULL payloads are dropped, not decoded: a record with no media
+    // bytes is malformed input, and the contract is the serde's
+    // drop-on-malformed (KafkaStreamsApp.scala:64-70) — same rationale
+    // as [[graft.ops.Similarity.wellFormedVec]]. A zero-LENGTH payload
+    // is kept (an empty file is decodable metadata, unlike a missing one).
+    payloads.select(col("doc_id"), col("payload"))
+      .filter(col("payload").isNotNull).as[Payload]
       .mapPartitions { it =>
         // per-partition init of a real decoder/model would go here
         it.map(p => StubDecoder.decode(p.doc_id, p.payload))
@@ -105,7 +111,9 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload")).as[Payload]
+    // NULL payloads dropped — see [[extractFeatures]]
+    payloads.select(col("doc_id"), col("payload"))
+      .filter(col("payload").isNotNull).as[Payload]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(decodeBatch)
       }

@@ -270,12 +270,22 @@ object Relational {
     val lrowType = left.select(struct(left.columns.map(col): _*).as("s")).schema("s").dataType
     val rvalsType = right.select(struct(rightVals.map(col): _*).as("s")).schema("s").dataType
     val tbType = right.schema(rightTiebreak).dataType
-    val l = left.select(keyCols ++ Seq(
+    // rows with a NULL timestamp are dropped on BOTH sides — the same
+    // unplaceable-record contract as scd2 and transitionCounts. A NULL
+    // right row is never "at-or-before" anything, and without the filter
+    // it sorts NULLS-FIRST ahead of every real row and its values are
+    // carried into every left row until a real right row overwrites
+    // them. A NULL left row has no point on the timeline to look back
+    // FROM; note SQL's own `l.ts >= r.ts` matches it to nothing, while
+    // DuckDB's ASOF implementation treats the NULL as +infinity and
+    // hands it the key's LAST right row — the drop is the semantics a
+    // plain-SQL oracle can state (`WHERE ts IS NOT NULL` on both inputs).
+    val l = left.filter(col(leftTs).isNotNull).select(keyCols ++ Seq(
       col(leftTs).as("__ts"), lit(1).as("__is_left"),
       lit(null).cast(tbType).as("__tb"),
       struct(left.columns.map(col): _*).as("__lrow"),
       lit(null).cast(rvalsType).as("__rvals")): _*)
-    val r = right.select(keyCols ++ Seq(
+    val r = right.filter(col(rightTs).isNotNull).select(keyCols ++ Seq(
       col(rightTs).as("__ts"), lit(0).as("__is_left"),
       col(rightTiebreak).as("__tb"),
       lit(null).cast(lrowType).as("__lrow"),
@@ -310,7 +320,10 @@ object Relational {
     */
   def scd2(keys: Seq[Column], value: Column, order: Column)(df: DataFrame): DataFrame = {
     require(keys.nonEmpty, "scd2 requires at least one key column")
+    // a changelog record with a NULL ordinal has no place in the version
+    // history — dropped, like a timestampless record at a window operator
     val base = df.select(keys :+ value.as("value") :+ order.as("valid_from"): _*)
+      .filter(col("valid_from").isNotNull)
     val w = Window.partitionBy(keys: _*).orderBy(col("valid_from"))
     base
       .withColumn("__prev", lag(col("value"), 1).over(w))

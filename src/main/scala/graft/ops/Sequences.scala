@@ -33,6 +33,10 @@ object Sequences {
     val ordered = df.select(
       (key.as("__k") +: state.as("__s") +:
         orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }): _*)
+      // a record with no primary ordering value has no position in the
+      // key's journey — dropped, like a timestampless record at a window
+      // operator (oracles mirror with `WHERE ts IS NOT NULL`)
+      .filter(col("__o0").isNotNull)
     ordered
       .withColumn("__next", lead(col("__s"), 1).over(w))
       .filter(col("__next").isNotNull)

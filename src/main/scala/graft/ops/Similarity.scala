@@ -28,6 +28,26 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
+  /** Vector-validity predicate — the embedding family's input contract:
+    * a vector is WELL-FORMED iff it is non-NULL, non-empty and has a
+    * strictly positive norm. Cosine geometry is undefined for the rest
+    * (a zero vector has no direction; an empty array has no dimensions),
+    * so every operator in this family and [[Clustering]] DROPS malformed
+    * rows at its ingestion boundary — the vector analog of the reference
+    * serde's drop-on-malformed contract (KafkaStreamsApp.scala:64-70:
+    * undeserializable records are skipped, not poisoned downstream).
+    * Callers that need the dropped rows (e.g. to quarantine them) filter
+    * with the negation BEFORE invoking the operator. Exact-SQL oracles
+    * mirror the contract with
+    * `len(embedding) > 0 AND list_sum(list_transform(embedding, x -> x*x)) > 0`
+    * (NULL embeddings fail any comparison and drop with it; the
+    * transform form, not list_dot_product — DuckDB 1.0 evaluates pushed
+    * scan filters on unfiltered vectors and list_dot_product hard-errors
+    * on the NULL rows it would later mask out).
+    */
+  def wellFormedVec(c: Column): Column =
+    c.isNotNull && size(c) > 0 && DotProduct(c, c) > 0
+
   /** Lambda-HOF formulation of [[cosine]] (interpreted — CodegenFallback).
     * Kept as the differential-testing twin of the native expression; not
     * used on any hot path.
@@ -60,12 +80,22 @@ object Similarity {
     * @param corpus  (id, vec) — the big side, scanned map-only
     * @param queries (qid, qvec) — the small side, broadcast
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+  /** [[wellFormedVec]] applied to an op input (see its scaladoc): the
+    * filter rides the same scan as the op's first projection, so the
+    * contract costs no extra pass.
+    */
+  private def wf(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(wellFormedVec(col(vecCol)))
+
+  def bruteForceTopK(corpus0: DataFrame, queries0: DataFrame, k: Int): DataFrame = {
+    val corpus = wf(corpus0, "vec")
+    val queries = wf(queries0, "qvec")
     explodeRanked(
       corpus.join(broadcast(queries), col("id") =!= col("qid"))
         .withColumn("sim", cosine(col("qvec"), col("vec")))
         .groupBy("qid")
         .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
+  }
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid
     * (argmax cosine, deterministic centroid-id tiebreak), route each query
@@ -103,7 +133,9 @@ object Similarity {
     centers
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+  def ivfTopK(corpus0: DataFrame, queries0: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val corpus = wf(corpus0, "vec")
+    val queries = wf(queries0, "qvec")
     val centers = collectCenters(centroids)
 
     /** Codegen'd argmax over the per-centroid similarity array:
@@ -143,8 +175,10 @@ object Similarity {
     * no `array_contains` theta-join, no nested-loop fallback. Each corpus
     * vector lives in exactly one bucket, so no candidate dedup is needed.
     */
-  def ivfProbeTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+  def ivfProbeTopK(corpus0: DataFrame, queries0: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
+    val corpus = wf(corpus0, "vec")
+    val queries = wf(queries0, "qvec")
     val centers = collectCenters(centroids)
     require(nprobe >= 1 && nprobe <= centers.length,
       s"nprobe must be in [1, ${centers.length}], got $nprobe")
@@ -229,8 +263,9 @@ object Similarity {
     * derived width, so bands = 1–2 suffices; moderate thresholds trade
     * recall for scale and buy it back with more bands.
     */
-  def embeddingDupPairs(corpus: DataFrame, nBits: Int, dim: Int,
+  def embeddingDupPairs(corpus0: DataFrame, nBits: Int, dim: Int,
       threshold: Double, bands: Int = 1, capPerBucket: Int = 1024): DataFrame = {
+    val corpus = wf(corpus0, "vec")
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(capPerBucket >= 1, s"capPerBucket must be >= 1, got $capPerBucket")
     require(nBits >= 0, s"nBits must be >= 0 (0 = derive from corpus size), got $nBits")
@@ -284,8 +319,9 @@ object Similarity {
     * on unit vectors, and an aggregate-then-anti-join — no all-pairs path
     * and nothing driver-side except the (driver-held, trained) centers.
     */
-  def semDedup(corpus: DataFrame, centers: Array[Array[Double]],
+  def semDedup(corpus0: DataFrame, centers: Array[Array[Double]],
       threshold: Double): DataFrame = {
+    val corpus = wf(corpus0, "vec")
     val unit = corpus
       .select(col("id"), L2Normalize(col("vec")).as("unit"))
       .select(col("id"), col("unit"),
@@ -386,9 +422,11 @@ object Similarity {
     * [[bruteForceTopK]]; the whole scoring pass is generated code over
     * literal codebooks, no side joins.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame,
+  def pqTopK(corpus0: DataFrame, queries0: DataFrame,
       codebooks: Array[Array[Array[Float]]], k: Int): DataFrame = {
-    val coded = corpus.select(col("id"), pqEncode(col("vec"), codebooks).as("codes"))
+    val queries = wf(queries0, "qvec")
+    val coded = wf(corpus0, "vec")
+      .select(col("id"), pqEncode(col("vec"), codebooks).as("codes"))
     explodeRanked(
       coded.join(broadcast(queries), col("id") =!= col("qid"))
         .withColumn("sim", cosine(col("qvec"), pqReconstruct(col("codes"), codebooks)))
@@ -418,8 +456,10 @@ object Similarity {
     * angle, unlike the squared distance, does not decompose around the
     * assigned centroid.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+  def ivfPqTopK(corpus0: DataFrame, queries0: DataFrame, centroids: DataFrame,
       codebooks: Array[Array[Array[Float]]], k: Int, nprobe: Int): DataFrame = {
+    val corpus = wf(corpus0, "vec")
+    val queries = wf(queries0, "qvec")
     val centers = collectCenters(centroids)
     require(nprobe >= 1 && nprobe <= centers.length,
       s"nprobe must be in [1, ${centers.length}], got $nprobe")
@@ -457,11 +497,11 @@ object Similarity {
     * per query; same broadcast + bounded-aggregate shape as [[ivfTopK]]
     * but with zero side data (the hyperplanes are hash-derived).
     */
-  def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, nBits: Int, dim: Int,
+  def hyperplaneTopK(corpus0: DataFrame, queries0: DataFrame, nBits: Int, dim: Int,
       k: Int): DataFrame =
     explodeRanked(
-      corpus.withColumn("bucket", hyperplaneBucket(col("vec"), nBits, dim))
-        .join(broadcast(queries
+      wf(corpus0, "vec").withColumn("bucket", hyperplaneBucket(col("vec"), nBits, dim))
+        .join(broadcast(wf(queries0, "qvec")
             .select(col("qid"), col("qvec"),
               hyperplaneBucket(col("qvec"), nBits, dim).as("bucket"))),
           Seq("bucket"))
@@ -487,7 +527,9 @@ object Similarity {
     * codes) projection is written once and this becomes a pure scan of
     * ~n+16 bytes per vector instead of 4·d.
     */
-  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def quantizedTopK(corpus0: DataFrame, queries0: DataFrame, k: Int): DataFrame = {
+    val corpus = wf(corpus0, "vec")
+    val queries = wf(queries0, "qvec")
     val mn0 = array_min(col("vec")).cast("double")
     val mx0 = array_max(col("vec")).cast("double")
     def codesD = col("codes").cast("array<double>")
@@ -555,8 +597,9 @@ object Similarity {
     * hot-bucket cap even engages. This is the knob a 1000-executor run
     * over 100 TB would set exactly this way.
     */
-  def knnGraph(corpus: DataFrame, nBits: Int, dim: Int, k: Int,
+  def knnGraph(corpus0: DataFrame, nBits: Int, dim: Int, k: Int,
       bands: Int = 1, capPerBucket: Int = 1024): DataFrame = {
+    val corpus = wf(corpus0, "vec")
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(capPerBucket >= 1, s"capPerBucket must be >= 1, got $capPerBucket")
     require(nBits >= 0, s"nBits must be >= 0 (0 = derive from corpus size), got $nBits")

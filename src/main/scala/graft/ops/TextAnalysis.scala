@@ -687,7 +687,22 @@ object TextAnalysis {
         .orderBy(col("c").desc, col("w"))
         .limit(maxVocabWords)
         .collect()
-        .map(r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)))
+        // codepoint alphabet, matching BpeCodec.encodeWord: a char map
+        // would split astral-plane symbols into lone surrogates and train
+        // merges the encoder can never produce
+        .map { r =>
+          val word = r.getString(0)
+          val parts = new Array[String](word.codePointCount(0, word.length))
+          var i = 0
+          var k = 0
+          while (i < word.length) {
+            val cp = word.codePointAt(i)
+            parts(k) = new String(Character.toChars(cp))
+            k += 1
+            i += Character.charCount(cp)
+          }
+          (parts, r.getLong(1))
+        }
     val words = wordCounts.map(_._1)
     val counts = wordCounts.map(_._2)
     val merges = Seq.newBuilder[(String, String)]
@@ -773,7 +788,10 @@ object TextAnalysis {
     df.select(
       id.as("doc_id"),
       md5(text).as("fp"),
-      md5(concat_ws(" ", slice(Texts.tokens(text), 1, prefixTokens))).as("prefix_fp"))
+      // array_join, NOT concat_ws: concat_ws coalesces a NULL token array
+      // to '' and a contentless doc would alias the md5 of the EMPTY doc —
+      // a false exact-dup; array_join propagates the NULL like fp does
+      md5(array_join(slice(Texts.tokens(text), 1, prefixTokens), " ")).as("prefix_fp"))
 
   /** Rolling window fingerprints: one digest per `window`-token sliding
     * position — the chunk-level fingerprint set used for partial-overlap

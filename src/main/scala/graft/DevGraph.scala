@@ -3,14 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only phase profiler for the x24 pagerank path. Not driver contract. */
+/** Dev-only phase profiler for the x24 pagerank path. Not driver contract.
+  *
+  * `runMain graft.DevGraph regimes` times the FULL [[graft.ops.Graph.pageRank]]
+  * call (8 iterations, forced distributed via driverMaxEdges = 0) twice on
+  * the same edge set: once in the broadcast rank-join regime (the default
+  * below 10M nodes) and once with `broadcastMaxNodes = 1`, which forces
+  * the >10M-node SHUFFLE_HASH regime — the round-10 verdict's "never
+  * exercised at scale" watch item. Run against a DevSynth sf10 dir for
+  * the recorded numbers; ranks are cross-checked for equality (the two
+  * regimes are the same arithmetic, so max |Δrank| must be fp-noise).
+  */
 object DevGraph {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -20,6 +31,28 @@ object DevGraph {
       val r = body
       println(f"[devgraph] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
+    }
+    if (args.contains("regimes")) {
+      val edges = ExtensionQueries.coPurchaseEdges(spark, sfDir)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .persist()
+      val m = t("edge materialize") { edges.count() }
+      println(s"[devgraph] edges = $m")
+      // warm scan caches so neither regime pays first-read costs
+      val bcast = t("broadcast regime (8 iters)") {
+        graft.ops.Graph.pageRank(edges, iters = 8, driverMaxEdges = 0L)
+          .localCheckpoint()
+      }
+      val shuf = t("shuffle regime (8 iters)") {
+        graft.ops.Graph.pageRank(edges, iters = 8, driverMaxEdges = 0L,
+          broadcastMaxNodes = 1L).localCheckpoint()
+      }
+      val delta = bcast.as("b").join(shuf.as("s"), col("b.id") === col("s.id"))
+        .agg(max(abs(col("b.rank") - col("s.rank"))).as("maxd"))
+        .collect()(0).getDouble(0)
+      println(f"[devgraph] regimes max |Δrank| = $delta%.3e  (n = ${bcast.count()})")
+      spark.stop()
+      return
     }
     val edges = ExtensionQueries.coPurchaseEdges(spark, sfDir)
     val m = t("edge count (cold)") { edges.count() }

@@ -6,72 +6,67 @@ import org.apache.spark.sql.functions._
 import graft.streaming.Topologies
 
 /** Dev-only streaming scale probe (NOT part of the library surface): runs
-  * the flagship `paidOrders` topology as a real file-source micro-batched
-  * stream over an arbitrary SF dir — the same harness as
-  * StreamingScaleSpec — and prints per-batch telemetry from the streaming
-  * progress feed: input rows, batch wall-clock, and the stream–stream
-  * join's STATE STORE footprint (rows + bytes), which is the quantity
-  * that grows with volume on a real cluster and the one the watermark is
-  * supposed to bound.
+  * a catalog topology as a real file-source micro-batched stream over an
+  * arbitrary SF dir — the same harness as StreamingScaleSpec — and prints
+  * per-batch telemetry from the streaming progress feed: input rows, batch
+  * wall-clock, and the stateful operators' STATE STORE footprint (rows +
+  * bytes), which is the quantity that grows with volume on a real cluster
+  * and the one the watermark is supposed to bound.
   *
-  * Usage: `runMain graft.DevStreamScale <sfDir>`; honors
-  * SPARK_GRAFT_CPUS / SPARK_GRAFT_SHUFFLE_PARTITIONS.
+  * Usage: `runMain graft.DevStreamScale <sfDir> [paidOrders|trending]`
+  *  - `paidOrders` (default): the flagship stream–stream join topology,
+  *    orders/payments as chronological YEARLY files.
+  *  - `trending`: the chained-aggregation topology (windowed count →
+  *    per-window argmax — TWO stateful aggs back to back), events as
+  *    chronological DAILY files (the fixture spans one month), append
+  *    mode; exercises multi-stateful-operator state and watermark
+  *    propagation through an aggregation.
+  *
+  * Honors SPARK_GRAFT_CPUS / SPARK_GRAFT_SHUFFLE_PARTITIONS, and
+  * SPARK_GRAFT_STATE_PROVIDER=rocksdb to swap the HDFS-backed in-memory
+  * state store for RocksDB (the provider a real cluster uses once state
+  * outgrows executor heap — the sf10 run's question).
   */
 object DevStreamScale {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir) = args
+    val (sfDir, topology) = args match {
+      case Array(d) => (d, "paidOrders")
+      case Array(d, t) => (d, t)
+    }
+    require(Set("paidOrders", "trending")(topology),
+      s"topology must be paidOrders|trending, got $topology")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val rocks = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (rocks) builder.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft_stream_scale_").toFile
 
-    val orders = Tables.orders(spark, sfDir).select(
-      col("o_orderkey").cast("string").as("orderId"),
-      col("o_custkey").cast("string").as("user"),
-      array().cast("array<string>").as("products"),
-      col("o_totalprice").as("amount"),
-      col("o_orderdate").cast("timestamp").as("ts"))
-    val payments = Tables.lineitem(spark, sfDir).select(
-      col("l_orderkey").cast("string").as("orderId"),
-      when(col("l_returnflag") === "N", "PAID").otherwise("PENDING").as("status"),
-      col("l_shipdate").cast("timestamp").as("ts"))
-    val profiles = Tables.customer(spark, sfDir).select(
-      col("c_custkey").cast("string").as("user"),
-      col("c_mktsegment").as("profile"))
-    val discounts = Tables.discounts(spark).withColumnRenamed("factor", "amount")
-
-    def writeChrono(df: DataFrame, sub: String): String = {
+    /** Chronological multi-file write: one parquet file per distinct value
+      * of `bucket(ts)` ascending, so `maxFilesPerTrigger = 1` replays the
+      * data in event-time order — a real unbounded-arrival simulation, not
+      * one giant batch.
+      */
+    def writeChrono(df: DataFrame, sub: String, bucket: org.apache.spark.sql.Column): String = {
       val path = s"${work.getPath}/$sub"
-      val years = df.select(year(col("ts")).as("y")).distinct()
+      val buckets = df.select(bucket.cast("int").as("b")).distinct()
         .collect().map(_.getInt(0)).sorted
-      for (y <- years) {
-        df.filter(year(col("ts")) === y).coalesce(1)
+      for (b <- buckets) {
+        df.filter(bucket.cast("int") === b).coalesce(1)
           .write.mode("append").parquet(path)
         Thread.sleep(60)
       }
       path
     }
-    val t0 = System.nanoTime()
-    val oPath = writeChrono(orders, "orders")
-    val pPath = writeChrono(payments, "payments")
-    println(f"[stream-scale] chrono write ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val oStream = spark.readStream.schema(orders.schema)
-      .option("maxFilesPerTrigger", "1").parquet(oPath)
-    val pStream = spark.readStream.schema(payments.schema)
-      .option("maxFilesPerTrigger", "1").parquet(pPath)
-
-    // Telemetry via a listener, NOT q.recentProgress: the progress ring
-    // buffer retains only the most recent ~100 entries, so on long runs a
-    // recentProgress-based summary under-reports while claiming totals.
-    // The listener sees every committed batch exactly once.
     final case class BatchStat(batchId: Long, inRows: Long, durMs: Long,
         stateRows: Long, stateBytes: Long, watermark: String)
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
@@ -88,12 +83,52 @@ object DevStreamScale {
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
-
     val outPath = s"${work.getPath}/out"
+
+    val t0 = System.nanoTime()
+    val streamed: DataFrame = topology match {
+      case "paidOrders" =>
+        val orders = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").cast("string").as("orderId"),
+          col("o_custkey").cast("string").as("user"),
+          array().cast("array<string>").as("products"),
+          col("o_totalprice").as("amount"),
+          col("o_orderdate").cast("timestamp").as("ts"))
+        val payments = Tables.lineitem(spark, sfDir).select(
+          col("l_orderkey").cast("string").as("orderId"),
+          when(col("l_returnflag") === "N", "PAID").otherwise("PENDING").as("status"),
+          col("l_shipdate").cast("timestamp").as("ts"))
+        val profiles = Tables.customer(spark, sfDir).select(
+          col("c_custkey").cast("string").as("user"),
+          col("c_mktsegment").as("profile"))
+        val discounts = Tables.discounts(spark).withColumnRenamed("factor", "amount")
+        val oPath = writeChrono(orders, "orders", year(col("ts")))
+        val pPath = writeChrono(payments, "payments", year(col("ts")))
+        println(f"[stream-scale] chrono write ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val oStream = spark.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", "1").parquet(oPath)
+        val pStream = spark.readStream.schema(payments.schema)
+          .option("maxFilesPerTrigger", "1").parquet(pPath)
+        Topologies.paidOrders(oStream, pStream, profiles, discounts,
+          joinWindow = "45 days")
+      case "trending" =>
+        val events = Tables.events(spark, sfDir)
+          .select(col("event_type"), col("ts_ts").as("ts"))
+          .filter(col("ts").isNotNull)
+        // daily files: the fixture spans one month, so ~30 micro-batches
+        val ePath = writeChrono(events, "events", dayofmonth(col("ts")))
+        println(f"[stream-scale] chrono write ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val eStream = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(ePath)
+        // 1-hour windows, 2-hour grace: late-file arrivals within two days
+        // still land, and the watermark closes windows as days replay —
+        // the chained (count → argmax) aggregation is the state under test
+        Topologies.trendingKeys(eStream, col("event_type"), col("ts"),
+          window = "1 hour", grace = "2 hours")
+    }
+
     val t1 = System.nanoTime()
-    val q = Topologies.paidOrders(oStream, pStream, profiles, discounts,
-        joinWindow = "45 days")
-      .writeStream.format("parquet")
+    val q = streamed.writeStream.format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", s"${work.getPath}/ckpt")
       .outputMode("append")
@@ -119,7 +154,8 @@ object DevStreamScale {
     // run's second half should not exceed the first half's peak by much
     val (h1, h2) = all.splitAt(all.size / 2)
     def peak(s: Seq[BatchStat]) = if (s.isEmpty) 0L else s.map(_.stateRows).max
-    println(f"[stream-scale] SUMMARY sf=$sfDir batches=${all.size} " +
+    println(f"[stream-scale] SUMMARY sf=$sfDir topology=$topology " +
+      f"provider=${if (rocks) "rocksdb" else "hdfs-memory"} batches=${all.size} " +
       f"input_rows=$inputRows total_sec=$runSec%.1f out_rows=$out " +
       f"max_state_rows=$maxStateRows max_state_mb=${maxStateBytes / 1e6}%.1f " +
       f"state_peak_h1=${peak(h1)} state_peak_h2=${peak(h2)}")

@@ -272,7 +272,13 @@ object Similarity {
     val bits =
       if (nBits > 0) nBits
       else {
-        val n = corpus.count()
+        // RAW row count, above the validity filter: a bare parquet count
+        // is metadata-only, while counting the filtered frame would decode
+        // every vector just to size buckets (+65% on x36 at sf0.1, a full
+        // extra embedding-column pass at 100 TB). Malformed rows are a
+        // sliver; the log2-derived width cannot move by a whole bit unless
+        // they were half the corpus.
+        val n = corpus0.count()
         math.min(20, math.max(4,
           math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt))
       }
@@ -606,7 +612,8 @@ object Similarity {
     val bits =
       if (nBits > 0) nBits
       else {
-        val n = corpus.count()
+        // raw count for width derivation — see [[embeddingDupPairs]]
+        val n = corpus0.count()
         math.min(20, math.max(4,
           math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt))
       }

@@ -80,14 +80,23 @@ class SessionHygieneSpec extends SparkSpec {
     val bc1 = broadcastBlocks
     subset.foreach(run)
     val heap2 = usedHeapMb
-    val bc2 = broadcastBlocks
     // envelope: a second identical pass may not retain more than 256 MB
     // over the first pass's floor (memoized artifacts are already resident
     // after pass 1, so pass 2 should add ~nothing)
     assert(heap2 <= heap1 + 256,
       s"driver heap grew across an identical pass: $heap1 MB -> $heap2 MB")
     // broadcast blocks must not accumulate linearly with passes; allow a
-    // small constant for torrent chunks pending ContextCleaner GC
+    // small constant for torrent chunks pending ContextCleaner GC. The
+    // cleaner drains its weak-ref queue ASYNCHRONOUSLY after gc, so poll
+    // up to 5 s before declaring a leak (a real leak holds strong refs
+    // and never drains — under full-suite load the one-shot read flaked
+    // at 35 vs a bound of 30 while the same pass measured 6 when idle)
+    var bc2 = broadcastBlocks
+    var waited = 0
+    while (bc2 > bc1 + 24 && waited < 5000) {
+      System.gc(); Thread.sleep(250); waited += 250
+      bc2 = broadcastBlocks
+    }
     assert(bc2 <= bc1 + 24,
       s"broadcast blocks accumulated across an identical pass: $bc1 -> $bc2")
   }

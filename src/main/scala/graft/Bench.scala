@@ -137,8 +137,13 @@ object Bench {
     try {
       val sfName = new java.io.File(sfDir).getName
       new java.io.File("target").mkdirs()
+      // A FILTERED probe run must never overwrite the full-catalog
+      // artifact: round 11's committed sf0.1 anchor turned out to be a
+      // 2-query x36/x3d probe that had silently replaced the 192-query
+      // recording at the same path. Partial runs get their own file.
+      val suffix = if (filter.isDefined) "_filtered" else ""
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"target/bench_$sfName.json"), fullJson + "\n")
+        java.nio.file.Paths.get(s"target/bench_$sfName$suffix.json"), fullJson + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }

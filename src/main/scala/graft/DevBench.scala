@@ -37,6 +37,26 @@ object DevBench {
     // file-listing / AQE warmup; later iterations are the intrinsic time)
     val repeat = args.collectFirst { case a if a.matches("-r\\d+") => a.drop(2).toInt }
       .getOrElse(1)
+    // -spill: per-query shuffle-spill telemetry from stage completions —
+    // memory/disk bytes spilled and peak execution memory. This is the
+    // spill-pressure rehearsal's readout: which operators fall back to
+    // UnsafeExternalSorter spill files when (data × SF) outgrows the heap,
+    // and whether they stay ≤ linear when they do.
+    val spillStats = new java.util.concurrent.atomic.AtomicLongArray(3)
+    if (args.contains("-spill")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = e.stageInfo.taskMetrics
+            if (m != null) {
+              spillStats.addAndGet(0, m.memoryBytesSpilled)
+              spillStats.addAndGet(1, m.diskBytesSpilled)
+              spillStats.addAndGet(2, m.peakExecutionMemory)
+            }
+          }
+        })
+    }
     sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (explain) {
         println(s"===== $name plan =====")
@@ -45,10 +65,20 @@ object DevBench {
       // time construction + count together, like Bench: some operators
       // (iterative ones with checkpoints) do real work at build time
       for (it <- 1 to repeat) {
+        (0 until 3).foreach(spillStats.set(_, 0L))
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[devbench] $name%-24s $dt%8.3f s  rows=$n  it=$it")
+        val spill = if (args.contains("-spill")) {
+          // listener events are async relative to job completion; the bus
+          // drains in ms once the final stage lands — a short sleep is a
+          // dev-probe-grade sync (and an undercount only hides spill)
+          Thread.sleep(500)
+          f"  spill_mem_mb=${spillStats.get(0) / 1e6}%.0f " +
+            f"spill_disk_mb=${spillStats.get(1) / 1e6}%.0f " +
+            f"peak_exec_mb=${spillStats.get(2) / 1e6}%.0f"
+        } else ""
+        println(f"[devbench] $name%-24s $dt%8.3f s  rows=$n  it=$it$spill")
       }
     }
     spark.stop()

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * `runMain graft.DevGraph regimes` times the FULL [[graft.ops.Graph.pageRank]]
   * call (8 iterations, forced distributed via driverMaxEdges = 0) twice on
-  * the same edge set: once in the broadcast rank-join regime (the default
-  * below 10M nodes) and once with `broadcastMaxNodes = 1`, which forces
-  * the >10M-node SHUFFLE_HASH regime — the round-10 verdict's "never
-  * exercised at scale" watch item. Run against a DevSynth sf10 dir for
-  * the recorded numbers; ranks are cross-checked for equality (the two
-  * regimes are the same arithmetic, so max |Δrank| must be fp-noise).
+  * the same edge set: once forcing the broadcast rank-join regime
+  * (`broadcastMaxNodes = MaxValue`) and once in the co-partitioned
+  * SHUFFLE_HASH regime (`broadcastMaxNodes = 0`, the production default —
+  * this probe's round-11 A/B at 200k and 2M nodes is why). Run against a
+  * DevSynth sf1/sf10 dir for the recorded numbers; ranks are
+  * cross-checked for equality (the two regimes are the same arithmetic,
+  * so max |Δrank| must be fp-noise).
   */
 object DevGraph {
   def main(args: Array[String]): Unit = {
@@ -40,12 +41,12 @@ object DevGraph {
       println(s"[devgraph] edges = $m")
       // warm scan caches so neither regime pays first-read costs
       val bcast = t("broadcast regime (8 iters)") {
-        graft.ops.Graph.pageRank(edges, iters = 8, driverMaxEdges = 0L)
-          .localCheckpoint()
+        graft.ops.Graph.pageRank(edges, iters = 8, driverMaxEdges = 0L,
+          broadcastMaxNodes = Long.MaxValue).localCheckpoint()
       }
       val shuf = t("shuffle regime (8 iters)") {
         graft.ops.Graph.pageRank(edges, iters = 8, driverMaxEdges = 0L,
-          broadcastMaxNodes = 1L).localCheckpoint()
+          broadcastMaxNodes = 0L).localCheckpoint()
       }
       val delta = bcast.as("b").join(shuf.as("s"), col("b.id") === col("s.id"))
         .agg(max(abs(col("b.rank") - col("s.rank"))).as("maxd"))

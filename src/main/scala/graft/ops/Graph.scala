@@ -17,10 +17,11 @@ import org.apache.spark.sql.Row
   * scheduling); above it, the distributed loop runs. The distributed
   * shape is the one that must survive 100 TB: edges are joined to their
   * out-degree ONCE (each edge carries its contribution weight 1/deg),
-  * repartitioned by `src` and persisted — every round then broadcasts
-  * the |V|-sized rank vector into the stationary edge partitions, and
-  * the only shuffle per round is the |V|-sized contribution aggregate on
-  * `dst`. `localCheckpoint` cuts lineage every round (same discipline as
+  * repartitioned by `src` and persisted — every round then shuffles the
+  * |V|-sized rank vector into the stationary edge partitions (a
+  * SHUFFLE_HASH build against the co-partitioned edge cache), and the
+  * only other per-round shuffle is the |V|-sized contribution aggregate
+  * on `dst`. `localCheckpoint` cuts lineage every round (same discipline as
   * the k-means and canonicalize loops). Dangling-node mass (rank on
   * nodes with no out-edges) is redistributed uniformly per the public
   * PageRank formulation; the dangling id set is static, computed once,
@@ -36,13 +37,21 @@ object Graph {
     * (`id` long, `rank` double).
     *
     * `broadcastMaxNodes` picks the distributed rank-join regime (see
-    * [[pageRankDistributed]]); it is a parameter so tests and dev probes
-    * can force the shuffle regime on graphs that would otherwise
-    * broadcast.
+    * [[pageRankDistributed]]). The default is 0 — the co-partitioned
+    * SHUFFLE_HASH regime always — because the broadcast regime LOST the
+    * A/B at both measured scales (DevGraph `regimes`, idle local[32]:
+    * 18.1 s vs 12.6 s at 200k nodes / 23.9M edges; 307 s vs 256 s at 2M
+    * nodes / 239M edges, 8 iterations each): a per-round broadcast
+    * re-collects the |V|-sized rank vector to the driver and rebuilds
+    * the hash table on every executor, while the shuffle regime pays one
+    * partitioned |V| exchange and streams the stationary edge cache. On
+    * a real cluster the gap widens — broadcast ships |V| × executors
+    * bytes per round, the exchange ships |V| once. The parameter stays
+    * so tests and probes can A/B the broadcast regime.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       driverMaxEdges: Long = 4000000L,
-      broadcastMaxNodes: Long = 10000000L): DataFrame = {
+      broadcastMaxNodes: Long = 0L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val spark = edges.sparkSession
@@ -113,15 +122,16 @@ object Graph {
         StructField("rank", DoubleType, nullable = false))))
   }
 
-  /** Distributed path. The rank-into-edges join has two regimes: while
-    * |V| fits a broadcast (the common case for entity graphs — the rank
-    * vector is two words per node), each round is map-side against the
-    * stationary edge partitions; past `broadcastMaxNodes` the rank
-    * vector instead shuffles on `src`, landing co-partitioned with the
-    * persisted edge layout (a SHUFFLE_HASH build of the |V|-sized rank
-    * side, so the stationary |E| side is neither re-shuffled nor
-    * re-sorted per round) — the billion-node path, one |V| exchange per
-    * round either way (the contribution aggregate).
+  /** Distributed path. The rank-into-edges join has two regimes. The
+    * DEFAULT (and the measured winner at every scale tried — see
+    * [[pageRank]]) shuffles the |V|-sized rank vector on `src`, landing
+    * co-partitioned with the persisted edge layout: a SHUFFLE_HASH build
+    * of the rank side, so the stationary |E| side is neither re-shuffled
+    * nor re-sorted per round — the billion-node path, two |V| exchanges
+    * per round (rank-in, contribution aggregate out). At or below
+    * `broadcastMaxNodes` the rank vector instead broadcasts, making each
+    * round map-side against the edge cache — kept as a parameterized
+    * alternative for A/B probes.
     *
     * Dangling-node mass rides the SAME per-round job as an observed
     * metric (`Dataset.observe` on the rank scan that feeds the
@@ -150,14 +160,19 @@ object Graph {
     try {
       val n = verts.count()
       val small = n <= broadcastMaxNodes
-      // each edge carries its weight once: (src, dst, w = 1/outdeg(src));
-      // the vertex table is |V|-sized, so it broadcasts into the edge
-      // scan in the small regime. Co-partitioning by src only matters in
-      // the shuffle regime — in broadcast mode the per-round rank join
-      // is map-side, so forcing an up-front |E| exchange would be waste.
+      // each edge carries its weight once: (src, dst, w = 1/outdeg(src)).
+      // The ONE-TIME weights join is gated separately from the per-round
+      // rank-join regime: a |V|-sized side that fits a torrent broadcast
+      // should broadcast here even when the iterations shuffle — paying
+      // an |E|-sized sort-merge at build time just because the rank join
+      // is co-partitioned would re-lay-out the edges twice.
+      val buildBcast = n <= 10000000L
       val weights = verts.select(col("id").as("src"), col("outdeg"))
-      val weighted = e0.join(if (small) broadcast(weights) else weights, Seq("src"))
+      val weighted = e0.join(if (buildBcast) broadcast(weights) else weights, Seq("src"))
         .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      // co-partitioning by src only matters in the shuffle regime — in
+      // broadcast mode the per-round rank join is map-side, so forcing
+      // an up-front |E| exchange would be waste
       e = (if (small) weighted else weighted.repartition(col("src"))).persist()
       val hasDangling =
         verts.filter(col("outdeg") === 0L).limit(1).count() > 0

@@ -63,11 +63,20 @@ object DevBench {
         fn(spark, sfDir).explain("formatted")
       }
       // time construction + count together, like Bench: some operators
-      // (iterative ones with checkpoints) do real work at build time
+      // (iterative ones with checkpoints) do real work at build time.
+      // -force: evaluate through the noop sink like Bench instead of
+      // count() — count() lets Catalyst prune unreferenced Window/project
+      // work entirely (o18 read 4.5 s and zero spill at sf30 under
+      // count() while the forced plan is the actual heavy query), so
+      // spill readouts MUST use -force to mean anything.
+      val forceEval = args.contains("-force")
       for (it <- 1 to repeat) {
         (0 until 3).foreach(spillStats.set(_, 0L))
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val n = if (forceEval) {
+          df.write.mode("overwrite").format("noop").save(); -1L
+        } else df.count()
         val dt = (System.nanoTime() - t0) / 1e9
         val spill = if (args.contains("-spill")) {
           // listener events are async relative to job completion; the bus

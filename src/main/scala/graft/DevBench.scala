@@ -38,10 +38,33 @@ object DevBench {
     val repeat = args.collectFirst { case a if a.matches("-r\\d+") => a.drop(2).toInt }
       .getOrElse(1)
     // -spill: per-query shuffle-spill telemetry from stage completions —
-    // memory/disk bytes spilled and peak execution memory. This is the
-    // spill-pressure rehearsal's readout: which operators fall back to
-    // UnsafeExternalSorter spill files when (data × SF) outgrows the heap,
-    // and whether they stay ≤ linear when they do.
+    // memory/disk bytes spilled and the heaviest single stage's execution
+    // memory. This is the spill-pressure rehearsal's readout: which
+    // operators fall back to UnsafeExternalSorter spill files when
+    // (data × SF) outgrows the heap, and whether they stay ≤ linear when
+    // they do. Index 2 is a MAX across stages (of the per-stage sum of
+    // task peaks — the closest thing StageInfo exposes to concurrent
+    // pressure), not a sum: summing per-task peaks across all stages of a
+    // multi-stage query overstates memory pressure by the stage count.
+    // -skew: after each query, report whether AQE's OptimizeSkewedJoin
+    // split any partition in the EXECUTED plan (the "skew=true" join marks
+    // and skewed AQEShuffleReads) — the readout for the hostile-data skew
+    // rehearsal: does a Zipf-grade hot key actually trip the production
+    // skew machinery at DEFAULT thresholds, and on which joins.
+    val skewPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (args.contains("-skew")) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          val s = qe.executedPlan.toString
+          if (s.contains("skew=true")) skewPlans.add(
+            s.linesIterator.filter(l => l.contains("skew=true")
+              || l.contains("AQEShuffleRead")).mkString("\n"))
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+      })
+    }
     val spillStats = new java.util.concurrent.atomic.AtomicLongArray(3)
     if (args.contains("-spill")) {
       spark.sparkContext.addSparkListener(
@@ -52,7 +75,7 @@ object DevBench {
             if (m != null) {
               spillStats.addAndGet(0, m.memoryBytesSpilled)
               spillStats.addAndGet(1, m.diskBytesSpilled)
-              spillStats.addAndGet(2, m.peakExecutionMemory)
+              spillStats.accumulateAndGet(2, m.peakExecutionMemory, Math.max(_, _))
             }
           }
         })
@@ -71,7 +94,6 @@ object DevBench {
       // spill readouts MUST use -force to mean anything.
       val forceEval = args.contains("-force")
       for (it <- 1 to repeat) {
-        (0 until 3).foreach(spillStats.set(_, 0L))
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val n = if (forceEval) {
@@ -81,13 +103,27 @@ object DevBench {
         val spill = if (args.contains("-spill")) {
           // listener events are async relative to job completion; the bus
           // drains in ms once the final stage lands — a short sleep is a
-          // dev-probe-grade sync (and an undercount only hides spill)
+          // dev-probe-grade sync (and an undercount only hides spill).
+          // Counters reset AFTER the drained read, never before a query:
+          // resetting first let a prior query's late stage-completion
+          // events land inside the NEXT query's window (an overcount).
           Thread.sleep(500)
-          f"  spill_mem_mb=${spillStats.get(0) / 1e6}%.0f " +
+          val line = f"  spill_mem_mb=${spillStats.get(0) / 1e6}%.0f " +
             f"spill_disk_mb=${spillStats.get(1) / 1e6}%.0f " +
-            f"peak_exec_mb=${spillStats.get(2) / 1e6}%.0f"
+            f"max_stage_peak_mb=${spillStats.get(2) / 1e6}%.0f"
+          (0 until 3).foreach(spillStats.set(_, 0L))
+          line
         } else ""
         println(f"[devbench] $name%-24s $dt%8.3f s  rows=$n  it=$it$spill")
+        if (args.contains("-skew")) {
+          Thread.sleep(300) // QueryExecutionListener is async; drain
+          import scala.jdk.CollectionConverters._
+          val hits = skewPlans.asScala.toSeq
+          skewPlans.clear()
+          if (hits.nonEmpty)
+            println(s"[devbench] $name skew=true joins:\n${hits.mkString("\n---\n")}")
+          else println(s"[devbench] $name skew=false")
+        }
       }
     }
     spark.stop()

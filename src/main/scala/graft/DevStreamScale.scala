@@ -13,7 +13,8 @@ import graft.streaming.Topologies
   * bytes), which is the quantity that grows with volume on a real cluster
   * and the one the watermark is supposed to bound.
   *
-  * Usage: `runMain graft.DevStreamScale <sfDir> [paidOrders|trending]`
+  * Usage: `runMain graft.DevStreamScale <sfDir> [paidOrders|trending|curate]
+  *   [workDir]`
   *  - `paidOrders` (default): the flagship stream–stream join topology,
   *    orders/payments as chronological YEARLY files.
   *  - `trending`: the chained-aggregation topology (windowed count →
@@ -21,6 +22,22 @@ import graft.streaming.Topologies
   *    chronological DAILY files (the fixture spans one month), append
   *    mode; exercises multi-stateful-operator state and watermark
   *    propagation through an aggregation.
+  *  - `curate`: the document-curation topology (normalize → quality gate →
+  *    watermarked fingerprint dedup), documents as chronological DAILY
+  *    files over a synthetic 30-day arrival clock (the fixture has no
+  *    document timestamp; `ts = 2024-01-01 + (doc_id mod 30) days +
+  *    in-day offset` is deterministic, so reruns and restarts see the
+  *    same stream). State under test: `dropDuplicatesWithinWatermark`
+  *    fingerprint store — the watermark must hold it at
+  *    (arrival rate × grace), not corpus size.
+  *
+  * `workDir` (optional): a PERSISTENT working directory. Default is a
+  * temp dir deleted at exit; with an explicit path, input files are
+  * written only if absent and the sink/checkpoint are REUSED — so a run
+  * killed mid-stream (kill -9, pulled plug) restarts from its checkpoint
+  * and must produce the same final output as an uninterrupted run. That
+  * recovery equivalence is the exactly-once file-sink contract at volume;
+  * compare the two output dirs row-for-row.
   *
   * Honors SPARK_GRAFT_CPUS / SPARK_GRAFT_SHUFFLE_PARTITIONS, and
   * SPARK_GRAFT_STATE_PROVIDER=rocksdb to swap the HDFS-backed in-memory
@@ -29,12 +46,13 @@ import graft.streaming.Topologies
   */
 object DevStreamScale {
   def main(args: Array[String]): Unit = {
-    val (sfDir, topology) = args match {
-      case Array(d) => (d, "paidOrders")
-      case Array(d, t) => (d, t)
+    val (sfDir, topology, workDirArg) = args match {
+      case Array(d) => (d, "paidOrders", None)
+      case Array(d, t) => (d, t, None)
+      case Array(d, t, w) => (d, t, Some(w))
     }
-    require(Set("paidOrders", "trending")(topology),
-      s"topology must be paidOrders|trending, got $topology")
+    require(Set("paidOrders", "trending", "curate")(topology),
+      s"topology must be paidOrders|trending|curate, got $topology")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rocks = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb")
     val builder = SparkSession.builder()
@@ -48,15 +66,24 @@ object DevStreamScale {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val work = Files.createTempDirectory("graft_stream_scale_").toFile
+    val persistent = workDirArg.isDefined
+    val work = workDirArg.map { p =>
+      val f = new java.io.File(p); f.mkdirs(); f
+    }.getOrElse(Files.createTempDirectory("graft_stream_scale_").toFile)
 
     /** Chronological multi-file write: one parquet file per distinct value
       * of `bucket(ts)` ascending, so `maxFilesPerTrigger = 1` replays the
       * data in event-time order — a real unbounded-arrival simulation, not
-      * one giant batch.
+      * one giant batch. In a persistent workDir an existing input dir is
+      * reused verbatim — a restarted run must see the SAME stream, and the
+      * write is only atomic per-bucket, not across the whole set.
       */
     def writeChrono(df: DataFrame, sub: String, bucket: org.apache.spark.sql.Column): String = {
       val path = s"${work.getPath}/$sub"
+      if (persistent && new java.io.File(path).exists()) {
+        println(s"[stream-scale] reusing existing input $path")
+        return path
+      }
       val buckets = df.select(bucket.cast("int").as("b")).distinct()
         .collect().map(_.getInt(0)).sorted
       for (b <- buckets) {
@@ -125,6 +152,28 @@ object DevStreamScale {
         // the chained (count → argmax) aggregation is the state under test
         Topologies.trendingKeys(eStream, col("event_type"), col("ts"),
           window = "1 hour", grace = "2 hours")
+      case "curate" =>
+        // the fixture has no document timestamp; a deterministic synthetic
+        // arrival clock spreads the corpus over 30 "days" (day = doc_id
+        // mod 30, in-day offset from doc_id) so the watermark advances
+        // daily as files replay and the fingerprint-dedup state gets
+        // pruned behind it. Exact-dup families land on DIFFERENT days
+        // (consecutive doc_ids → different mod-30 slots), so a 2-day
+        // grace dedups only near-in-time redeliveries — the semantics
+        // dropDuplicatesWithinWatermark is FOR (KSA:64-70's drop contract
+        // has no time bound only because the reference's state store is
+        // unbounded; ours must not be).
+        val docs = Tables.documents(spark, sfDir)
+          .filter(col("text").isNotNull)
+          .withColumn("ts",
+            to_timestamp(lit("2024-01-01 00:00:00"))
+              + expr("make_interval(0, 0, 0, CAST(doc_id % 30 AS INT), 0, 0, CAST((doc_id * 37) % 86400 AS INT))"))
+          .select(col("doc_id"), col("text"), col("ts"))
+        val dPath = writeChrono(docs, "documents", dayofmonth(col("ts")))
+        println(f"[stream-scale] chrono write ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val dStream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dPath)
+        Topologies.curateDocuments(dStream, grace = "2 days")
     }
 
     val t1 = System.nanoTime()
@@ -160,11 +209,13 @@ object DevStreamScale {
       f"max_state_rows=$maxStateRows max_state_mb=${maxStateBytes / 1e6}%.1f " +
       f"state_peak_h1=${peak(h1)} state_peak_h2=${peak(h2)}")
 
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    if (!persistent) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(work)
     }
-    rm(work)
     spark.stop()
   }
 }

@@ -15,13 +15,17 @@ import org.apache.spark.sql.Row
   * edge list fits comfortably in driver memory and the power iteration
   * runs there over primitive arrays (collect once, no per-round job
   * scheduling); above it, the distributed loop runs. The distributed
-  * shape is the one that must survive 100 TB: edges are joined to their
-  * out-degree ONCE (each edge carries its contribution weight 1/deg),
-  * repartitioned by `src` and persisted — every round then shuffles the
-  * |V|-sized rank vector into the stationary edge partitions (a
-  * SHUFFLE_HASH build against the co-partitioned edge cache), and the
-  * only other per-round shuffle is the |V|-sized contribution aggregate
-  * on `dst`. `localCheckpoint` cuts lineage every round (same discipline as
+  * shape is the one that must survive 100 TB: edges are cached as BARE
+  * `(src, dst)` long pairs repartitioned by `src` — the contribution
+  * weight `1/outdeg(src)` is folded in on the |V|-sized rank side at
+  * join time, so the |E|-sized cache carries no per-edge weight column
+  * (a third off its bytes/row; at sf30 the weighted cache was 17 GB and
+  * thrashed a 16 GB heap into 662 GB of cumulative re-read spill).
+  * Every round shuffles the |V|-sized `rank/outdeg` vector into the
+  * stationary edge partitions (a SHUFFLE_HASH build against the
+  * co-partitioned edge cache), and the only other per-round shuffle is
+  * the |V|-sized contribution aggregate on `dst`.
+  * `localCheckpoint` cuts lineage every round (same discipline as
   * the k-means and canonicalize loops). Dangling-node mass (rank on
   * nodes with no out-edges) is redistributed uniformly per the public
   * PageRank formulation; the dangling id set is static, computed once,
@@ -124,14 +128,31 @@ object Graph {
 
   /** Distributed path. The rank-into-edges join has two regimes. The
     * DEFAULT (and the measured winner at every scale tried — see
-    * [[pageRank]]) shuffles the |V|-sized rank vector on `src`, landing
-    * co-partitioned with the persisted edge layout: a SHUFFLE_HASH build
-    * of the rank side, so the stationary |E| side is neither re-shuffled
-    * nor re-sorted per round — the billion-node path, two |V| exchanges
-    * per round (rank-in, contribution aggregate out). At or below
-    * `broadcastMaxNodes` the rank vector instead broadcasts, making each
-    * round map-side against the edge cache — kept as a parameterized
-    * alternative for A/B probes.
+    * [[pageRank]]) shuffles the |V|-sized `rank/outdeg` vector on `src`,
+    * landing co-partitioned with the persisted bare `(src, dst)` edge
+    * layout: a SHUFFLE_HASH build of the rank side, so the stationary
+    * |E| side is neither re-shuffled nor re-sorted per round — the
+    * billion-node path, exactly two |V|-sized exchanges per round
+    * (rank-in on `src`, contribution aggregate out on `dst`). There is
+    * NO round-closing node-table join: every node unions a zero
+    * contribution carrying its static outdeg into the aggregate itself,
+    * so no-inbound nodes surface with `sum(c) = 0` and the degree rides
+    * back via `max(outdeg)` — all inside the one exchange the aggregate
+    * already pays (a per-round join against the node table cost a third
+    * |V| exchange, because a localCheckpoint under AQE reports unknown
+    * partitioning and cannot promise co-partitioning to the join).
+    * Dangling nodes are filtered OFF the rank-in exchange — they own no
+    * edges, so shipping their rows into the edge partitions is pure
+    * waste. Both explicit repartitions pin the partition COUNT to the
+    * session shuffle partitions: a count-less `repartition(col)` is an
+    * AQE coalesce candidate, and a round whose rank exchange coalesced
+    * differently from the persisted edge layout would silently
+    * re-shuffle the |E| side — the exact cost this layout exists to
+    * avoid.
+    *
+    * At or below `broadcastMaxNodes` the rank vector instead broadcasts,
+    * making each round map-side against the edge cache — kept as a
+    * parameterized alternative for A/B probes.
     *
     * Dangling-node mass rides the SAME per-round job as an observed
     * metric (`Dataset.observe` on the rank scan that feeds the
@@ -145,13 +166,13 @@ object Graph {
     */
   private def pageRankDistributed(e0: DataFrame, iters: Int, d: Double,
       broadcastMaxNodes: Long): DataFrame = {
+    val nParts = e0.sparkSession.sessionState.conf.numShufflePartitions
     // ONE aggregation pass over both edge endpoints derives the whole
     // vertex table — node set AND out-degree (dangling = outdeg 0) —
     // instead of separate distinct/anti-join passes over the edge list
     val verts = e0.select(col("src").as("id"), lit(1L).as("out"))
       .union(e0.select(col("dst").as("id"), lit(0L).as("out")))
       .groupBy(col("id")).agg(sum(col("out")).as("outdeg")).persist()
-    val nodesDang = verts.select(col("id"), (col("outdeg") === 0L).as("dang"))
     // every JOB runs inside the try (persist() calls above are lazy), so
     // a failure anywhere — including the first verts.count() — still
     // unpersists both frames instead of leaking blocks into the
@@ -160,24 +181,19 @@ object Graph {
     try {
       val n = verts.count()
       val small = n <= broadcastMaxNodes
-      // each edge carries its weight once: (src, dst, w = 1/outdeg(src)).
-      // The ONE-TIME weights join is gated separately from the per-round
-      // rank-join regime: a |V|-sized side that fits a torrent broadcast
-      // should broadcast here even when the iterations shuffle — paying
-      // an |E|-sized sort-merge at build time just because the rank join
-      // is co-partitioned would re-lay-out the edges twice.
-      val buildBcast = n <= 10000000L
-      val weights = verts.select(col("id").as("src"), col("outdeg"))
-      val weighted = e0.join(if (buildBcast) broadcast(weights) else weights, Seq("src"))
-        .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
-      // co-partitioning by src only matters in the shuffle regime — in
-      // broadcast mode the per-round rank join is map-side, so forcing
-      // an up-front |E| exchange would be waste
-      e = (if (small) weighted else weighted.repartition(col("src"))).persist()
+      // the edge cache is bare (src, dst) longs — no weights join, no
+      // per-edge double. co-partitioning by src only matters in the
+      // shuffle regime — in broadcast mode the per-round rank join is
+      // map-side, so forcing an up-front |E| exchange would be waste
+      val bare = e0.select(col("src"), col("dst"))
+      e = (if (small) bare else bare.repartition(nParts, col("src"))).persist()
       val hasDangling =
         verts.filter(col("outdeg") === 0L).limit(1).count() > 0
-      // ranks holds the PARTIAL rank; true rank = rank + uniform
-      var ranks = nodesDang.select(col("id"), lit(1.0).as("rank"), col("dang"))
+      // ranks holds the PARTIAL rank; true rank = rank + uniform. It also
+      // carries the static per-node outdeg, so each round is
+      // self-contained — no per-round join against a separate node table
+      // (which cost a third |V| exchange per round in the old shape)
+      var ranks = verts.select(col("id"), lit(1.0).as("rank"), col("outdeg"))
         .localCheckpoint()
       var uniform = 0.0
       var it = 0
@@ -189,26 +205,41 @@ object Graph {
           Some(org.apache.spark.sql.Observation(s"pr_dangling_$it")) else None
         val base = obs match {
           case Some(o) => ranks.observe(o,
-            coalesce(sum(when(col("dang"), col("rank") + lit(uniform))),
+            coalesce(sum(when(col("outdeg") === 0L, col("rank") + lit(uniform))),
               lit(0.0)).as("dmass"))
           case None => ranks
         }
-        val rankBySrc = base.select(col("id").as("src"),
-          (col("rank") + lit(uniform)).as("rank"))
+        // the contribution weight folds in HERE, on the |V|-sized side:
+        // rw = rank/outdeg is what each out-edge of the node carries.
+        // Dangling nodes (outdeg 0) own no edges — filtering them off the
+        // exchange ships fewer rows and keeps the division well-formed.
+        val rankBySrc = base.filter(col("outdeg") > 0L)
+          .select(col("id").as("src"),
+            ((col("rank") + lit(uniform)) / col("outdeg")).as("rw"))
         val rankSide =
           if (small) broadcast(rankBySrc)
           // SHUFFLE_HASH: build the |V|-sized rank side per partition so
           // the co-partitioned cached edge side streams with no per-round
           // sort (SMJ would re-sort |E| every iteration)
-          else rankBySrc.repartition(col("src")).hint("shuffle_hash")
+          else rankBySrc.repartition(nParts, col("src")).hint("shuffle_hash")
+        // the round closes INSIDE the contribution aggregate: instead of a
+        // per-round node-table join (whose co-partitioning a checkpoint
+        // cannot promise under AQE — the adaptive plan reports unknown
+        // partitioning, so the join re-shuffled the |V| node side every
+        // round), each node contributes a zero row carrying its outdeg.
+        // sum(c) then yields the true inbound total (0 for no-inbound
+        // nodes) and max(outdeg) recovers the static degree — both ride
+        // the ONE aggregate exchange the round already pays, map-side
+        // combined.
         val contrib = e.join(rankSide, "src")
-          .select(col("dst").as("id"), (col("rank") * col("w")).as("c"))
-          .groupBy(col("id")).agg(sum(col("c")).as("c"))
-        val next = nodesDang
-          .join(if (small) broadcast(contrib) else contrib, Seq("id"), "left")
+          .select(col("dst").as("id"), col("rw").as("c"),
+            lit(null).cast("long").as("outdeg"))
+        val next = contrib
+          .union(ranks.select(col("id"), lit(0.0).as("c"), col("outdeg")))
+          .groupBy(col("id"))
+          .agg(sum(col("c")).as("c"), max(col("outdeg")).as("outdeg"))
           .select(col("id"),
-            (lit(1.0 - d) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"),
-            col("dang"))
+            (lit(1.0 - d) + lit(d) * col("c")).as("rank"), col("outdeg"))
           .localCheckpoint()
         ranks.unpersist()
         ranks = next

@@ -146,10 +146,11 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(edges, iters = 3, driverMaxEdges = 0L,
         broadcastMaxNodes = 0L).count()
     }
-    // iteration plans are the checkpoints that join the 3-col edge cache
+    // iteration plans are the checkpoints that join the bare 2-col edge
+    // cache (the 1/outdeg weight folds in on the |V|-sized rank side)
     def isEdgeScan(p: org.apache.spark.sql.execution.SparkPlan) = p match {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        s.output.map(_.name).toSet == Set("src", "dst", "w")
+        s.output.map(_.name).toSet == Set("src", "dst")
       case _ => false
     }
     val iterPlans = actions.collect {
@@ -187,6 +188,18 @@ class GraphSpec extends SparkSpec {
         case _ => false
       }
       assert(!resorted, s"edge cache re-sorted per round:\n${plan.toString.take(4000)}")
+      // the docstring's claim, pinned: exactly two |V|-sized exchanges
+      // per round — the rank-in repartition on src and the contribution
+      // aggregate on dst. The round-closing join against the checkpointed
+      // rank frame must add NO third exchange (the frame carries its
+      // HashPartitioning(id) through localCheckpoint), and a count-less
+      // repartition that AQE re-coalesced would surface here too.
+      val exchanges = flatten(plan).collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => ex
+      }.distinct
+      assert(exchanges.size == 2,
+        s"expected exactly 2 per-round shuffles, got ${exchanges.size}:\n" +
+          plan.toString.take(4000))
     }
   }
 }

@@ -71,9 +71,18 @@ object Queries {
           Tables.events(s, dir))
         .filter(col("k").isNotNull)
         .select(col("event_id"), col("user_id"), col("k")),
-      Some("""SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-             |FROM events
-             |WHERE json_valid(props) AND json_extract_string(props, '$.k') IS NOT NULL""".stripMargin),
+      // the json_valid guard must be a CASE branch, not an AND conjunct:
+      // DuckDB 1.0 can reorder/vector-evaluate conjuncts, and
+      // json_extract_string HARD-ERRORS on a malformed-JSON row the
+      // json_valid conjunct would have masked (trips at hostile sf1's
+      // empty-string props; same pushdown-hazard class as the
+      // list_dot_product oracles). CASE guarantees branch gating.
+      Some("""SELECT event_id, user_id, CAST(ks AS INT) AS k
+             |FROM (SELECT event_id, user_id,
+             |        CASE WHEN json_valid(props)
+             |             THEN json_extract_string(props, '$.k') END AS ks
+             |      FROM events)
+             |WHERE ks IS NOT NULL""".stripMargin),
       "serde drop-malformed JSON decode over events.props (KSA:59-74): undecodable records dropped"),
 
     Q("s3_table_compaction",

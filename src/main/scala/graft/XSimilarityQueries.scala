@@ -315,7 +315,8 @@ object XSimilarityQueries {
         .select(col("id").as("part_id"), col("rank")),
       None,
       "X5 PageRank over the part co-purchase graph: 8 power iterations, " +
-        "edges partitioned once, |V|-sized rank vector broadcast per round " +
+        "bare (src,dst) edges partitioned once, |V|-sized rank/outdeg vector " +
+        "shuffled into them per round (SHUFFLE_HASH; driver CSR below 4M edges) " +
         "(iterative floats → no_oracle; x24_pagerank_check pins the invariants)"),
 
     Q("x9_bm25_search",

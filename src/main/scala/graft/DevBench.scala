@@ -52,6 +52,12 @@ object DevBench {
     // rehearsal: does a Zipf-grade hot key actually trip the production
     // skew machinery at DEFAULT thresholds, and on which joins.
     val skewPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // per-stage task-level shuffle-read sizes: max vs median is the raw
+    // skew evidence (OptimizeSkewedJoin's own inputs are the compressed
+    // per-partition map sizes, which these reads reflect), independent of
+    // whether the 256 MB default threshold tripped
+    val taskReads = new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     if (args.contains("-skew")) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
@@ -64,6 +70,18 @@ object DevBench {
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
       })
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null && m.shuffleReadMetrics != null) {
+              val b = m.shuffleReadMetrics.totalBytesRead
+              if (b > 0) taskReads.computeIfAbsent(e.stageId,
+                _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]()).add(b)
+            }
+          }
+        })
     }
     val spillStats = new java.util.concurrent.atomic.AtomicLongArray(3)
     if (args.contains("-spill")) {
@@ -116,13 +134,24 @@ object DevBench {
         } else ""
         println(f"[devbench] $name%-24s $dt%8.3f s  rows=$n  it=$it$spill")
         if (args.contains("-skew")) {
-          Thread.sleep(300) // QueryExecutionListener is async; drain
+          Thread.sleep(500) // listeners are async; drain
           import scala.jdk.CollectionConverters._
           val hits = skewPlans.asScala.toSeq
           skewPlans.clear()
           if (hits.nonEmpty)
             println(s"[devbench] $name skew=true joins:\n${hits.mkString("\n---\n")}")
           else println(s"[devbench] $name skew=false")
+          // top-3 most skewed stages by max/median shuffle-read bytes
+          val stages = taskReads.asScala.toSeq.map { case (sid, q) =>
+            val xs = q.asScala.toSeq.sorted
+            (sid, xs.last, xs(xs.size / 2), xs.size)
+          }.sortBy(-_._2)
+          taskReads.clear()
+          stages.take(3).foreach { case (sid, mx, med, n) =>
+            println(f"[devbench] $name stage=$sid tasks=$n " +
+              f"shuffle_read max=${mx / 1e6}%.1f MB median=${med / 1e6}%.1f MB " +
+              f"ratio=${mx.toDouble / math.max(med, 1)}%.1f")
+          }
         }
       }
     }

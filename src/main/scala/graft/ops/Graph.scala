@@ -182,13 +182,26 @@ object Graph {
       val n = verts.count()
       val small = n <= broadcastMaxNodes
       // the edge cache is bare (src, dst) longs — no weights join, no
-      // per-edge double. co-partitioning by src only matters in the
-      // shuffle regime — in broadcast mode the per-round rank join is
-      // map-side, so forcing an up-front |E| exchange would be waste
+      // per-edge double — sorted by src WITHIN each partition so the
+      // columnar cache's run-length/delta encodings bite on the src
+      // column (hash-arrival order leaves longs incompressible; one
+      // build-time sort is paid once, the cache is re-read every round).
+      // co-partitioning by src only matters in the shuffle regime — in
+      // broadcast mode the per-round rank join is map-side, so forcing
+      // an up-front |E| exchange would be waste
       val bare = e0.select(col("src"), col("dst"))
-      e = (if (small) bare else bare.repartition(nParts, col("src"))).persist()
+      e = (if (small) bare else bare.repartition(nParts, col("src")))
+        .sortWithinPartitions(col("src")).persist()
       val hasDangling =
         verts.filter(col("outdeg") === 0L).limit(1).count() > 0
+      // materialize the iteration cache NOW and release the caller's
+      // probe cache of the raw edge list before the loop: otherwise two
+      // |E|-sized caches coexist through every iteration, and on a heap
+      // sized for one the block manager thrashes both (the sf30/16 GB
+      // rehearsal measured 662 GB of cumulative eviction/re-read spill
+      // with exactly that double residency)
+      e.count()
+      e0.unpersist()
       // ranks holds the PARTIAL rank; true rank = rank + uniform. It also
       // carries the static per-node outdeg, so each round is
       // self-contained — no per-round join against a separate node table

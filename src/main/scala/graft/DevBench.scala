@@ -103,6 +103,16 @@ object DevBench {
         println(s"===== $name plan =====")
         fn(spark, sfDir).explain("formatted")
       }
+      // -explain executes real jobs for iterative builders (build-time
+      // checkpoints), and a prior query's stage events may still be in
+      // flight: drain, then clear every telemetry buffer so it=1
+      // measures only its own work. Same drain-before-reset discipline
+      // as the per-iteration readout.
+      if (args.contains("-spill") || args.contains("-skew")) {
+        Thread.sleep(500)
+        (0 until 3).foreach(spillStats.set(_, 0L))
+        skewPlans.clear(); taskReads.clear()
+      }
       // time construction + count together, like Bench: some operators
       // (iterative ones with checkpoints) do real work at build time.
       // -force: evaluate through the noop sink like Bench instead of

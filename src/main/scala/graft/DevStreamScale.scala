@@ -74,15 +74,27 @@ object DevStreamScale {
     /** Chronological multi-file write: one parquet file per distinct value
       * of `bucket(ts)` ascending, so `maxFilesPerTrigger = 1` replays the
       * data in event-time order — a real unbounded-arrival simulation, not
-      * one giant batch. In a persistent workDir an existing input dir is
-      * reused verbatim — a restarted run must see the SAME stream, and the
-      * write is only atomic per-bucket, not across the whole set.
+      * one giant batch. In a persistent workDir a COMPLETED input dir is
+      * reused verbatim — a restarted run must see the SAME stream. The
+      * write is only atomic per-bucket, so completion is its own marker
+      * file (`_CHRONO_DONE`, written last): a bare exists() would happily
+      * reuse a corpus truncated by the very kill -9 this mode rehearses,
+      * and the recovery run would stream a fraction of the data.
       */
     def writeChrono(df: DataFrame, sub: String, bucket: org.apache.spark.sql.Column): String = {
       val path = s"${work.getPath}/$sub"
-      if (persistent && new java.io.File(path).exists()) {
+      val done = new java.io.File(path, "_CHRONO_DONE")
+      if (persistent && done.exists()) {
         println(s"[stream-scale] reusing existing input $path")
         return path
+      }
+      val dir = new java.io.File(path)
+      if (dir.exists()) { // partial write from a killed run: start clean
+        println(s"[stream-scale] discarding incomplete input $path")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
       }
       val buckets = df.select(bucket.cast("int").as("b")).distinct()
         .collect().map(_.getInt(0)).sorted
@@ -91,6 +103,7 @@ object DevStreamScale {
           .write.mode("append").parquet(path)
         Thread.sleep(60)
       }
+      done.createNewFile()
       path
     }
 

@@ -190,9 +190,11 @@ class GraphSpec extends SparkSpec {
       assert(!resorted, s"edge cache re-sorted per round:\n${plan.toString.take(4000)}")
       // the docstring's claim, pinned: exactly two |V|-sized exchanges
       // per round — the rank-in repartition on src and the contribution
-      // aggregate on dst. The round-closing join against the checkpointed
-      // rank frame must add NO third exchange (the frame carries its
-      // HashPartitioning(id) through localCheckpoint), and a count-less
+      // aggregate on dst. There is NO round-closing join: every node
+      // unions a zero contribution into the aggregate itself (a
+      // localCheckpoint under AQE reports UNKNOWN partitioning, so a
+      // join against it cannot be co-partitioned and would re-shuffle —
+      // the third exchange this assert exists to forbid). A count-less
       // repartition that AQE re-coalesced would surface here too.
       val exchanges = flatten(plan).collect {
         case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => ex

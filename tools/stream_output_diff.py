@@ -16,6 +16,7 @@ import glob
 import json
 import os
 import sys
+import urllib.parse
 
 import duckdb
 
@@ -36,9 +37,11 @@ def committed_files(out_dir):
                         continue
                     entry = json.loads(line)
                     if "path" in entry:
-                        p = entry["path"]
-                        files.add(p[len("file:"):] if p.startswith("file:")
-                                  else p)
+                        # SinkFileStatus records a URI ("file:/out%20dir/
+                        # part-...") — strip the scheme AND percent-decode,
+                        # or any escaped char breaks read_parquet
+                        u = urllib.parse.urlparse(entry["path"])
+                        files.add(urllib.parse.unquote(u.path))
     return sorted(files)
 
 
@@ -49,10 +52,17 @@ def fingerprint(con, out_dir):
     lst = ", ".join(f"'{f}'" for f in files)
     rel = con.sql(f"SELECT * FROM read_parquet([{lst}])")
     cols = sorted(rel.columns)
-    sel = ", ".join(cols)
+    # Unambiguous per-row encoding: concat_ws SKIPS NULLs (so (x, NULL)
+    # and (NULL, x) would collide) and data may contain the delimiter —
+    # encode each column as a length-prefixed coalesced string instead,
+    # which no value can forge.
+    sel = " || ".join(
+        f"concat(length(coalesce(cast({c} AS VARCHAR), '')), "
+        f"CASE WHEN {c} IS NULL THEN 'N:' ELSE 'V:' END, "
+        f"coalesce(cast({c} AS VARCHAR), ''))" for c in cols)
     n, h = con.sql(
         f"SELECT count(*), md5(string_agg(r, '|' ORDER BY r)) FROM ("
-        f"SELECT concat_ws(',', {sel}) AS r FROM read_parquet([{lst}]))"
+        f"SELECT {sel} AS r FROM read_parquet([{lst}]))"
     ).fetchone()
     return n, h
 

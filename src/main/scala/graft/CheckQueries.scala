@@ -167,9 +167,12 @@ object CheckQueries {
         // one mega-plan (measured 144 s at sf0.001). The pair sets
         // themselves are tiny (dozens of rows), so the checkpoint is the
         // honest cost: one evaluation of each pipeline.
+        // one materialized corpus shingle table feeds both derivatives —
+        // same construction as the x21b entry (optimization r12)
+        val corpusSh = Dedup.shingleTable(col("doc_id"), col("text"), 3)(corpus)
+          .localCheckpoint()
         val incr = Dedup.minhashLshIncremental(col("doc_id"), col("text"), 3, 16, 4, 0.3,
-            Dedup.lshIndex(col("doc_id"), col("text"), 3, 16, 4)(corpus),
-            Dedup.shingleTable(col("doc_id"), col("text"), 3)(corpus))(
+            Dedup.lshIndexFromShingles(corpusSh, 16, 4), corpusSh)(
             d.filter(col("doc_id") >= 400))
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"), col("jaccard"))

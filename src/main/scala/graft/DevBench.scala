@@ -51,6 +51,20 @@ object DevBench {
     // and skewed AQEShuffleReads) — the readout for the hostile-data skew
     // rehearsal: does a Zipf-grade hot key actually trip the production
     // skew machinery at DEFAULT thresholds, and on which joins.
+    // -finalplan: print each query's EXECUTED plan after it runs — the
+    // AQE-final tree (ReusedExchange, AQEShuffleRead, runtime join
+    // strategy), which the pre-execution explain("formatted") cannot show
+    // (it prints isFinalPlan=false). The optimization loop's readout for
+    // "did the duplicate exchanges actually reuse".
+    if (args.contains("-finalplan")) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          println(s"----- executed plan -----\n${qe.executedPlan}")
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+      })
+    }
     val skewPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // per-stage task-level shuffle-read sizes: max vs median is the raw
     // skew evidence (OptimizeSkewedJoin's own inputs are the compressed

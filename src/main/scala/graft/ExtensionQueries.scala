@@ -40,7 +40,10 @@ object ExtensionQueries {
     * Used by both the pairs query and the canonicalization closure.
     */
   private[graft] val ngramPairsCte: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    // doc_id IS NOT NULL mirrors the engine's id-non-null ingestion
+    // contract (Dedup.ngramJaccardPairs); no fixture carries NULL doc ids
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |         WHERE doc_id IS NOT NULL),
       |ex AS (SELECT DISTINCT doc_id,
       |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                 for i in range(1, len(toks) - 1)]) AS s

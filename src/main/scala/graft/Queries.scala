@@ -34,8 +34,10 @@ import graft.ops.Relational._
   *    only (no entries of its own).
   *
   * Determinism rules (so the driver's hash-compare is stable):
-  *  - money sums go through `decimal(18,2)` (exact) then cast to double —
-  *    double-sum order is nondeterministic under partial aggregation;
+  *  - money sums go through exact integer arithmetic (long cents, or
+  *    `decimal(18,2)` where a comparison needs the typed value) then cast
+  *    to double — double-sum order is nondeterministic under partial
+  *    aggregation;
   *  - products of 2-decimal doubles are summed in integer cents;
   *  - event timestamps are compared in epoch MICROseconds (integer `div`),
   *    matching DuckDB's TIMESTAMP_NS→µs truncation;
@@ -49,9 +51,19 @@ object Queries {
       oracle: Option[String],
       doc: String)
 
-  /** Exact decimal sum of a 2-decimal money column, emitted as double. */
+  /** Exact sum of a 2-decimal money column, emitted as double — summed as
+    * integer CENTS (optimization r12): `sum(long)` is a primitive codegen
+    * aggregate, where `sum(decimal(18,2))` tracked 128-bit overflow and
+    * allocated a Decimal per row in the hot loop. Both routes are exact
+    * until one final IEEE conversion, and bit-equal for any group sum
+    * under 2^53 cents (~9e13 dollars — far above any fixture or realistic
+    * group); the fixtures' money columns sit exactly on the cents grid
+    * (verified: round(x*100) == CAST(x AS DECIMAL(18,2))*100 on every
+    * row), and the oracle mirrors the same arithmetic, so the driver's
+    * hash-compare is unchanged.
+    */
   private def moneySum(c: String, as: String) =
-    sum(col(c).cast("decimal(18,2)")).cast("double").as(as)
+    (sum(round(col(c) * 100).cast("long")).cast("double") / 100.0).as(as)
 
   val all: Seq[Q] = Seq(
 
@@ -464,8 +476,8 @@ object Queries {
             .as("sum_disc_price"),
           count(lit(1)).as("cnt")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
              |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
              |  count(*) AS cnt
              |FROM lineitem
@@ -474,17 +486,25 @@ object Queries {
       "TPC-H Q1-style pricing summary; money sums exact via decimal/integer-cents"),
 
     Q("q3_shipping_priority",
-      (s, dir) => Tables.customer(s, dir)
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey"))
+      // FACT-FIRST orientation (optimization r12): lineitem — the biggest
+      // table at every SF — is the STREAMED side, and the (filtered)
+      // customer⋈orders chain is the build side. Written dims-first, the
+      // planner's size estimates made it broadcast the raw filtered
+      // lineitem scan (collect the fact to the driver, ship it to every
+      // executor) while streaming a 20x smaller chain; at cluster SFs the
+      // same written order degenerates to shuffling the chain into the
+      // fact's hash side. Inner joins commute, so the result is identical.
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .join(Tables.orders(s, dir)
             .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
             .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
-          col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, dir)
-            .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
-            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
           col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir)
+            .filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey")),
+          col("c_custkey") === col("o_custkey"))
         .withColumn("rev_cents",
           (round(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - round(col("l_discount") * 100).cast("long"))))
@@ -506,12 +526,26 @@ object Queries {
       "TPC-H Q3-style shipping priority: 3-way join, pushed filters, integer-cents revenue, top-10"),
 
     Q("q5_region_volume",
-      (s, dir) => Tables.region(s, dir).filter(col("r_name") === "ASIA")
-        .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
-        .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
-        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.supplier(s, dir),
+      // FACT-FIRST orientation (optimization r12, same rationale as q3):
+      // written region-first, the executed sf0.1 plan streamed NATION (25
+      // rows) and broadcast BOTH lineitem and orders — the two fact
+      // tables collected to the driver per run. Streaming lineitem keeps
+      // the dims on the build side at sf0.1 (all under the broadcast
+      // threshold) and leaves the fact un-shuffled until the agg at any
+      // SF where the mid tables outgrow broadcast (AQE then plans SMJ on
+      // the join keys, still fact-streamed). Inner joins commute.
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name")),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
         .withColumn("rev_cents",
           (round(col("l_extendedprice") * 100).cast("long") *
@@ -590,10 +624,16 @@ object Queries {
       "TPC-H Q6-style forecast revenue: pure scan + filter + aggregate, fully pushed down"),
 
     Q("q10_returned_items",
-      (s, dir) => Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
-          col("l_orderkey") === col("o_orderkey"))
+      // FACT-FIRST orientation (optimization r12, same rationale as q3):
+      // written customer-first, the executed plan broadcast the raw
+      // R-filtered lineitem; lineitem now streams and the smaller sides
+      // build. Inner joins commute — identical result.
+      (s, dir) => Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+          col("c_custkey") === col("o_custkey"))
         .withColumn("rev_cents",
           round(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - round(col("l_discount") * 100).cast("long")))
@@ -776,11 +816,17 @@ object Flagship {
       .withColumn("discounted", col("o_totalprice") * (lit(1.0) - col("factor")))
     // P4: re-key by orderId (shuffle planned at the next join)
     val rekeyed = selectKey(col("o_orderkey"), "key")(discounted)
-    // J3: interval join to "payments" (lineitems shipped within 90 days)
+    // J3: interval join to "payments" (lineitems shipped within 90 days).
+    // FACT-FIRST orientation (optimization r12): the lineitem side is the
+    // biggest table at every SF, so it STREAMS and the enriched-order
+    // chain is the build side — written chain-first, the executed sf0.1
+    // plan broadcast the raw N-filtered lineitem scan (the fact collected
+    // to the driver) while streaming the 4x smaller chain. Inner joins
+    // commute; output columns unchanged.
     val payments = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_shipdate"), col("l_returnflag"))
-    rekeyed.join(payments,
+    payments.join(rekeyed,
         col("key") === col("l_orderkey") &&
         col("l_shipdate") >= col("o_orderdate") &&
         col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))

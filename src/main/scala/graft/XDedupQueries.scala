@@ -82,9 +82,15 @@ object XDedupQueries {
         // x21b_lsh_incr_check pins equality with the full recompute.
         val d = docs(s, dir)
         val corpus = d.filter(col("doc_id") < 400)
+        // the corpus's two persisted derivatives are built from ONE
+        // materialized shingle table (how a real ingest maintains them):
+        // derived independently from raw docs, the corpus was re-scanned
+        // and re-shingled once per consuming job (optimization r12 —
+        // executed-plan audit counted 2 corpus document scans per run)
+        val corpusSh = Dedup.shingleTable(col("doc_id"), col("text"), 3)(corpus)
+          .localCheckpoint()
         Dedup.minhashLshIncremental(col("doc_id"), col("text"), 3, 16, 4, 0.3,
-            Dedup.lshIndex(col("doc_id"), col("text"), 3, 16, 4)(corpus),
-            Dedup.shingleTable(col("doc_id"), col("text"), 3)(corpus))(
+            Dedup.lshIndexFromShingles(corpusSh, 16, 4), corpusSh)(
             d.filter(col("doc_id") >= 400))
       },
       None,
@@ -292,7 +298,8 @@ object XDedupQueries {
       // division of two ints — engine-identical, no rounding needed
       (s, dir) => Dedup.containmentPairs(col("doc_id"), col("text"), 3, 0.5,
         maxShingleDf = 1000L)(docs(s, dir)),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             |               WHERE doc_id IS NOT NULL),
              |ex AS (SELECT DISTINCT doc_id,
              |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
              |                 for i in range(1, len(toks) - 1)]) AS s

@@ -431,11 +431,19 @@ object Similarity {
   def pqTopK(corpus0: DataFrame, queries0: DataFrame,
       codebooks: Array[Array[Array[Float]]], k: Int): DataFrame = {
     val queries = wf(queries0, "qvec")
+    // reconstruct ONCE per corpus row, BELOW the query join: the decode is
+    // a pure function of the codes, and evaluating it in the join's output
+    // projection re-ran the 2·d element_at/concat construction once per
+    // (candidate, query) PAIR — |queries|× the necessary work (measured in
+    // the executed plan; same expression, so scores are bit-identical).
+    // The reconstructed vector lives only in-flight inside the same
+    // codegen stage — the stored index is still m codes per vector.
     val coded = wf(corpus0, "vec")
       .select(col("id"), pqEncode(col("vec"), codebooks).as("codes"))
+      .select(col("id"), pqReconstruct(col("codes"), codebooks).as("rvec"))
     explodeRanked(
       coded.join(broadcast(queries), col("id") =!= col("qid"))
-        .withColumn("sim", cosine(col("qvec"), pqReconstruct(col("codes"), codebooks)))
+        .withColumn("sim", cosine(col("qvec"), col("rvec")))
         .groupBy("qid")
         .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
   }
@@ -482,17 +490,21 @@ object Similarity {
       slice(sort_array(entries), 1, nprobe)
     }
 
-    // one map pass builds BOTH index structures for a corpus row
+    // one map pass builds BOTH index structures for a corpus row; the PQ
+    // decode happens HERE too — once per corpus row, not once per
+    // (candidate, probing query) pair in the join projection (see pqTopK)
     val corpusB = corpus.select(col("id"),
       nearestCid(col("vec")).as("bucket"),
       pqEncode(col("vec"), codebooks).as("codes"))
+      .select(col("id"), col("bucket"),
+        pqReconstruct(col("codes"), codebooks).as("rvec"))
     val queriesB = queries
       .select(col("qid"), col("qvec"), explode(probeCids(col("qvec"))).as("probe"))
       .select(col("qid"), col("qvec"), col("probe.c").as("qbucket"))
     explodeRanked(
       corpusB.join(broadcast(queriesB),
           col("bucket") === col("qbucket") && col("id") =!= col("qid"))
-        .withColumn("sim", cosine(col("qvec"), pqReconstruct(col("codes"), codebooks)))
+        .withColumn("sim", cosine(col("qvec"), col("rvec")))
         .groupBy("qid")
         .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
   }
@@ -539,10 +551,14 @@ object Similarity {
     val mn0 = array_min(col("vec")).cast("double")
     val mx0 = array_max(col("vec")).cast("double")
     def codesD = col("codes").cast("array<double>")
+    // the int→double code cast happens ONCE per corpus row (kept as the
+    // `codesd` column riding the broadcast join), not once per
+    // (candidate, query) pair in the scoring projection — |queries|× less
+    // array re-materialization for the same bit-identical scores
     val coded = corpus
       .select(col("id"), mn0.as("mn"), ((mx0 - mn0) / 255.0).as("sc"),
         QuantizeInt8(col("vec")).as("codes"))
-      .select(col("id"), col("mn"), col("sc"), col("codes"),
+      .select(col("id"), col("mn"), col("sc"), codesD.as("codesd"),
         size(col("codes")).cast("double").as("n"),
         aggregate(codesD, lit(0.0), (a, c) => a + c).as("sc1"),
         DotProduct(codesD, codesD).as("sc2"))
@@ -553,7 +569,7 @@ object Similarity {
     explodeRanked(
       coded.join(broadcast(qs), col("id") =!= col("qid"))
         .withColumn("sim",
-          (col("mn") * col("sq") + col("sc") * DotProduct(col("qvec"), codesD)) /
+          (col("mn") * col("sq") + col("sc") * DotProduct(col("qvec"), col("codesd"))) /
             (col("qnorm") * sqrt(col("n") * col("mn") * col("mn")
               + lit(2.0) * col("mn") * col("sc") * col("sc1")
               + col("sc") * col("sc") * col("sc2"))))

@@ -266,10 +266,17 @@ object CheckQueries {
         val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
         val queries = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        // hit set is k·|queries| rows BY CONSTRUCTION (bounded TopK) — a
+        // bound the planner cannot estimate through the aggregate, so the
+        // corpus join-back is hinted: corpus STREAMS map-only against the
+        // broadcast hits instead of being shuffled by id (optimization
+        // r12; checkpointed so verify + both mono sides evaluate the ANN
+        // pipeline once)
         val ann = Similarity.hyperplaneTopK(corpus, queries, 4, 64, 3)
+          .localCheckpoint()
         // (a) every emitted sim re-verified through the interpreted HOF twin
-        val verified = ann
-          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+        val verified = corpus.select(col("id"), col("vec").as("cvec"))
+          .join(broadcast(ann), "id")
           .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
           .agg(
             coalesce(bool_and(
@@ -299,9 +306,11 @@ object CheckQueries {
         val ann = Similarity.pqTopK(corpus, queries, cbs, 3)
         // every emitted sim re-verified: the interpreted HOF cosine of the
         // query against the independently re-encoded + reconstructed
-        // corpus vector must equal the native-pipeline score
-        ann
-          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+        // corpus vector must equal the native-pipeline score. The hit set
+        // is k·|queries| rows by construction — broadcast it so the
+        // corpus join-back streams map-only (see x3c_ann_check).
+        corpus.select(col("id"), col("vec").as("cvec"))
+          .join(broadcast(ann), "id")
           .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
           .agg(
             coalesce(bool_and(abs(col("sim") -
@@ -382,9 +391,12 @@ object CheckQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val centroids = Clustering.centroidsDf(s,
           ExtensionQueries.trainedModel(s, dir))
+        // k·|queries|-bounded hits: checkpoint once (verify + both mono
+        // sides), broadcast into the corpus join-back (see x3c_ann_check)
         val ann = Similarity.ivfTopK(corpus, queries, centroids, 3)
-        val verified = ann
-          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+          .localCheckpoint()
+        val verified = corpus.select(col("id"), col("vec").as("cvec"))
+          .join(broadcast(ann), "id")
           .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
           .agg(
             coalesce(bool_and(
@@ -417,9 +429,10 @@ object CheckQueries {
             math.abs(math.sqrt(en.map(x => x.toDouble * x).sum) - 1.0) < 1e-6))
         val ann = Similarity.pqTopK(corpus, queries, cbs, 3)
         // every emitted sim re-verified through interpreted re-encode +
-        // reconstruct, as in x3e_pq_check but against the TRAINED books
-        ann
-          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+        // reconstruct, as in x3e_pq_check but against the TRAINED books;
+        // k·|queries|-bounded hits broadcast, corpus streams map-only
+        corpus.select(col("id"), col("vec").as("cvec"))
+          .join(broadcast(ann), "id")
           .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
           .agg(
             coalesce(bool_and(abs(col("sim") -
@@ -587,8 +600,10 @@ object CheckQueries {
         // native expression the operator routes with — bit-identical fold)
         def centerSims(vec: org.apache.spark.sql.Column) =
           array(m.centers.map(c => Similarity.cosineHof(vec, typedlit(c))): _*)
-        ann
-          .join(corpus.select(col("id"), col("vec").as("cvec")), "id")
+        // k·|queries|-bounded hits broadcast, corpus streams map-only
+        // (see x3c_ann_check)
+        corpus.select(col("id"), col("vec").as("cvec"))
+          .join(broadcast(ann), "id")
           .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
           // hit's bucket re-derived: argmax (first index on ties) of the
           // interpreted centroid sims of the CANDIDATE vector

@@ -876,20 +876,12 @@ object Dedup {
         explode(array(segs: _*)).as("s"))
       .select(col("k"), col("len"), col("s.si").as("si"), col("s.sv").as("sv"))
       .repartition(col("si"), col("sv"))
-    // hot-block guard: population per block as a hash AGGREGATE joined
-    // back (the embeddingDupPairs/knnGraph pops pattern) — both the
-    // aggregate and the join ride the (si, sv) repartition exchange
-    // (hash on a subset co-locates every (si, sv, len) group), and the
-    // exchange is REUSED, so the guard costs no extra pass. The previous
-    // Window-based count sorted the whole blocked stream by
-    // (si, sv, len) twice (once per self-join side) just to count group
-    // members — a per-row sort class replaced by map-side-combined
-    // counting (optimization r12; same rows, same failure message).
+    // hot-block guard: population count per block reuses the repartition
+    // exchange (hash on (si, sv) co-locates every (si, sv, len) group);
     // assert_true returns NULL on pass, so coalesce keeps it un-prunable
-    val pops = blocked.groupBy(col("si"), col("sv"), col("len"))
-      .agg(count(lit(1)).as("__pop"))
     val guarded = blocked
-      .join(pops, Seq("si", "sv", "len"))
+      .withColumn("__pop",
+        count(lit(1)).over(Window.partitionBy(col("si"), col("sv"), col("len"))))
       .filter(coalesce(
         assert_true(col("__pop") <= lit(maxBlockKeys),
           concat(lit(s"hammingLinkage: block population exceeds maxBlockKeys=$maxBlockKeys "),

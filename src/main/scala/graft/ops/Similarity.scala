@@ -490,21 +490,24 @@ object Similarity {
       slice(sort_array(entries), 1, nprobe)
     }
 
-    // one map pass builds BOTH index structures for a corpus row; the PQ
-    // decode happens HERE too — once per corpus row, not once per
-    // (candidate, probing query) pair in the join projection (see pqTopK)
+    // one map pass builds BOTH index structures for a corpus row. The PQ
+    // decode stays in the JOIN projection here — the OPPOSITE of pqTopK's
+    // below-the-join placement, deliberately: this bucket equi-join is
+    // SELECTIVE (a corpus row in a bucket no query probes matches
+    // nothing), so decoding below the join would reconstruct EVERY corpus
+    // row including the never-probed majority — measured +15-25% on the
+    // x33 check at sf1 when tried. pqTopK's id =!= qid join matches every
+    // row |queries| times, which is why the trade flips there.
     val corpusB = corpus.select(col("id"),
       nearestCid(col("vec")).as("bucket"),
       pqEncode(col("vec"), codebooks).as("codes"))
-      .select(col("id"), col("bucket"),
-        pqReconstruct(col("codes"), codebooks).as("rvec"))
     val queriesB = queries
       .select(col("qid"), col("qvec"), explode(probeCids(col("qvec"))).as("probe"))
       .select(col("qid"), col("qvec"), col("probe.c").as("qbucket"))
     explodeRanked(
       corpusB.join(broadcast(queriesB),
           col("bucket") === col("qbucket") && col("id") =!= col("qid"))
-        .withColumn("sim", cosine(col("qvec"), col("rvec")))
+        .withColumn("sim", cosine(col("qvec"), pqReconstruct(col("codes"), codebooks)))
         .groupBy("qid")
         .agg(TopKByScore(k)(col("sim"), col("id")).as("hits")))
   }
